@@ -1,0 +1,139 @@
+"""Golden parity: JAX model ≡ reference checkpoint ≡ torch oracle.
+
+Loads the reference demo checkpoint into (a) a torch oracle built from torch's own
+nn.TransformerEncoder with reference-matching module names, and (b) the flax model
+via models.torch_compat — and asserts the forward passes agree to float precision.
+This pins every architectural choice (post-LN order, packed QKV layout, PE formula,
+head activations) against real reference weights.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp
+
+from transformergrooveinfilling_tpu.models import (
+    GrooveTransformerConfig,
+    build_model,
+    predict,
+    sinusoidal_positional_encoding,
+    torch_compat,
+)
+from oracle import TorchGrooveTransformerEncoder
+
+# the demo checkpoint's config = configs/InfillingClosedHH_testing_training.yaml
+DEMO_CONFIG = GrooveTransformerConfig(
+    d_model=32,
+    n_heads=4,
+    dim_feedforward=16,
+    dropout=0.18,
+    num_encoder_layers=6,
+    max_len=32,
+    embedding_size_src=16,
+    embedding_size_tgt=27,
+)
+
+
+@pytest.fixture(scope="module")
+def demo_state_dict():
+    import os
+    path = "/root/reference/demo/transformer_run_171tyqit_Epoch_1.Model"
+    if not os.path.exists(path):
+        pytest.skip("demo checkpoint unavailable")
+    return torch.load(path, map_location="cpu")["model_state_dict"]
+
+
+@pytest.fixture(scope="module")
+def oracle(demo_state_dict):
+    m = TorchGrooveTransformerEncoder(
+        embedding_size_src=16, embedding_size_tgt=27, d_model=32, n_heads=4,
+        dim_ff=16, dropout=0.18, n_layers=6, max_len=32,
+    )
+    missing, unexpected = m.load_state_dict(demo_state_dict, strict=True), None
+    m.eval()
+    return m
+
+
+def test_pe_matches_checkpoint_buffer(demo_state_dict):
+    ref_pe = demo_state_dict["InputLayerEncoder.PositionalEncoding.pe"].numpy()
+    ours = np.asarray(sinusoidal_positional_encoding(32, 32))
+    # float32 transcendental rounding differs slightly between torch and XLA
+    np.testing.assert_allclose(ours, ref_pe, atol=5e-5)
+
+
+def test_forward_parity_with_reference_weights(demo_state_dict, oracle, rng):
+    params = torch_compat.state_dict_to_params(
+        {k: v.numpy() for k, v in demo_state_dict.items()}, DEMO_CONFIG
+    )
+    model = build_model(DEMO_CONFIG)
+
+    x = rng.standard_normal((5, 32, 16)).astype(np.float32)
+    with torch.no_grad():
+        th_h, th_v, th_o = oracle(torch.from_numpy(x))
+    jx_h, jx_v, jx_o = model.apply({"params": params}, jnp.asarray(x),
+                                   deterministic=True)
+    np.testing.assert_allclose(np.asarray(jx_h), th_h.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(jx_v), th_v.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(jx_o), th_o.numpy(), atol=2e-5)
+
+
+def test_predict_parity(demo_state_dict, oracle, rng):
+    params = torch_compat.state_dict_to_params(
+        {k: v.numpy() for k, v in demo_state_dict.items()}, DEMO_CONFIG
+    )
+    model = build_model(DEMO_CONFIG)
+    x = rng.standard_normal((3, 32, 16)).astype(np.float32)
+    th = oracle.predict(torch.from_numpy(x))
+    jx = predict(model, params, jnp.asarray(x))
+    for a, b in zip(jx, th):
+        np.testing.assert_allclose(np.asarray(a), b.numpy(), atol=2e-5)
+
+
+def test_state_dict_roundtrip(demo_state_dict):
+    params = torch_compat.state_dict_to_params(
+        {k: v.numpy() for k, v in demo_state_dict.items()}, DEMO_CONFIG
+    )
+    sd = torch_compat.params_to_state_dict(params, DEMO_CONFIG)
+    for k, v in demo_state_dict.items():
+        np.testing.assert_allclose(sd[k], v.numpy(), atol=1e-6, err_msg=k)
+
+
+def test_legacy_checkpoint_io_roundtrip(tmp_path, demo_checkpoint_path):
+    params, epoch, loss = torch_compat.load_legacy_checkpoint(
+        demo_checkpoint_path, DEMO_CONFIG
+    )
+    assert epoch == 0
+    assert abs(loss - 4.014834880828857) < 1e-9
+    out = tmp_path / "transformer_run_test_Epoch_0.Model"
+    torch_compat.save_legacy_checkpoint(str(out), params, DEMO_CONFIG, epoch, loss)
+    params2, epoch2, loss2 = torch_compat.load_legacy_checkpoint(str(out), DEMO_CONFIG)
+    import jax
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=1e-7), params, params2
+    )
+    found, ep = torch_compat.find_latest_checkpoint(str(tmp_path))
+    assert found == str(out) and ep == 0
+
+
+def test_random_weights_parity(rng):
+    """Parity on a freshly initialized torch model (not just the demo weights),
+    with a different head count / size."""
+    cfg = GrooveTransformerConfig(
+        d_model=64, n_heads=8, dim_feedforward=128, dropout=0.0,
+        num_encoder_layers=2, embedding_size_src=27,
+    )
+    oracle = TorchGrooveTransformerEncoder(27, 27, 64, 8, 128, 0.0, 2, 32)
+    oracle.eval()
+    sd = {k: v.numpy() for k, v in oracle.state_dict().items()}
+    params = torch_compat.state_dict_to_params(sd, cfg)
+    model = build_model(cfg)
+    x = rng.standard_normal((2, 32, 27)).astype(np.float32)
+    with torch.no_grad():
+        th_h, th_v, th_o = oracle(torch.from_numpy(x))
+    jx_h, jx_v, jx_o = model.apply({"params": params}, jnp.asarray(x),
+                                   deterministic=True)
+    np.testing.assert_allclose(np.asarray(jx_h), th_h.numpy(), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(jx_v), th_v.numpy(), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(jx_o), th_o.numpy(), atol=3e-5)

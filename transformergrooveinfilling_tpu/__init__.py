@@ -1,0 +1,22 @@
+"""TPU-native groove-infilling framework.
+
+A ground-up JAX/XLA/Pallas/pjit re-design of the capabilities of
+pelinski/TransformerGrooveInfilling (see /root/repo/SURVEY.md): transformer drum-loop
+infilling over HVO (hits/velocity/offset) grids, with a symbolic and a direct-audio
+("MSO") input modality, the GrooveEvaluator-style metric suite, YAML-config training
+CLI, and a host-side C++ soundfont synthesizer feeding a fused on-device DSP pipeline.
+
+Layering (bottom → top), mirroring SURVEY.md §1 but TPU-first:
+
+- ``hvo``       L1: fixed-shape HVO representation + vectorized grid ops
+- ``audio``     L0: native (C++) soundfont/procedural drum synthesis on the host
+- ``ops``       Pallas/XLA kernels: fused attention, MSO multiband-onset DSP
+- ``models``    L4: flax transformer encoder(-decoder) with h/v/o heads + losses
+- ``parallel``  device mesh + sharding rules (dp × tp over ICI)
+- ``data``      L2/L3: GMD subsetting, infilling task datasets, batch pipeline
+- ``eval``      L5: InfillingEvaluator equivalent (metrics, features, media)
+- ``train``     L6: config system, train loop, checkpointing, eval scheduling
+- ``utils``     logging (wandb-compatible shim), serialization
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,301 @@
+"""Groove infilling transformer (flax.linen), TPU-first.
+
+Architecture is pinned exactly by the reference demo checkpoint
+(/root/reference/demo/transformer_run_171tyqit_Epoch_1.Model, dumped in SURVEY.md
+§2.2): Linear(src→d_model) input embedding + sinusoidal positional encoding,
+N *post-LN* torch-1.10-style encoder layers (packed-QKV self-attention, ReLU FFN),
+a final LayerNorm, and Linear(d_model→3V) split into hit-logit / velocity / offset
+heads (sigmoid / sigmoid / tanh·0.5 at the output, hits as raw logits for the
+BCE-with-logits loss).
+
+TPU notes:
+- batch-first ``(B, T, d)`` layout throughout; T is fixed (default 32) so every
+  shape is static and XLA tiles the matmuls straight onto the MXU.
+- attention is a single fused einsum chain at T=32 — no KV blocking needed; XLA
+  fuses softmax+scale into the surrounding matmuls.
+- an optional ``compute_dtype=bfloat16`` casts activations for MXU throughput
+  while keeping parameters and the loss in float32.
+- tensor-parallel sharding constraints (heads / FFN dims over the "model" mesh
+  axis) are annotated via ``nn.with_logical_constraint``-free plain
+  ``jax.lax.with_sharding_constraint`` hooks in :mod:`..parallel.mesh`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+@dataclasses.dataclass(frozen=True)
+class GrooveTransformerConfig:
+    """Hyperparameters, named after the reference's model params dict
+    (/root/reference/train.py:115-134)."""
+
+    d_model: int = 32
+    n_heads: int = 4
+    dim_feedforward: int = 16
+    dropout: float = 0.1
+    num_encoder_layers: int = 6
+    num_decoder_layers: int = 0  # 0 => encoder-only
+    max_len: int = 32
+    embedding_size_src: int = 16  # 16 = MSO bands; 27 for the symbolic experiment
+    embedding_size_tgt: int = 27  # HVO width (9 voices × h/v/o)
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @property
+    def encoder_only(self) -> bool:
+        return self.num_decoder_layers == 0
+
+    @property
+    def n_voices(self) -> int:
+        return self.embedding_size_tgt // 3
+
+
+def sinusoidal_positional_encoding(max_len: int, d_model: int) -> jax.Array:
+    """Standard sinusoidal PE, shape (1, max_len, d_model).
+
+    Numerically identical to the checkpoint's ``InputLayerEncoder.
+    PositionalEncoding.pe`` buffer (verified against the sin/cos formula in
+    SURVEY.md §2.2), so it is computed rather than stored.
+    """
+    position = jnp.arange(max_len, dtype=jnp.float32)[:, None]
+    div_term = jnp.exp(
+        jnp.arange(0, d_model, 2, dtype=jnp.float32) * (-math.log(10000.0) / d_model)
+    )
+    angles = position * div_term  # (max_len, ceil(d/2))
+    pe = jnp.zeros((max_len, d_model), dtype=jnp.float32)
+    pe = pe.at[:, 0::2].set(jnp.sin(angles))
+    pe = pe.at[:, 1::2].set(jnp.cos(angles[:, : d_model // 2]))
+    return pe[None]
+
+
+class SelfAttention(nn.Module):
+    """Packed-QKV multi-head self-attention (torch ``nn.MultiheadAttention``
+    semantics: scale 1/sqrt(head_dim), dropout on the attention weights)."""
+
+    d_model: int
+    n_heads: int
+    dropout: float
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool, kv: Optional[jax.Array] = None):
+        d, h = self.d_model, self.n_heads
+        hd = d // h
+        assert d % h == 0, f"d_model={d} not divisible by n_heads={h}"
+        source = x if kv is None else kv
+
+        if kv is None:
+            qkv = nn.Dense(3 * d, name="qkv")(x)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        else:
+            # cross-attention: separate projections, packed kv
+            q = nn.Dense(d, name="q")(x)
+            k_v = nn.Dense(2 * d, name="kv")(source)
+            k, v = jnp.split(k_v, 2, axis=-1)
+
+        def heads(t):
+            return t.reshape(t.shape[:-1] + (h, hd))
+
+        q, k, v = heads(q), heads(k), heads(v)
+        scores = jnp.einsum("...qhd,...khd->...hqk", q, k) / math.sqrt(hd)
+        w = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
+        w = nn.Dropout(self.dropout)(w, deterministic=deterministic)
+        out = jnp.einsum("...hqk,...khd->...qhd", w, v)
+        out = out.reshape(out.shape[:-2] + (d,))
+        return nn.Dense(d, name="out")(out)
+
+
+class EncoderLayer(nn.Module):
+    """Post-LN encoder layer matching torch 1.10 ``TransformerEncoderLayer``:
+    ``x = LN(x + Drop(SA(x))); x = LN(x + Drop(W2·Drop(relu(W1·x))))``."""
+
+    d_model: int
+    n_heads: int
+    dim_feedforward: int
+    dropout: float
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool):
+        sa = SelfAttention(self.d_model, self.n_heads, self.dropout, name="self_attn")(
+            x, deterministic=deterministic
+        )
+        x = nn.LayerNorm(name="norm1")(
+            x + nn.Dropout(self.dropout)(sa, deterministic=deterministic)
+        )
+        ff = nn.Dense(self.dim_feedforward, name="linear1")(x)
+        ff = nn.Dropout(self.dropout)(
+            jax.nn.relu(ff), deterministic=deterministic
+        )
+        ff = nn.Dense(self.d_model, name="linear2")(ff)
+        x = nn.LayerNorm(name="norm2")(
+            x + nn.Dropout(self.dropout)(ff, deterministic=deterministic)
+        )
+        return x
+
+
+class DecoderLayer(nn.Module):
+    """Post-LN decoder layer (self-attn + cross-attn + FFN), torch semantics.
+
+    The reference supports ``encoder_only=0`` full encoder-decoder models
+    (train.py:125-127); no decoder checkpoint exists, so torch 1.10
+    ``TransformerDecoderLayer`` semantics are adopted [inferred, SURVEY.md §2.2].
+    """
+
+    d_model: int
+    n_heads: int
+    dim_feedforward: int
+    dropout: float
+
+    @nn.compact
+    def __call__(self, x, memory, *, deterministic: bool):
+        sa = SelfAttention(self.d_model, self.n_heads, self.dropout, name="self_attn")(
+            x, deterministic=deterministic
+        )
+        x = nn.LayerNorm(name="norm1")(
+            x + nn.Dropout(self.dropout)(sa, deterministic=deterministic)
+        )
+        ca = SelfAttention(
+            self.d_model, self.n_heads, self.dropout, name="cross_attn"
+        )(x, kv=memory, deterministic=deterministic)
+        x = nn.LayerNorm(name="norm2")(
+            x + nn.Dropout(self.dropout)(ca, deterministic=deterministic)
+        )
+        ff = nn.Dense(self.dim_feedforward, name="linear1")(x)
+        ff = nn.Dropout(self.dropout)(jax.nn.relu(ff), deterministic=deterministic)
+        ff = nn.Dense(self.d_model, name="linear2")(ff)
+        x = nn.LayerNorm(name="norm3")(
+            x + nn.Dropout(self.dropout)(ff, deterministic=deterministic)
+        )
+        return x
+
+
+class InputLayer(nn.Module):
+    """Linear embed → ReLU → +PE → dropout (reference ``InputLayerEncoder``,
+    SURVEY.md §2.2; the ReLU is [inferred] from the public BaseGrooveTransformers
+    io-layer design and has no checkpointed parameters)."""
+
+    d_model: int
+    dropout: float
+    max_len: int
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool):
+        x = nn.Dense(self.d_model, name="embed")(x)
+        x = jax.nn.relu(x)
+        pe = sinusoidal_positional_encoding(self.max_len, self.d_model)
+        x = x + pe[:, : x.shape[-2], :].astype(x.dtype)
+        return nn.Dropout(self.dropout)(x, deterministic=deterministic)
+
+
+class OutputLayer(nn.Module):
+    """Linear d_model→3V, split into (hit logits, velocity, offset) heads.
+
+    Head activations per SURVEY.md §2.2: hits stay logits (BCE-with-logits),
+    velocity = sigmoid, offset = tanh/2 ∈ [-0.5, 0.5].
+    """
+
+    embedding_size_tgt: int
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.Dense(self.embedding_size_tgt, name="proj")(x)
+        n = self.embedding_size_tgt // 3
+        h_logits = y[..., :n]
+        v = jax.nn.sigmoid(y[..., n : 2 * n])
+        o = jnp.tanh(y[..., 2 * n :]) * 0.5
+        return h_logits, v, o
+
+
+class GrooveTransformerEncoder(nn.Module):
+    """Encoder-only groove transformer: (B, T, E_src) → (h_logits, v, o)."""
+
+    config: GrooveTransformerConfig
+
+    @nn.compact
+    def __call__(self, src, *, deterministic: bool = True):
+        cfg = self.config
+        x = src.astype(cfg.compute_dtype)
+        x = InputLayer(cfg.d_model, cfg.dropout, cfg.max_len, name="input")(
+            x, deterministic=deterministic
+        )
+        for i in range(cfg.num_encoder_layers):
+            x = EncoderLayer(
+                cfg.d_model,
+                cfg.n_heads,
+                cfg.dim_feedforward,
+                cfg.dropout,
+                name=f"encoder_layer_{i}",
+            )(x, deterministic=deterministic)
+        x = nn.LayerNorm(name="encoder_norm")(x)
+        x = x.astype(jnp.float32)  # heads + loss in f32
+        return OutputLayer(cfg.embedding_size_tgt, name="output")(x)
+
+
+class GrooveTransformer(nn.Module):
+    """Full encoder-decoder variant (``encoder_only=0``); teacher-forced decoder
+    over a zero-row-shifted target grid."""
+
+    config: GrooveTransformerConfig
+
+    @nn.compact
+    def __call__(self, src, tgt=None, *, deterministic: bool = True):
+        cfg = self.config
+        x = src.astype(cfg.compute_dtype)
+        x = InputLayer(cfg.d_model, cfg.dropout, cfg.max_len, name="input")(
+            x, deterministic=deterministic
+        )
+        for i in range(cfg.num_encoder_layers):
+            x = EncoderLayer(
+                cfg.d_model,
+                cfg.n_heads,
+                cfg.dim_feedforward,
+                cfg.dropout,
+                name=f"encoder_layer_{i}",
+            )(x, deterministic=deterministic)
+        memory = nn.LayerNorm(name="encoder_norm")(x)
+
+        if tgt is None:
+            tgt = jnp.zeros(src.shape[:-1] + (cfg.embedding_size_tgt,), src.dtype)
+        # shift right with a zero "start" row (teacher forcing)
+        tgt_in = jnp.concatenate(
+            [jnp.zeros_like(tgt[..., :1, :]), tgt[..., :-1, :]], axis=-2
+        ).astype(cfg.compute_dtype)
+        y = InputLayer(cfg.d_model, cfg.dropout, cfg.max_len, name="input_tgt")(
+            tgt_in, deterministic=deterministic
+        )
+        for i in range(cfg.num_decoder_layers):
+            y = DecoderLayer(
+                cfg.d_model,
+                cfg.n_heads,
+                cfg.dim_feedforward,
+                cfg.dropout,
+                name=f"decoder_layer_{i}",
+            )(y, memory, deterministic=deterministic)
+        y = nn.LayerNorm(name="decoder_norm")(y)
+        y = y.astype(jnp.float32)
+        return OutputLayer(cfg.embedding_size_tgt, name="output")(y)
+
+
+def build_model(config: GrooveTransformerConfig) -> nn.Module:
+    if config.encoder_only:
+        return GrooveTransformerEncoder(config)
+    return GrooveTransformer(config)
+
+
+def predict(model: nn.Module, params, inputs, use_thres: bool = True, thres: float = 0.5):
+    """Deterministic inference, reference ``model.predict`` semantics
+    (/root/reference/evaluator.py:173): hits thresholded at ``thres`` after a
+    sigmoid; velocity/offset passed through their head activations.
+
+    Returns ``[h, v, o]`` arrays, each ``(B, T, V)``.
+    """
+    h_logits, v, o = model.apply({"params": params}, inputs, deterministic=True)
+    h = jax.nn.sigmoid(h_logits)
+    if use_thres:
+        h = (h > thres).astype(h_logits.dtype)
+    return [h, v, o]
