@@ -1,0 +1,139 @@
+"""Data layer: samplers, subsetter, symbolic + random datasets, pickle roundtrip."""
+
+import random
+
+import numpy as np
+import pytest
+
+from transformergrooveinfilling_tpu.data import (
+    GrooveMidiDatasetInfillingRandom,
+    GrooveMidiDatasetInfillingSymbolic,
+    GrooveMidiSubsetter,
+    get_sf_v_combinations,
+    get_voice_combinations,
+    get_voice_idx_for_item,
+    load_processed_dataset,
+    synthetic_gmd_sequences,
+)
+from transformergrooveinfilling_tpu.hvo import N_VOICES
+
+
+def test_voice_combinations_all():
+    combos = get_voice_combinations(
+        voice_idx=[0, 1, 2], min_n_voices_to_remove=1, max_n_voices_to_remove=2,
+        prob=[1, 1], k=None)
+    assert set(combos) == {(0,), (1,), (2,), (0, 1), (0, 2), (1, 2)}
+
+
+def test_voice_combinations_sampled_weighted():
+    rng = random.Random(0)
+    combos = get_voice_combinations(
+        voice_idx=[0, 1], min_n_voices_to_remove=1, max_n_voices_to_remove=2,
+        prob=[0, 1], k=50, rng=rng)
+    # prob 0 for size-1 combos → only the size-2 combination appears
+    assert set(combos) == {(0, 1)}
+    assert len(combos) == 50
+
+
+def test_voice_combinations_caps_max_size():
+    combos = get_voice_combinations(
+        voice_idx=[0, 1], min_n_voices_to_remove=1, max_n_voices_to_remove=5,
+        prob=[1, 1], k=None)
+    assert max(len(c) for c in combos) == 2
+
+
+def test_voice_idx_for_item(rng):
+    seqs = synthetic_gmd_sequences(1, seed=3)
+    seq = seqs[0]
+    seq.hvo[:, :N_VOICES] = 0
+    seq.hvo[0, 0] = 1  # only KICK active
+    params = {"voice_idx": [0, 1], "min_n_voices_to_remove": 1,
+              "max_n_voices_to_remove": 2, "prob": [1, 1], "k": 5}
+    voice_idx, new_params = get_voice_idx_for_item(seq, params)
+    assert voice_idx == [0]
+    assert new_params["voice_idx"] == [0]
+    assert new_params["prob"] == [1]
+
+
+def test_sf_v_combinations_cap():
+    rng = random.Random(0)
+    params = {"voice_idx": [0, 1], "min_n_voices_to_remove": 1,
+              "max_n_voices_to_remove": 2, "prob": [1, 1], "k": 5}
+    combos = get_sf_v_combinations(params, max_aug_items=3, max_n_sf=2,
+                                   sfs_list=["a.sf2", "b.sf2", "c.sf2"], rng=rng)
+    assert len(combos) <= 3
+    for sf, v in combos:
+        assert sf in ("a.sf2", "b.sf2", "c.sf2")
+        assert isinstance(v, tuple)
+
+
+def test_subsetter_filters():
+    seqs = synthetic_gmd_sequences(44, seed=1)
+    sub = GrooveMidiSubsetter(
+        sequences=seqs,
+        list_of_filter_dicts_for_subsets=[
+            {"style_primary": ["funk"], "beat_type": ["beat"],
+             "time_signature": ["4-4"]},
+            {"style_primary": ["rock"]},
+        ],
+    )
+    tags, subsets = sub.create_subsets()
+    assert tags == ["funk", "rock"]
+    assert all(s.metadata.style_primary == "funk" for s in subsets[0])
+    assert all(s.metadata.style_primary == "rock" for s in subsets[1])
+    assert len(subsets[0]) > 0 and len(subsets[1]) > 0
+
+
+@pytest.fixture
+def symbolic_dataset(tmp_path):
+    seqs = synthetic_gmd_sequences(20, seed=7)
+    return GrooveMidiDatasetInfillingSymbolic(
+        data=seqs,
+        dataset_name="TestSymbolic",
+        split="train",
+        save_dataset_path=str(tmp_path / "ds"),
+        voices_params={"voice_idx": [2], "min_n_voices_to_remove": 1,
+                       "max_n_voices_to_remove": 1, "prob": [1], "k": 5},
+        max_aug_items=2,
+        seed=11,
+    )
+
+
+def test_symbolic_dataset_shapes(symbolic_dataset):
+    ds = symbolic_dataset
+    assert len(ds) > 0
+    x, y, idx = ds[0]
+    assert x.shape == (32, 27) and y.shape == (32, 27)
+    # input has HH_CLOSED (voice 2) zeroed; target only voice 2
+    assert np.allclose(x[:, [2, 2 + 9, 2 + 18]], 0)
+    mask = np.ones(27, bool)
+    mask[[2, 11, 20]] = False
+    assert np.allclose(y[:, mask], 0)
+    # partition: input + target == original
+    orig = ds.hvo_sequences[ds.hvo_index[0]].hvo
+    np.testing.assert_allclose(x + y, orig.astype(np.float32), atol=1e-6)
+
+
+def test_symbolic_dataset_pickle_roundtrip(symbolic_dataset):
+    ds = symbolic_dataset
+    loaded = load_processed_dataset(ds.save_dataset_path,
+                                    exp="InfillingClosedHH_Symbolic")
+    assert len(loaded) == len(ds)
+    np.testing.assert_allclose(loaded.processed_inputs, ds.processed_inputs)
+    np.testing.assert_allclose(loaded.processed_outputs, ds.processed_outputs)
+    assert loaded.hvo_index == ds.hvo_index
+    assert loaded.max_seq_len == ds.max_seq_len
+
+
+def test_symbolic_dataset_deterministic(tmp_path):
+    seqs = synthetic_gmd_sequences(10, seed=5)
+    kw = dict(
+        dataset_name="Det", split="t",
+        voices_params={"voice_idx": [0, 1], "min_n_voices_to_remove": 1,
+                       "max_n_voices_to_remove": 2, "prob": [1, 1], "k": 3},
+        max_aug_items=4, seed=42, save=False,
+    )
+    a = GrooveMidiDatasetInfillingSymbolic(data=[s.copy() for s in seqs], **kw)
+    b = GrooveMidiDatasetInfillingSymbolic(data=[s.copy() for s in seqs], **kw)
+    np.testing.assert_allclose(a.processed_inputs, b.processed_inputs)
+    assert a.voices_reduced == b.voices_reduced

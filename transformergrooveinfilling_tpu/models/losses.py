@@ -34,13 +34,21 @@ def _bce_with_logits(logits, labels):
     return jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
 
 
-def calculate_loss(prediction, target, hit_loss_penalty: float | jax.Array) -> LossOutputs:
+def calculate_loss(
+    prediction,
+    target,
+    hit_loss_penalty: float | jax.Array,
+    sample_weights: jax.Array | None = None,
+) -> LossOutputs:
     """Compute the infilling training loss.
 
     Args:
         prediction: ``(h_logits, v, o)`` tuple from the model, each ``(B, T, V)``.
         target: ground-truth HVO grid ``(B, T, 3V)``.
         hit_loss_penalty: scalar multiplier applied to loss terms at non-hit cells.
+        sample_weights: optional ``(B,)`` 0/1 weights; padded rows of a
+            non-divisible final batch get weight 0 and drop out of every mean,
+            so values match the reference's un-padded partial batches exactly.
 
     Returns:
         :class:`LossOutputs` with the total loss and per-head diagnostics.
@@ -52,20 +60,28 @@ def calculate_loss(prediction, target, hit_loss_penalty: float | jax.Array) -> L
     y_o = target[..., 2 * n :]
 
     penalty = jnp.where(y_h == 1, 1.0, hit_loss_penalty).astype(jnp.float32)
+    if sample_weights is None:
+        w_rows = jnp.ones(target.shape[:-2] + (target.shape[-2],), jnp.float32)
+    else:
+        w_rows = jnp.broadcast_to(
+            sample_weights.astype(jnp.float32)[..., None],
+            target.shape[:-2] + (target.shape[-2],),
+        )
+    denom = jnp.maximum(jnp.sum(w_rows), 1.0)  # number of live (b, t) rows
+    penalty = penalty * w_rows[..., None]
 
-    bce_h = _bce_with_logits(pred_h.astype(jnp.float32), y_h) * penalty
-    bce_hits = jnp.sum(bce_h, axis=-1).mean()
+    def row_mean(cellwise):  # sum over voices, weighted mean over (B, T)
+        return jnp.sum(cellwise) / denom
 
-    mse_v = jnp.square(pred_v.astype(jnp.float32) - y_v) * penalty
-    mse_velocities = jnp.sum(mse_v, axis=-1).mean()
-
-    mse_o = jnp.square(pred_o.astype(jnp.float32) - y_o) * penalty
-    mse_offsets = jnp.sum(mse_o, axis=-1).mean()
+    bce_hits = row_mean(_bce_with_logits(pred_h.astype(jnp.float32), y_h) * penalty)
+    mse_velocities = row_mean(jnp.square(pred_v.astype(jnp.float32) - y_v) * penalty)
+    mse_offsets = row_mean(jnp.square(pred_o.astype(jnp.float32) - y_o) * penalty)
 
     total_loss = bce_hits + mse_velocities + mse_offsets
 
     h_pred = (jax.nn.sigmoid(pred_h) > 0.5).astype(jnp.float32)
-    hit_accuracy = jnp.mean((h_pred == y_h).astype(jnp.float32))
+    correct = (h_pred == y_h).astype(jnp.float32) * w_rows[..., None]
+    hit_accuracy = jnp.sum(correct) / (denom * n)
     hit_perplexity = jnp.exp(bce_hits)
 
     return LossOutputs(

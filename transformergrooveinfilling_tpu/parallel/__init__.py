@@ -1,0 +1,21 @@
+"""Device mesh + sharding layer (greenfield — the reference has no distributed
+execution at all, SURVEY.md §2.4; scale-out here is dp × tp over ICI via
+jax.sharding + jit)."""
+
+from .mesh import (
+    make_mesh,
+    data_sharding,
+    replicated,
+    param_partition_specs,
+    shard_params,
+    MeshPlan,
+)
+
+__all__ = [
+    "make_mesh",
+    "data_sharding",
+    "replicated",
+    "param_partition_specs",
+    "shard_params",
+    "MeshPlan",
+]

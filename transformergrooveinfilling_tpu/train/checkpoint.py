@@ -1,0 +1,127 @@
+"""Checkpointing: native flax-msgpack format + legacy ``.Model`` interop.
+
+Mirrors the reference's resume contract (SURVEY.md §5.4): files named
+``transformer_run_{run}_Epoch_{ep}.ckpt`` carrying ``{epoch, params, opt_state,
+loss}``, restored via ``load_model = {"location": "local", "dir": ...,
+"file_pattern": ..., ["epoch": ...]}`` with newest-epoch auto-detection. A
+``.Model`` (torch) file in the same directory is also accepted and converted on
+the fly (models/torch_compat), so reference-trained checkpoints resume directly.
+Unlike torch checkpoints, these are device-agnostic by construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+import jax
+import numpy as np
+from flax import serialization
+
+from ..models.transformer import GrooveTransformerConfig
+from ..models import torch_compat
+
+CKPT_PATTERN = "transformer_run_{}_Epoch_{}.ckpt"
+
+
+def save_checkpoint(ckpt_dir: str, run_id: str, epoch: int, state, loss: float,
+                    config: GrooveTransformerConfig) -> str:
+    os.makedirs(ckpt_dir, exist_ok=True)
+    path = os.path.join(ckpt_dir, CKPT_PATTERN.format(run_id, epoch))
+    payload = {
+        "params": jax.tree.map(np.asarray, jax.device_get(state.params)),
+        "opt_state": jax.tree.map(np.asarray, jax.device_get(state.opt_state)),
+    }
+    with open(path, "wb") as f:
+        f.write(serialization.msgpack_serialize(
+            {"state": payload,
+             "meta": {"epoch": epoch, "loss": float(loss), "run_id": run_id,
+                      "config": json.dumps(_config_dict(config))}}
+        ))
+    return path
+
+
+def _config_dict(config: GrooveTransformerConfig) -> dict:
+    d = {k: v for k, v in config.__dict__.items()}
+    d["compute_dtype"] = str(np.dtype(config.compute_dtype))
+    return d
+
+
+def load_checkpoint(path: str):
+    """→ (params, opt_state, epoch, loss). Arrays come back as numpy."""
+    with open(path, "rb") as f:
+        blob = serialization.msgpack_restore(f.read())
+    meta = blob["meta"]
+    return (
+        blob["state"]["params"],
+        blob["state"]["opt_state"],
+        int(meta["epoch"]),
+        float(meta["loss"]),
+    )
+
+
+def find_latest(ckpt_dir: str, file_pattern: str = CKPT_PATTERN):
+    """Newest-epoch checkpoint in a dir; falls back to legacy ``.Model`` files
+    (the reference's naming) if no native checkpoint matches."""
+    regex = re.compile(
+        re.escape(file_pattern).replace(r"\{\}", "(.+?)", 1).replace(r"\{\}", r"(\d+)", 1)
+        + "$"
+    )
+    best = None
+    for fname in os.listdir(ckpt_dir):
+        m = regex.match(fname)
+        if m and (best is None or int(m.group(2)) > best[0]):
+            best = (int(m.group(2)), os.path.join(ckpt_dir, fname))
+    if best is not None:
+        return best[1], best[0]
+    return torch_compat.find_latest_checkpoint(ckpt_dir)  # legacy fallback
+
+
+def restore(load_model: dict, config: GrooveTransformerConfig):
+    """Reference restore contract (tutorial.py:36-68): returns
+    ``(params, opt_state_or_None, initial_epoch)``.
+
+    ``location`` must be "local" ("wandb" restore requires network access and is
+    rejected with a clear error in this offline build).
+    """
+    if load_model.get("location", "local") != "local":
+        raise NotImplementedError(
+            "wandb checkpoint restore needs network access; download the file "
+            "and use location='local'"
+        )
+    ckpt_dir = load_model["dir"]
+    pattern = load_model.get("file_pattern", CKPT_PATTERN)
+    if "epoch" in load_model and load_model["epoch"] is not None:
+        # explicit epoch: try native then legacy naming
+        run = load_model.get("run", "*")
+        path = None
+        for fname in os.listdir(ckpt_dir):
+            if fname.endswith((".ckpt", ".Model")) and f"Epoch_{load_model['epoch']}." in fname:
+                path = os.path.join(ckpt_dir, fname)
+                break
+        if path is None:
+            raise FileNotFoundError(
+                f"no checkpoint for epoch {load_model['epoch']} in {ckpt_dir}")
+        epoch = int(load_model["epoch"])
+    else:
+        path, epoch = find_latest(ckpt_dir, pattern) if pattern.endswith(".ckpt") \
+            else torch_compat.find_latest_checkpoint(ckpt_dir, pattern)
+
+    if path.endswith(".Model"):
+        params, epoch, _loss = torch_compat.load_legacy_checkpoint(path, config)
+        return params, None, epoch + 1
+    params, opt_state, epoch, _loss = load_checkpoint(path)
+    return params, opt_state, epoch + 1
+
+
+def export_legacy(ckpt_dir: str, run_id: str, epoch: int, params,
+                  config: GrooveTransformerConfig, loss: float) -> str:
+    """Also write a torch-readable ``.Model`` alongside (reference tooling
+    compatibility)."""
+    os.makedirs(ckpt_dir, exist_ok=True)
+    path = os.path.join(
+        ckpt_dir, f"transformer_run_{run_id}_Epoch_{epoch}.Model")
+    torch_compat.save_legacy_checkpoint(
+        path, jax.tree.map(np.asarray, jax.device_get(params)), config, epoch, loss)
+    return path

@@ -1,0 +1,94 @@
+"""Config system.
+
+Accepts the reference's YAML surface unchanged (SURVEY.md §5.6): the 12
+hyperparameter keys of configs/*_training.yaml, the all-or-nothing
+config-file-vs-CLI rule, and paths.yaml's experiment → dataset/evaluator pickle
+map. Hyperparameters map onto :class:`HyperParams`, and
+:func:`derive_model_config` reproduces the derived-parameter logic of
+/root/reference/train.py:115-143 (``num_decoder_layers=0`` when encoder-only,
+``embedding_size_src`` 16 for MSO input vs 27 for the symbolic experiment,
+``max_len=32``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax.numpy as jnp
+import yaml
+
+from ..models.transformer import GrooveTransformerConfig
+
+HVO_WIDTH = 27
+MSO_BANDS = 16
+MAX_LEN = 32
+
+
+@dataclasses.dataclass
+class HyperParams:
+    """The reference's hyperparameter schema (train.py:74-87 / configs)."""
+
+    experiment: str = ""
+    encoder_only: int = 1
+    optimizer_algorithm: str = "sgd"
+    d_model: int = 64
+    n_heads: int = 16
+    dropout: float = 0.2
+    num_encoder_decoder_layers: int = 7
+    hit_loss_penalty: float = 1.0
+    batch_size: int = 16
+    dim_feedforward: int = 256
+    learning_rate: float = 0.05
+    epochs: int = 100
+    load_model: Optional[Any] = None
+    notes: Optional[str] = None
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "HyperParams":
+        known = {f.name for f in dataclasses.fields(cls)}
+        unknown = {k: v for k, v in d.items() if k not in known}
+        hp = cls(**{k: v for k, v in d.items() if k in known})
+        hp.extra = unknown  # keep unrecognized keys for round-tripping
+        return hp
+
+    def to_dict(self) -> dict:
+        d = dataclasses.asdict(self)
+        d.pop("notes", None)
+        return d
+
+
+def load_hyperparameters(config_path: str) -> HyperParams:
+    """Load a reference-format training YAML."""
+    with open(config_path) as f:
+        raw = yaml.safe_load(f)
+    return HyperParams.from_dict(raw)
+
+
+def load_paths(paths_path: str) -> dict:
+    """Load the experiment → dataset/evaluator path map (configs/paths.yaml)."""
+    with open(paths_path) as f:
+        return yaml.safe_load(f)
+
+
+def embedding_size_src_for(experiment: str) -> int:
+    """16 MSO bands for audio experiments; 27 (raw HVO) for the symbolic one
+    (reference train.py:129-131)."""
+    return HVO_WIDTH if experiment == "InfillingClosedHH_Symbolic" else MSO_BANDS
+
+
+def derive_model_config(
+    hp: HyperParams, compute_dtype=jnp.float32
+) -> GrooveTransformerConfig:
+    return GrooveTransformerConfig(
+        d_model=hp.d_model,
+        n_heads=hp.n_heads,
+        dim_feedforward=hp.dim_feedforward,
+        dropout=hp.dropout,
+        num_encoder_layers=hp.num_encoder_decoder_layers,
+        num_decoder_layers=0 if hp.encoder_only else hp.num_encoder_decoder_layers,
+        max_len=MAX_LEN,
+        embedding_size_src=embedding_size_src_for(hp.experiment),
+        embedding_size_tgt=HVO_WIDTH,
+        compute_dtype=compute_dtype,
+    )

