@@ -1,0 +1,178 @@
+#!/usr/bin/env python
+"""Training CLI — same surface as the reference's train.py (SURVEY.md §3.1).
+
+Accepts the reference's YAML configs and paths.yaml verbatim (all-or-nothing
+config-file-vs-CLI-args rule, --testing forcing epochs=1, the same 12
+hyperparameter flags) and drives the TPU-native stack: compiled epoch loop over a
+device mesh, evaluator logging, checkpointing with legacy .Model export.
+
+Example (the de-facto integration test of the reference):
+    python train.py --config=configs/InfillingClosedHH_testing_training.yaml
+"""
+
+import argparse
+import os
+import pprint
+import sys
+
+import yaml
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--paths", help="paths file", default="configs/paths.yaml")
+    parser.add_argument("--testing", help="testing mode", default=False)
+    parser.add_argument("--wandb", help="log to wandb", default=True)
+    parser.add_argument("--eval_train", help="evaluator train set", default=True)
+    parser.add_argument("--eval_test", help="evaluator test set", default=False)
+    parser.add_argument("--eval_validation", help="evaluator validation set",
+                        default=True)
+    parser.add_argument("--only_final_eval",
+                        help="only final total evaluation", default=False)
+    parser.add_argument("--dump_eval", help="dump evaluator file", default=True)
+    parser.add_argument("--load_model", help="load model parameters", default=None)
+    parser.add_argument("--notes", help="wandb run notes", default=None)
+    parser.add_argument("--tags", help="wandb run tags", default=None)
+    # TPU-stack extras (absent flags keep reference defaults)
+    parser.add_argument("--n_model_shards", type=int, default=1,
+                        help="tensor-parallel mesh axis size")
+    parser.add_argument("--export_legacy", default=False,
+                        help="also write torch-format .Model checkpoints")
+    parser.add_argument("--ckpt_dir", default="checkpoints")
+
+    # hyperparameters
+    parser.add_argument("--config", default=None,
+                        help="yaml config file. if given, the rest of the "
+                             "arguments are not taken into account")
+    parser.add_argument("--experiment", help="experiment id", default=None)
+    parser.add_argument("--encoder_only", default=1, type=int)
+    parser.add_argument("--optimizer_algorithm", default="sgd", type=str)
+    parser.add_argument("--d_model", default=64, type=int)
+    parser.add_argument("--n_heads", default=16, type=int)
+    parser.add_argument("--dropout", default=0.2, type=float)
+    parser.add_argument("--num_encoder_decoder_layers", default=7, type=int)
+    parser.add_argument("--hit_loss_penalty", default=1, type=float)
+    parser.add_argument("--batch_size", default=16, type=int)
+    parser.add_argument("--dim_feedforward", default=256, type=int)
+    parser.add_argument("--learning_rate", default=0.05, type=float)
+    parser.add_argument("--epochs", default=100, type=int)
+    return parser.parse_args(argv)
+
+
+def hyperparameters_from_args(args) -> dict:
+    # all-or-nothing: a config file overrides every CLI hyperparameter
+    if args.config is not None:
+        with open(args.config) as f:
+            hp = yaml.safe_load(f)
+    else:
+        hp = dict(
+            encoder_only=args.encoder_only,
+            optimizer_algorithm=args.optimizer_algorithm,
+            d_model=args.d_model,
+            n_heads=args.n_heads,
+            dropout=args.dropout,
+            num_encoder_decoder_layers=args.num_encoder_decoder_layers,
+            hit_loss_penalty=args.hit_loss_penalty,
+            batch_size=args.batch_size,
+            dim_feedforward=args.dim_feedforward,
+            learning_rate=args.learning_rate,
+            epochs=args.epochs,
+            load_model=args.load_model,
+        )
+    if args.testing:
+        hp["epochs"] = 1
+    if args.experiment is not None:
+        hp["experiment"] = args.experiment
+    assert "experiment" in hp, "experiment not specified"
+    return hp
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    hp_dict = hyperparameters_from_args(args)
+    pprint.pprint(hp_dict)
+
+    with open(args.paths) as f:
+        paths = yaml.safe_load(f)
+
+    os.environ["WANDB_MODE"] = "online" if args.wandb and args.wandb != "False" \
+        else "offline"
+
+    from transformergrooveinfilling_tpu.data import load_processed_dataset
+    from transformergrooveinfilling_tpu.eval.evaluator import init_evaluator
+    from transformergrooveinfilling_tpu.parallel import make_mesh
+    from transformergrooveinfilling_tpu.train.config import (
+        HyperParams, embedding_size_src_for)
+    from transformergrooveinfilling_tpu.train.driver import (
+        initialize_model, run_training)
+    from transformergrooveinfilling_tpu.utils import logging as xlog
+
+    xlog.init(config=hp_dict, project=hp_dict["experiment"], job_type="train",
+              notes=args.notes, tags=args.tags)
+    cfg = xlog.config  # config round-trip: sweeps override through here
+
+    params = {
+        "model": {
+            "experiment": cfg.experiment,
+            "encoder_only": cfg.encoder_only,
+            "optimizer": cfg.optimizer_algorithm,
+            "d_model": cfg.d_model,
+            "n_heads": cfg.n_heads,
+            "dim_feedforward": cfg.dim_feedforward,
+            "dropout": cfg.dropout,
+            "num_encoder_layers": cfg.num_encoder_decoder_layers,
+            "num_decoder_layers": 0 if cfg.encoder_only
+            else cfg.num_encoder_decoder_layers,
+            "max_len": 32,
+            "embedding_size_src": embedding_size_src_for(cfg.experiment),
+            "embedding_size_tgt": 27,
+        },
+        "training": {
+            "learning_rate": cfg.learning_rate,
+            "batch_size": cfg.batch_size,
+            "hit_loss_penalty": cfg.hit_loss_penalty,
+        },
+        "load_model": cfg.get("load_model"),
+    }
+    xlog.config.update(params["model"])
+
+    bundle, _tx, initial_epoch = initialize_model(params)
+    xlog.watch(bundle)
+
+    dataset_train = load_processed_dataset(
+        paths[cfg.experiment]["datasets"]["train"], exp=cfg.experiment)
+
+    evaluators = {}
+    ev_paths = paths[cfg.experiment].get("evaluators", {})
+
+    def maybe_eval(name, flag):
+        if not flag or flag == "False":
+            return
+        path = ev_paths.get(name)
+        if path and os.path.exists(path):
+            evaluators[name] = init_evaluator(path, device=None)
+        elif path:
+            print(f"[train] evaluator pickle missing, skipping {name}: {path}",
+                  file=sys.stderr)
+
+    maybe_eval("train", args.eval_train)
+    maybe_eval("test", args.eval_test)
+    maybe_eval("validation", args.eval_validation)
+
+    hp = HyperParams.from_dict(dict(cfg))
+    plan = make_mesh(n_model=args.n_model_shards)
+
+    run_training(
+        hp, dataset_train, evaluators,
+        bundle=bundle, initial_epoch=initial_epoch, plan=plan,
+        only_final_eval=bool(args.only_final_eval) and
+        args.only_final_eval != "False",
+        dump_eval=bool(args.dump_eval) and args.dump_eval != "False",
+        ckpt_dir=args.ckpt_dir,
+        export_legacy=bool(args.export_legacy) and args.export_legacy != "False",
+    )
+    xlog.finish()
+
+
+if __name__ == "__main__":
+    main()

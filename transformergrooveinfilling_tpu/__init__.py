@@ -20,3 +20,16 @@ Layering (bottom → top), mirroring SURVEY.md §1 but TPU-first:
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("TGI_PLATFORM"):
+    # explicit backend override (e.g. TGI_PLATFORM=cpu for host-only runs);
+    # needed because this image's sitecustomize force-selects the tunneled TPU
+    # regardless of JAX_PLATFORMS
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", _os.environ["TGI_PLATFORM"])
+    except Exception:
+        pass  # backend already initialized; keep whatever is active

@@ -1,0 +1,120 @@
+"""HVO → waveform rendering (the fluidsynth-equivalent, SURVEY.md §2.3).
+
+An HVO grid renders as sample accumulation: for every hit, its voice's sample —
+from the procedural kit or a parsed SoundFont — is added at the hit's onset time
+(grid step + fractional offset, in 16th-note units at the loop's tempo), scaled
+by velocity. The accumulation loop runs in native C++ when the extension is
+built (audio/native/sf2synth.cpp via ctypes), with an identical numpy fallback.
+
+WAV I/O uses the stdlib ``wave`` module (no soundfile dependency).
+"""
+
+from __future__ import annotations
+
+import os
+import wave
+
+import numpy as np
+
+from ..hvo.mapping import N_VOICES
+from .drumkit import default_kit
+
+_TAIL_SECONDS = 1.0  # let the last hits ring out (cymbal decay)
+
+
+def _sample_table(sf_path: str | None, sr: int):
+    if sf_path is None:
+        return default_kit(sr)
+    from .sf2 import kit_from_sf2  # lazy: only when a .sf2 is actually used
+
+    return kit_from_sf2(sf_path, sr)
+
+
+def steps_per_second(qpm: float) -> float:
+    """16th-note grid steps per second at the given tempo."""
+    return (qpm / 60.0) * 4.0
+
+
+def synthesize_hvo(hvo: np.ndarray, qpm: float = 120.0,
+                   sf_path: str | None = None, sr: int = 44100) -> np.ndarray:
+    """Render one ``(T, 3V)`` grid to a float32 waveform."""
+    return synthesize_hvo_batch(
+        np.asarray(hvo)[None], np.asarray([qpm]), [sf_path], sr=sr)[0]
+
+
+def synthesize_hvo_batch(hvos: np.ndarray, qpms, sf_paths, sr: int = 44100,
+                         fixed_length: int | None = None) -> np.ndarray:
+    """Render a stacked ``(M, T, 3V)`` batch → ``(M, L)`` float32 waveforms.
+
+    All loops in a batch are padded to a common length (the slowest tempo's loop
+    + ring-out tail), so the result stacks cleanly for the batched on-device MSO
+    DSP.
+    """
+    hvos = np.asarray(hvos, dtype=np.float32)
+    m, t, width = hvos.shape
+    n_voices = width // 3
+    qpms = np.asarray(qpms, dtype=np.float64)
+    if qpms.size == 1 and m > 1:
+        qpms = np.full((m,), float(qpms))
+
+    sps = steps_per_second(qpms)  # (M,) steps/sec
+    loop_len = t / sps            # seconds
+
+    tables = [_sample_table(sf, sr) for sf in sf_paths]
+    max_sample = max((len(s) for table in tables for s in table), default=0)
+    if fixed_length is None:
+        fixed_length = int(np.ceil(loop_len.max() * sr)) + max(
+            int(_TAIL_SECONDS * sr), max_sample)
+
+    out = np.zeros((m, fixed_length), dtype=np.float32)
+    try:
+        from .native_binding import mix_events_native as _mix
+    except Exception:
+        _mix = _mix_events_numpy
+
+    for i in range(m):
+        h = hvos[i, :, :n_voices]
+        v = hvos[i, :, n_voices:2 * n_voices]
+        o = hvos[i, :, 2 * n_voices:]
+        steps, voices = np.nonzero(h > 0)
+        if steps.size == 0:
+            continue
+        onsets = ((steps + o[steps, voices]) / sps[i] * sr)
+        onsets = np.clip(onsets, 0, fixed_length - 1).astype(np.int64)
+        vels = v[steps, voices].astype(np.float32)
+        _mix(out[i], tables[i], voices.astype(np.int32), onsets, vels)
+
+    # prevent clipping without changing relative dynamics
+    peak = np.max(np.abs(out), initial=1e-9)
+    if peak > 1.0:
+        out /= peak
+    return out
+
+
+def _mix_events_numpy(buf: np.ndarray, table, voices: np.ndarray,
+                      onsets: np.ndarray, vels: np.ndarray):
+    n = len(buf)
+    for voice, onset, vel in zip(voices, onsets, vels):
+        s = table[voice]
+        end = min(onset + len(s), n)
+        if end > onset:
+            buf[onset:end] += vel * s[: end - onset]
+
+
+def write_wav(filename: str, y: np.ndarray, sr: int = 44100):
+    os.makedirs(os.path.dirname(filename) or ".", exist_ok=True)
+    pcm = np.clip(np.asarray(y), -1.0, 1.0)
+    pcm16 = (pcm * 32767.0).astype("<i2")
+    with wave.open(filename, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm16.tobytes())
+
+
+def read_wav(filename: str):
+    with wave.open(filename, "rb") as w:
+        sr = w.getframerate()
+        n = w.getnframes()
+        raw = np.frombuffer(w.readframes(n), dtype="<i2")
+    return raw.astype(np.float32) / 32767.0, sr

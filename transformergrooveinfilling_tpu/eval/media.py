@@ -1,0 +1,139 @@
+"""Media rendering: piano rolls, velocity heatmaps, tabbed HTML.
+
+The reference renders bokeh figures into wandb.Html (evaluator.py:323-362,
+404-499). bokeh is not available here; instead media is emitted as dependency-
+free, self-contained SVG-in-HTML — same information (per-voice piano rolls with
+velocity shading and offset-shifted x positions, per-style velocity heatmaps,
+tabbed layout), no JS/CDN requirement.
+"""
+
+from __future__ import annotations
+
+import html as _html
+
+import numpy as np
+
+from ..hvo.mapping import VOICE_NAMES
+
+_CELL_W, _CELL_H = 22, 18
+_LABEL_W = 90
+
+
+def _svg_header(width, height, title):
+    return (
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" '
+        f'height="{height}" font-family="sans-serif" font-size="11">'
+        f'<title>{_html.escape(title)}</title>'
+    )
+
+
+def piano_roll_html(seq, title: str = "piano_roll") -> str:
+    """One sequence → SVG piano roll. x = grid step (+ offset shift),
+    y = voice lane, opacity = velocity."""
+    hvo = np.asarray(seq.hvo)
+    t, n = hvo.shape[0], hvo.shape[1] // 3
+    width = _LABEL_W + t * _CELL_W + 10
+    height = (n + 1) * _CELL_H + 30
+    parts = [_svg_header(width, height, title)]
+    parts.append(
+        f'<text x="4" y="14" font-weight="bold">{_html.escape(title)}</text>')
+    for v in range(n):
+        y = 24 + v * _CELL_H
+        name = VOICE_NAMES[v] if v < len(VOICE_NAMES) else f"v{v}"
+        parts.append(f'<text x="4" y="{y + 13}">{_html.escape(name)}</text>')
+        parts.append(
+            f'<line x1="{_LABEL_W}" y1="{y + _CELL_H}" x2="{width - 10}" '
+            f'y2="{y + _CELL_H}" stroke="#ddd"/>')
+        for step in range(t):
+            if hvo[step, v] > 0:
+                vel = float(np.clip(hvo[step, v + n], 0, 1))
+                off = float(np.clip(hvo[step, v + 2 * n], -0.5, 0.5))
+                x = _LABEL_W + (step + off) * _CELL_W
+                parts.append(
+                    f'<rect x="{x:.1f}" y="{y + 2}" width="{_CELL_W - 4}" '
+                    f'height="{_CELL_H - 4}" rx="2" fill="#2166ac" '
+                    f'fill-opacity="{0.25 + 0.75 * vel:.2f}"/>')
+    # beat grid lines every 4 steps
+    for step in range(0, t + 1, 4):
+        x = _LABEL_W + step * _CELL_W
+        parts.append(
+            f'<line x1="{x}" y1="22" x2="{x}" y2="{height - 8}" '
+            f'stroke="{"#999" if step % 16 == 0 else "#eee"}"/>')
+    parts.append("</svg>")
+    return "".join(parts)
+
+
+def velocity_heatmap_html(subsets: dict, identifier: str) -> str:
+    """Per-style heatmap: mean velocity per (voice, step) across the subset
+    (the reference's bokeh velocity heatmaps, evaluator.py:427-442)."""
+    sections = []
+    for tag in sorted(subsets):
+        samples = subsets[tag]
+        if not samples:
+            continue
+        stack = np.stack([np.asarray(s.hvo) for s in samples])
+        n = stack.shape[2] // 3
+        vel = stack[:, :, n : 2 * n].mean(axis=0).T  # (V, T)
+        t = vel.shape[1]
+        width = _LABEL_W + t * _CELL_W + 10
+        height = (n + 1) * _CELL_H + 30
+        parts = [_svg_header(width, height, f"{identifier}:{tag}")]
+        parts.append(
+            f'<text x="4" y="14" font-weight="bold">{_html.escape(tag)} '
+            f'(n={len(samples)})</text>')
+        vmax = max(vel.max(), 1e-6)
+        for v in range(n):
+            y = 24 + v * _CELL_H
+            name = VOICE_NAMES[v] if v < len(VOICE_NAMES) else f"v{v}"
+            parts.append(f'<text x="4" y="{y + 13}">{_html.escape(name)}</text>')
+            for step in range(t):
+                val = vel[v, step] / vmax
+                parts.append(
+                    f'<rect x="{_LABEL_W + step * _CELL_W}" y="{y + 1}" '
+                    f'width="{_CELL_W - 2}" height="{_CELL_H - 2}" '
+                    f'fill="#b2182b" fill-opacity="{val:.2f}" '
+                    f'stroke="#f0f0f0"/>')
+        parts.append("</svg>")
+        sections.append("".join(parts))
+    return tabs_html(sections, sorted(subsets)) if sections else ""
+
+
+def tabs_html(contents: list, titles: list) -> str:
+    """CSS-only tabbed layout (the reference's separate_figues_by_tabs)."""
+    if not contents:
+        return ""
+    import uuid
+
+    group = uuid.uuid4().hex[:8]
+    parts = ['<div class="tgi-tabs" style="font-family:sans-serif">']
+    for i, (content, title) in enumerate(zip(contents, titles)):
+        checked = "checked" if i == 0 else ""
+        tid = f"tab-{group}-{i}"
+        parts.append(
+            f'<input type="radio" name="tabs-{group}" id="{tid}" {checked} '
+            f'style="display:none">'
+            f'<label for="{tid}" style="padding:4px 10px;cursor:pointer;'
+            f'display:inline-block;border:1px solid #ccc;border-bottom:none">'
+            f'{_html.escape(str(title))}</label>')
+    for i, content in enumerate(contents):
+        tid = f"tab-{group}-{i}"
+        parts.append(
+            f'<div class="panel-{group}" id="panel-{tid}" '
+            f'style="border:1px solid #ccc;padding:6px;'
+            f'{"" if i == 0 else "display:none"}">{content}</div>')
+    # pure-CSS tab switching
+    css = "".join(
+        f'#tab-{group}-{i}:checked ~ #panel-tab-{group}-{i}'
+        f'{{display:block !important}}'
+        f'#tab-{group}-{i}:not(:checked) ~ #panel-tab-{group}-{i}'
+        f'{{display:none}}'
+        for i in range(len(contents))
+    )
+    parts.append(f"<style>{css}</style></div>")
+    return "".join(parts)
+
+
+def html_document(body: str, title: str = "report") -> str:
+    return (f"<!DOCTYPE html><html><head><meta charset='utf-8'>"
+            f"<title>{_html.escape(title)}</title></head>"
+            f"<body>{body}</body></html>")

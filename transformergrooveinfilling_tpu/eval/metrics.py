@@ -1,0 +1,58 @@
+"""Scalar evaluation metrics, vectorized.
+
+The reference's per-epoch scalars (/root/reference/evaluator.py:522-525):
+``get_hits_accuracies`` / ``get_velocity_errors`` / ``get_micro_timing_errors``
+over the 9-voice drum mapping, computed per voice across the full prediction/GT
+stacks and merged into one wandb log dict. The per-voice math here is one
+vectorized pass over the stacked ``(N, T, 3V)`` arrays (jit-compiled; runs on
+device when the stacks live there). Key naming ``{set}_{Metric}_{voice}``
+[re-derived — the absent GrooveEvaluator submodule pins only the call signature].
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..hvo.mapping import VOICE_NAMES
+
+
+@jax.jit
+def _metric_stack(pred: jax.Array, gt: jax.Array):
+    """(hits accuracy, velocity MSE, offset MSE) per voice, each ``(V,)``."""
+    n = gt.shape[-1] // 3
+    p_h, g_h = pred[..., :n], gt[..., :n]
+    p_v, g_v = pred[..., n : 2 * n], gt[..., n : 2 * n]
+    p_o, g_o = pred[..., 2 * n :], gt[..., 2 * n :]
+    acc = jnp.mean((p_h == g_h).astype(jnp.float32), axis=(0, 1))
+    mse_v = jnp.mean(jnp.square(p_v - g_v), axis=(0, 1))
+    mse_o = jnp.mean(jnp.square(p_o - g_o), axis=(0, 1))
+    return acc, mse_v, mse_o
+
+
+def hits_accuracy_per_voice(pred, gt) -> np.ndarray:
+    return np.asarray(_metric_stack(jnp.asarray(pred), jnp.asarray(gt))[0])
+
+
+def velocity_mse_per_voice(pred, gt) -> np.ndarray:
+    return np.asarray(_metric_stack(jnp.asarray(pred), jnp.asarray(gt))[1])
+
+
+def offset_mse_per_voice(pred, gt) -> np.ndarray:
+    return np.asarray(_metric_stack(jnp.asarray(pred), jnp.asarray(gt))[2])
+
+
+def metrics_dict(pred, gt, identifier: str, drum_mapping=None) -> dict:
+    """All three metric families as one flat ``{key: float}`` dict (what the
+    reference merges into a single wandb.log call)."""
+    voice_names = list(drum_mapping) if drum_mapping else list(VOICE_NAMES)
+    acc, mse_v, mse_o = (np.asarray(a) for a in
+                         _metric_stack(jnp.asarray(pred), jnp.asarray(gt)))
+    out = {}
+    for fam, arr in (("Hits_Accuracy", acc), ("Velocity_MSE", mse_v),
+                     ("Micro_Timing_MSE", mse_o)):
+        for name, val in zip(voice_names, arr):
+            out[f"{identifier}_{fam}_{name}"] = float(val)
+        out[f"{identifier}_{fam}_mean"] = float(arr.mean())
+    return out

@@ -1,0 +1,178 @@
+"""MSO — Multiband Synthesized Onsets — input representation, on-device.
+
+The direct-audio model input (SURVEY.md §0.2): a ``(T=32, 16)`` matrix of onset
+strengths in 16 log-spaced frequency bands, aligned to the 16th-note grid. The
+reference computes this per-sequence on the CPU inside the absent
+``hvo_sequence`` submodule (librosa STFT + multiband onset strength; parameters
+pinned at /root/reference/dataset.py:70-83: sr 44100, n_fft 1024, win 1024, hop
+441 (10 ms), 16 bins/octave over 9 octaves from 40 Hz, mean-filter 22) and calls
+it "computationally expensive" (tutorial.py:25).
+
+Here the whole pipeline is a single jit-compiled, batched XLA program:
+
+    frames → Hann window → rFFT magnitude        (MXU-friendly batched matmuls)
+    → triangular log-frequency filterbank        (one (F,513)x(513,16) matmul)
+    → log compression → spectral flux against a
+      moving-average adaptive threshold          (mean_filter_size frames)
+    → max-pool onto the T-step grid              (per-item tempo-aware masking)
+
+Exact DSP internals beyond the parameter set are [inferred] re-derivations
+(SURVEY.md §7.3.1): the submodule carrying the original is not vendored, so
+parity is defined by self-consistent golden tests + the documented formulas
+rather than float equality with librosa.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class MSOParams:
+    sr: int = 44100
+    n_fft: int = 1024
+    win_length: int = 1024
+    hop_length: int = 441
+    n_bins_per_octave: int = 16
+    n_octaves: int = 9
+    f_min: float = 40.0
+    mean_filter_size: int = 22
+    n_bands: int = 16  # output width == embedding_size_src
+
+
+def hann_window(n: int) -> jnp.ndarray:
+    return 0.5 - 0.5 * jnp.cos(2 * jnp.pi * jnp.arange(n) / n)
+
+
+def log_frequency_filterbank(params: MSOParams) -> np.ndarray:
+    """(n_bands, n_fft//2+1) triangular filters, centers log-spaced over
+    [f_min, f_min·2^n_octaves]."""
+    n_bins = params.n_fft // 2 + 1
+    fft_freqs = np.linspace(0, params.sr / 2, n_bins)
+    centers_log = np.linspace(
+        np.log2(params.f_min),
+        np.log2(params.f_min) + params.n_octaves,
+        params.n_bands,
+    )
+    centers = 2.0 ** centers_log
+    # triangular edges at neighboring centers (extended at the extremes)
+    edges = np.concatenate(
+        [[centers[0] / 2 ** (params.n_octaves / params.n_bands)], centers,
+         [min(centers[-1] * 2 ** (params.n_octaves / params.n_bands),
+              params.sr / 2)]]
+    )
+    fb = np.zeros((params.n_bands, n_bins), dtype=np.float32)
+    for b in range(params.n_bands):
+        lo, c, hi = edges[b], edges[b + 1], edges[b + 2]
+        up = (fft_freqs - lo) / max(c - lo, 1e-9)
+        down = (hi - fft_freqs) / max(hi - c, 1e-9)
+        fb[b] = np.clip(np.minimum(up, down), 0, None)
+    # normalize each filter to unit area so band energies are comparable
+    fb /= np.maximum(fb.sum(axis=1, keepdims=True), 1e-9)
+    return fb
+
+
+def stft_magnitude(y: jnp.ndarray, params: MSOParams) -> jnp.ndarray:
+    """Center-padded magnitude STFT: ``(..., L)`` → ``(..., F, n_fft//2+1)``."""
+    pad = params.n_fft // 2
+    y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(pad, pad)], mode="reflect")
+    length = y.shape[-1]
+    n_frames = 1 + (length - params.win_length) // params.hop_length
+    idx = (
+        jnp.arange(n_frames)[:, None] * params.hop_length
+        + jnp.arange(params.win_length)[None, :]
+    )
+    frames = y[..., idx] * hann_window(params.win_length)
+    spec = jnp.fft.rfft(frames, n=params.n_fft, axis=-1)
+    return jnp.abs(spec).astype(jnp.float32)
+
+
+def onset_strength_bands(mag: jnp.ndarray, fb: jnp.ndarray,
+                         params: MSOParams) -> jnp.ndarray:
+    """Log-compressed band energies → adaptive-threshold spectral flux
+    ``(..., F, n_bands)``."""
+    bands = jnp.einsum("...fk,bk->...fb", mag, fb)
+    s = jnp.log1p(10.0 * bands)
+    # moving-average adaptive threshold over mean_filter_size frames (centered),
+    # computed with a cumsum (works for any batch rank, fuses cleanly)
+    k = params.mean_filter_size
+    pad = [(0, 0)] * (s.ndim - 2) + [(k // 2, k - 1 - k // 2), (0, 0)]
+    s_pad = jnp.pad(s, pad, mode="edge")
+    c = jnp.cumsum(s_pad, axis=-2)
+    c = jnp.concatenate([jnp.zeros_like(c[..., :1, :]), c], axis=-2)
+    local_mean = (c[..., k:, :] - c[..., :-k, :]) / k
+    return jnp.maximum(s - local_mean, 0.0)
+
+
+def grid_pool(flux: jnp.ndarray, steps_per_sec: jnp.ndarray, n_steps: int,
+              params: MSOParams) -> jnp.ndarray:
+    """Max-pool frame-level onset strengths onto the nearest grid step:
+    ``(..., F, B)`` → ``(..., n_steps, B)``; ``steps_per_sec`` broadcasts over
+    batch dims (tempo-dependent)."""
+    n_frames = flux.shape[-2]
+    frame_times = jnp.arange(n_frames) * (params.hop_length / params.sr)
+    step_of_frame = jnp.round(
+        frame_times * steps_per_sec[..., None]).astype(jnp.int32)  # (..., F)
+    mask = (step_of_frame[..., None] == jnp.arange(n_steps))[..., :, :, None]
+    vals = flux[..., :, None, :]  # (..., F, 1, B)
+    return jnp.max(jnp.where(mask, vals, 0.0), axis=-3)  # (..., S, B)
+
+
+@partial(jax.jit, static_argnames=("n_steps", "params"))
+def mso_batch(y: jnp.ndarray, steps_per_sec: jnp.ndarray, n_steps: int,
+              params: MSOParams) -> jnp.ndarray:
+    """Batched waveforms ``(M, L)`` (+ per-item grid rate) → ``(M, T, 16)``."""
+    peak = jnp.max(jnp.abs(y), axis=-1, keepdims=True)
+    y = y / jnp.maximum(peak, 1e-9)
+    mag = stft_magnitude(y, params)
+    fb = jnp.asarray(log_frequency_filterbank(params))
+    flux = onset_strength_bands(mag, fb, params)
+    return grid_pool(flux, jnp.asarray(steps_per_sec), n_steps, params)
+
+
+def mso_from_audio(y, n_steps: int = 32, qpm: float = 120.0,
+                   params: MSOParams = MSOParams()) -> np.ndarray:
+    """Single waveform → ``(n_steps, n_bands)`` (host convenience wrapper)."""
+    sps = np.asarray([(qpm / 60.0) * 4.0], np.float32)
+    out = mso_batch(jnp.asarray(y, jnp.float32)[None], sps, n_steps, params)
+    return np.asarray(out[0])
+
+
+def mso_batch_from_hvo(hvos: np.ndarray, soundfonts, qpms,
+                       params: MSOParams = MSOParams(),
+                       chunk_size: int = 64) -> np.ndarray:
+    """Synthesize (host) + MSO (device) for a stacked HVO batch ``(M, T, 3V)``.
+
+    The audio-modality dataset hot path (reference dataset.py:256's dominant
+    cost, SURVEY.md §3.2): chunked so arbitrarily large corpora stream through
+    bounded device memory.
+    """
+    from ..audio.synth import synthesize_hvo_batch
+
+    hvos = np.asarray(hvos, np.float32)
+    m, t = hvos.shape[0], hvos.shape[1]
+    if m == 0:
+        return np.zeros((0, t, params.n_bands), np.float32)
+    qpms = np.asarray(qpms, np.float64)
+    sfs = list(soundfonts) if soundfonts is not None else [None] * m
+
+    # one fixed waveform length for the whole corpus → one XLA compilation
+    min_sps = float((qpms.min() / 60.0) * 4.0)
+    fixed_length = int(np.ceil(t / min_sps * params.sr)) + 2 * params.sr
+
+    out = np.zeros((m, t, params.n_bands), np.float32)
+    for start in range(0, m, chunk_size):
+        end = min(start + chunk_size, m)
+        waves = synthesize_hvo_batch(
+            hvos[start:end], qpms[start:end], sfs[start:end], sr=params.sr,
+            fixed_length=fixed_length)
+        sps = (qpms[start:end] / 60.0) * 4.0
+        out[start:end] = np.asarray(
+            mso_batch(jnp.asarray(waves), jnp.asarray(sps, jnp.float32), t,
+                      params))
+    return out

@@ -30,8 +30,12 @@ def save_checkpoint(ckpt_dir: str, run_id: str, epoch: int, state, loss: float,
     os.makedirs(ckpt_dir, exist_ok=True)
     path = os.path.join(ckpt_dir, CKPT_PATTERN.format(run_id, epoch))
     payload = {
-        "params": jax.tree.map(np.asarray, jax.device_get(state.params)),
-        "opt_state": jax.tree.map(np.asarray, jax.device_get(state.opt_state)),
+        "params": serialization.to_state_dict(
+            jax.tree.map(np.asarray, jax.device_get(state.params))),
+        # optax states are (named)tuples; to_state_dict maps them to plain dicts
+        # so msgpack can carry them — restore rebuilds via from_state_dict
+        "opt_state": serialization.to_state_dict(
+            jax.tree.map(np.asarray, jax.device_get(state.opt_state))),
     }
     with open(path, "wb") as f:
         f.write(serialization.msgpack_serialize(

@@ -72,9 +72,9 @@ def load_paths(paths_path: str) -> dict:
 
 
 def embedding_size_src_for(experiment: str) -> int:
-    """16 MSO bands for audio experiments; 27 (raw HVO) for the symbolic one
-    (reference train.py:129-131)."""
-    return HVO_WIDTH if experiment == "InfillingClosedHH_Symbolic" else MSO_BANDS
+    """16 MSO bands for audio experiments; 27 (raw HVO) for symbolic ones
+    (reference train.py:129-131; extended to cover ``*_testing`` variants)."""
+    return HVO_WIDTH if "Symbolic" in experiment else MSO_BANDS
 
 
 def derive_model_config(

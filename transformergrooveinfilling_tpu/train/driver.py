@@ -1,0 +1,192 @@
+"""Experiment driver (L6): model bundle, initialize/train/evaluate orchestration.
+
+Reproduces the reference's training flow (/root/reference/train.py:105-256 +
+the BaseGrooveTransformers train_loop contract, SURVEY.md §3.1) on the TPU
+stack: derived model params → model + optimizer (+ optional checkpoint resume) →
+per-epoch compiled training + held-out losses + evaluator logging + scheduled
+checkpoint saves. One visible difference, by design: per-*epoch* (not per-batch)
+scalar logging — the whole epoch is a single XLA program, so per-batch host
+logging would serialize the device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import build_model, predict as model_predict
+from ..models.transformer import GrooveTransformerConfig
+from ..parallel.mesh import MeshPlan, make_mesh
+from ..utils import logging as xlog
+from . import checkpoint as ckpt
+from .config import HyperParams, derive_model_config
+from .loop import (
+    TrainState,
+    create_train_state,
+    make_epoch_fn,
+    make_eval_loss_fn,
+    make_optimizer,
+)
+from .schedule import eval_log_freq
+
+
+@dataclasses.dataclass
+class ModelBundle:
+    """Model + optimizer + state, with the reference's predict contract."""
+
+    model: Any
+    config: GrooveTransformerConfig
+    tx: Any
+    state: TrainState
+    optimizer_algorithm: str = "sgd"
+    learning_rate: float = 0.05
+
+    def predict(self, inputs, use_thres: bool = True, thres: float = 0.5):
+        out = model_predict(self.model, self.state.params, jnp.asarray(inputs),
+                            use_thres=use_thres, thres=thres)
+        return [np.asarray(o) for o in out]
+
+
+def initialize_model(params: dict) -> tuple[ModelBundle, Any, int]:
+    """Reference ``initialize_model`` contract (train.py:149, tutorial.py:41-68):
+    ``params = {"model": {...}, "training": {...}, "load_model": None | {...}}``
+    → (bundle, optimizer, initial_epoch). The optimizer slot returns the optax
+    transformation (it lives inside the bundle too)."""
+    m = params["model"]
+    t = params.get("training", {})
+    config = GrooveTransformerConfig(
+        d_model=m["d_model"],
+        n_heads=m["n_heads"],
+        dim_feedforward=m["dim_feedforward"],
+        dropout=m["dropout"],
+        num_encoder_layers=m["num_encoder_layers"],
+        num_decoder_layers=m.get("num_decoder_layers", 0),
+        max_len=m.get("max_len", 32),
+        embedding_size_src=m.get("embedding_size_src", 16),
+        embedding_size_tgt=m.get("embedding_size_tgt", 27),
+    )
+    model = build_model(config)
+    tx = make_optimizer(m.get("optimizer", "sgd"), t.get("learning_rate", 0.05))
+    state = create_train_state(model, config, tx, jax.random.PRNGKey(
+        int(t.get("seed", 0))))
+
+    initial_epoch = 0
+    load_model = params.get("load_model")
+    if load_model:
+        from flax import serialization
+
+        restored_params, opt_state, initial_epoch = ckpt.restore(load_model, config)
+        params_tree = jax.tree.map(
+            jnp.asarray, serialization.from_state_dict(state.params, restored_params))
+        state = TrainState(
+            step=state.step,
+            params=params_tree,
+            opt_state=(serialization.from_state_dict(tx.init(params_tree), opt_state)
+                       if opt_state is not None else tx.init(params_tree)),
+        )
+    bundle = ModelBundle(
+        model=model, config=config, tx=tx, state=state,
+        optimizer_algorithm=m.get("optimizer", "sgd"),
+        learning_rate=t.get("learning_rate", 0.05))
+    return bundle, tx, initial_epoch
+
+
+def run_training(
+    hp: HyperParams,
+    dataset,
+    evaluators: dict | None = None,
+    *,
+    bundle: ModelBundle | None = None,
+    initial_epoch: int = 0,
+    plan: MeshPlan | None = None,
+    only_final_eval: bool = False,
+    dump_eval: bool = False,
+    ckpt_dir: str = "checkpoints",
+    export_legacy: bool = False,
+    seed: int = 0,
+    log_media: bool = True,
+) -> ModelBundle:
+    """Full training run: the reference epoch loop, compiled.
+
+    ``evaluators``: optional ``{"train": ev, "test": ev, "validation": ev}``.
+    """
+    from ..eval.evaluator import log_eval
+
+    evaluators = evaluators or {}
+    if plan is None:
+        plan = make_mesh(n_model=1)
+
+    if bundle is None:
+        config = derive_model_config(hp)
+        model = build_model(config)
+        tx = make_optimizer(hp.optimizer_algorithm, hp.learning_rate)
+        state = create_train_state(model, config, tx, jax.random.PRNGKey(seed))
+        bundle = ModelBundle(model=model, config=config, tx=tx, state=state,
+                             optimizer_algorithm=hp.optimizer_algorithm,
+                             learning_rate=hp.learning_rate)
+
+    inputs = jnp.asarray(np.asarray(dataset.processed_inputs, np.float32))
+    outputs = jnp.asarray(np.asarray(dataset.processed_outputs, np.float32))
+    n = inputs.shape[0]
+    assert n > 0, "dataset is empty"
+
+    epoch_fn = make_epoch_fn(
+        bundle.model, bundle.tx, hp.hit_loss_penalty, hp.batch_size, n,
+        plan=plan, donate=True)
+    eval_loss_fn = make_eval_loss_fn(bundle.model, hp.hit_loss_penalty)
+
+    epoch_save_partial, epoch_save_all = eval_log_freq(
+        total_epochs=hp.epochs, initial_epochs_lim=10,
+        initial_step_partial=1, initial_step_all=1,
+        secondary_step_partial=10, secondary_step_all=20,
+        only_final=only_final_eval)
+
+    held_out = {
+        name: (jnp.asarray(np.asarray(ev.processed_inputs, np.float32)),
+               jnp.asarray(np.asarray(ev.processed_gt, np.float32)))
+        for name, ev in evaluators.items()
+    }
+
+    run = xlog.run
+    run_id = run.id if run is not None else time.strftime("%H%M%S")
+    state = bundle.state
+    key = jax.random.PRNGKey(seed + 1)
+
+    for ep in range(initial_epoch, hp.epochs):
+        t0 = time.time()
+        key, epoch_key = jax.random.split(key)
+        state, metrics = epoch_fn(state, inputs, outputs, epoch_key)
+        metrics = {k: float(v) for k, v in metrics.items()}
+        bundle.state = state
+        dt = time.time() - t0
+        metrics["epoch_time_s"] = dt
+        metrics["seqs_per_sec"] = n / dt if dt > 0 else 0.0
+
+        for name, (hx, hy) in held_out.items():
+            hm = eval_loss_fn(state.params, hx, hy)
+            metrics.update({f"{name}_{k}": float(v) for k, v in hm.items()})
+
+        xlog.log({**metrics, "epoch": ep}, commit=False)
+
+        save_now = ep in epoch_save_partial or ep in epoch_save_all
+        if save_now:
+            ckpt.save_checkpoint(ckpt_dir, run_id, ep, state,
+                                 metrics["loss"], bundle.config)
+            if export_legacy and bundle.config.encoder_only:
+                ckpt.export_legacy(ckpt_dir, run_id, ep, state.params,
+                                   bundle.config, metrics["loss"])
+
+        media_now = log_media and ep in epoch_save_all
+        for name, ev in evaluators.items():
+            ev._identifier = f"{name.capitalize()}_Set"
+            log_eval(ev, bundle, log_media=media_now, epoch=ep, dump=dump_eval)
+
+        xlog.log({"epoch": ep}, commit=True)
+
+    return bundle
