@@ -1,0 +1,150 @@
+#!/usr/bin/env python
+"""Benchmark: training throughput (HVO seqs/sec/chip) on the flagship config.
+
+Measures the compiled whole-epoch training step of the InfillingRandom
+production model (d_model 256, ff 512, 6 layers — configs/
+InfillingRandom_training.yaml) on whatever accelerator JAX exposes (the real TPU
+chip under the driver), then compares against a live torch-CPU baseline of the
+identical architecture + loss + SGD step — the reference stack's compute path on
+this host (the reference publishes no numbers of its own; BASELINE.md protocol).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BATCH = 512
+N_SAMPLES = 4096
+D_MODEL, N_HEADS, DIM_FF, N_LAYERS = 256, 2, 512, 6
+T, E_SRC, E_TGT = 32, 16, 27
+HIT_LOSS_PENALTY = 0.73
+BASELINE_STEPS = 3
+SECONDS_BUDGET = 20.0
+
+
+def bench_jax() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from transformergrooveinfilling_tpu.models import build_model
+    from transformergrooveinfilling_tpu.models.transformer import (
+        GrooveTransformerConfig,
+    )
+    from transformergrooveinfilling_tpu.train.loop import (
+        create_train_state, make_epoch_fn, make_optimizer,
+    )
+
+    config = GrooveTransformerConfig(
+        d_model=D_MODEL, n_heads=N_HEADS, dim_feedforward=DIM_FF,
+        dropout=0.30, num_encoder_layers=N_LAYERS, max_len=T,
+        embedding_size_src=E_SRC, embedding_size_tgt=E_TGT,
+        compute_dtype=jnp.bfloat16,
+    )
+    model = build_model(config)
+    tx = make_optimizer("sgd", 0.089)
+    state = create_train_state(model, config, tx, jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(0)
+    inputs = jnp.asarray(rng.standard_normal((N_SAMPLES, T, E_SRC)), jnp.float32)
+    h = (rng.random((N_SAMPLES, T, 9)) < 0.3).astype(np.float32)
+    outputs = jnp.asarray(
+        np.concatenate([h, h * rng.random(h.shape),
+                        h * (rng.random(h.shape) - 0.5)], axis=2), jnp.float32)
+
+    epoch_fn = make_epoch_fn(model, tx, HIT_LOSS_PENALTY, BATCH, N_SAMPLES,
+                             donate=True)
+    key = jax.random.PRNGKey(1)
+
+    # warmup/compile
+    state, m = epoch_fn(state, inputs, outputs, key)
+    jax.block_until_ready(m["loss"])
+
+    epochs = 0
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < SECONDS_BUDGET or epochs < 2:
+        key, k = jax.random.split(key)
+        state, m = epoch_fn(state, inputs, outputs, k)
+        epochs += 1
+        if epochs >= 50:
+            break
+    jax.block_until_ready(m["loss"])
+    dt = time.perf_counter() - t0
+    return N_SAMPLES * epochs / dt
+
+
+def bench_torch_baseline() -> float:
+    """Reference-stack proxy: identical torch model/loss/SGD on this host."""
+    try:
+        import torch
+        from torch import nn
+    except Exception:
+        return float("nan")
+
+    torch.manual_seed(0)
+    torch.set_num_threads(max(torch.get_num_threads(), 1))
+
+    class Model(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.embed = nn.Linear(E_SRC, D_MODEL)
+            layer = nn.TransformerEncoderLayer(
+                D_MODEL, N_HEADS, DIM_FF, dropout=0.30, activation="relu",
+                batch_first=True, norm_first=False)
+            self.enc = nn.TransformerEncoder(layer, N_LAYERS,
+                                             norm=nn.LayerNorm(D_MODEL))
+            self.out = nn.Linear(D_MODEL, E_TGT)
+
+        def forward(self, x):
+            y = self.out(self.enc(torch.relu(self.embed(x))))
+            return torch.split(y, E_TGT // 3, dim=2)
+
+    model = Model()
+    opt = torch.optim.SGD(model.parameters(), lr=0.089)
+    bce = nn.BCEWithLogitsLoss(reduction="none")
+    mse = nn.MSELoss(reduction="none")
+
+    rng = np.random.default_rng(0)
+    x = torch.from_numpy(
+        rng.standard_normal((BATCH, T, E_SRC)).astype(np.float32))
+    h = (rng.random((BATCH, T, 9)) < 0.3).astype(np.float32)
+    y = torch.from_numpy(np.concatenate(
+        [h, h * rng.random(h.shape), h * (rng.random(h.shape) - 0.5)],
+        axis=2).astype(np.float32))
+    y_h, y_v, y_o = torch.split(y, 9, dim=2)
+    penalty = torch.where(y_h == 1, 1.0, HIT_LOSS_PENALTY)
+
+    def step():
+        opt.zero_grad()
+        p_h, p_v, p_o = model(x)
+        loss = ((bce(p_h, y_h) * penalty).sum(2).mean()
+                + (mse(torch.sigmoid(p_v), y_v) * penalty).sum(2).mean()
+                + (mse(torch.tanh(p_o) * 0.5, y_o) * penalty).sum(2).mean())
+        loss.backward()
+        opt.step()
+
+    step()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(BASELINE_STEPS):
+        step()
+    dt = time.perf_counter() - t0
+    return BATCH * BASELINE_STEPS / dt
+
+
+def main():
+    value = bench_jax()
+    baseline = bench_torch_baseline()
+    vs = value / baseline if baseline and np.isfinite(baseline) else None
+    print(json.dumps({
+        "metric": "train_throughput_infilling_random",
+        "value": round(value, 1),
+        "unit": "HVO seqs/sec/chip",
+        "vs_baseline": round(vs, 2) if vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())
