@@ -1,0 +1,146 @@
+"""Evaluator pipeline: subsets, metrics, set_pred, media, pickling."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from transformergrooveinfilling_tpu.data import (
+    GrooveMidiDatasetInfillingSymbolic,
+    synthetic_gmd_sequences,
+)
+from transformergrooveinfilling_tpu.eval.evaluator import (
+    InfillingEvaluator,
+    init_evaluator,
+    log_eval,
+)
+from transformergrooveinfilling_tpu.eval.metrics import metrics_dict
+from transformergrooveinfilling_tpu.hvo import N_VOICES
+
+
+class PerfectModel:
+    """Predicts the ground truth exactly."""
+
+    def __init__(self, gt):
+        self.gt = np.asarray(gt)
+
+    def predict(self, inputs, use_thres=True, thres=0.5):
+        return [self.gt[..., :9], self.gt[..., 9:18], self.gt[..., 18:27]]
+
+
+@pytest.fixture(scope="module")
+def evaluator(tmp_path_factory):
+    seqs = synthetic_gmd_sequences(40, seed=13)
+    ds = GrooveMidiDatasetInfillingSymbolic(
+        data=seqs, dataset_name="EvalDS", split="test",
+        save_dataset_path=str(tmp_path_factory.mktemp("ds")),
+        voices_params={"voice_idx": [2], "min_n_voices_to_remove": 1,
+                       "max_n_voices_to_remove": 1, "prob": [1], "k": 5},
+        max_aug_items=2, seed=3, save=False)
+    return InfillingEvaluator(
+        _identifier="Test_Set", n_samples_to_use=64,
+        n_samples_to_synthesize_visualize_per_subset=2,
+        dataset=ds, sequences=seqs, horizontal=True)
+
+
+def test_subsets_built(evaluator):
+    assert len(evaluator._gt_tags) > 1
+    assert evaluator.processed_inputs.shape[0] == \
+        evaluator.processed_gt.shape[0] > 0
+    assert len(evaluator._gt_hvos_array_tags) == \
+        evaluator.processed_inputs.shape[0]
+    # every tag is one of the 11 eval styles
+    from transformergrooveinfilling_tpu.eval.evaluator import EVAL_STYLES
+    assert set(evaluator._gt_tags).issubset(set(EVAL_STYLES))
+
+
+def test_templates_align_with_rows(evaluator):
+    assert len(evaluator._prediction_hvo_seq_templates) == \
+        evaluator.processed_gt.shape[0]
+    # template metadata tags align with row tags (grouped order == row order)
+    for i, t in enumerate(evaluator._prediction_hvo_seq_templates):
+        assert t.metadata.style_primary == evaluator._gt_hvos_array_tags[i]
+
+
+def test_perfect_prediction_metrics(evaluator):
+    model = PerfectModel(evaluator._gt_hvos_array)
+    evaluator.set_pred(model)
+    acc = evaluator.get_hits_accuracies()
+    assert acc[f"Test_Set_Hits_Accuracy_mean"] == pytest.approx(1.0)
+    mse_v = evaluator.get_velocity_errors()
+    assert mse_v["Test_Set_Velocity_MSE_mean"] == pytest.approx(0.0, abs=1e-9)
+    mse_o = evaluator.get_micro_timing_errors()
+    assert mse_o["Test_Set_Micro_Timing_MSE_mean"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_set_pred_subsets_and_media(evaluator):
+    model = PerfectModel(evaluator._gt_hvos_array)
+    evaluator.set_pred(model)
+    assert sorted(evaluator._prediction_tags) == sorted(
+        set(evaluator._gt_hvos_array_tags))
+    n_rows = sum(len(s) for s in evaluator._prediction_subsets)
+    assert n_rows == evaluator.processed_gt.shape[0]
+
+    media = evaluator.get_wandb_logging_media(recalculate_ground_truth=False)
+    assert "piano_roll_html" in media
+    roll = media["piano_roll_html"]["Predictions_Test_Set"].html
+    assert "<svg" in roll
+
+
+def test_add_removed_part_merging(evaluator):
+    model = PerfectModel(evaluator._gt_hvos_array)
+    evaluator.set_pred(model)
+    ev = evaluator.prediction_SubSet_Evaluator
+    key = next(iter(evaluator.audio_sample_locations))
+    if not evaluator.hvo_comp_dict.get(key):
+        pytest.skip("no sampled locations for this tag")
+    sample = ev.subsets[key][0]
+    merged = ev.add_removed_part_to_hvo(sample.copy(), key, 0)
+    comp = evaluator.hvo_comp_dict[key][0]
+    # merged contains all input-context hits
+    assert ((merged.hvo[:, :N_VOICES] > 0) | ~(comp.hvo[:, :N_VOICES] > 0)).all()
+
+
+def test_evaluator_pickle_roundtrip(evaluator, tmp_path):
+    out = evaluator.save_as_pickle(str(tmp_path))
+    assert os.path.exists(out)
+    loaded = init_evaluator(out, device=None)
+    assert loaded._gt_tags == evaluator._gt_tags
+    np.testing.assert_allclose(loaded.processed_inputs,
+                               evaluator.processed_inputs)
+    # loaded evaluator still evaluates
+    loaded.set_pred(PerfectModel(loaded._gt_hvos_array))
+    acc = loaded.get_hits_accuracies()
+    assert acc["Test_Set_Hits_Accuracy_mean"] == pytest.approx(1.0)
+
+
+def test_log_eval_writes_metrics(evaluator, tmp_path, monkeypatch):
+    from transformergrooveinfilling_tpu.utils import logging as xlog
+
+    monkeypatch.chdir(tmp_path)
+    xlog.init(config={}, project="eval_test")
+    model = PerfectModel(evaluator._gt_hvos_array)
+    log_eval(evaluator, model, log_media=True, epoch=0, dump=True)
+    xlog.finish()
+    metrics_file = os.path.join("runs", "eval_test",
+                                os.listdir(os.path.join("runs", "eval_test"))[0],
+                                "metrics.jsonl")
+    text = open(metrics_file).read()
+    assert "Test_Set_Hits_Accuracy_mean" in text
+    # evaluator dump written
+    assert os.path.isdir("evaluator")
+    dumps = os.listdir("evaluator")
+    assert any(f.endswith(".Eval") for f in dumps)
+    # dumped evaluator unpickles
+    with open(os.path.join("evaluator", dumps[0]), "rb") as f:
+        ev2 = pickle.load(f)
+    assert ev2._identifier == evaluator._identifier
+
+
+def test_metrics_dict_shape(rng):
+    pred = (rng.random((4, 32, 27)) > 0.5).astype(np.float32)
+    gt = (rng.random((4, 32, 27)) > 0.5).astype(np.float32)
+    d = metrics_dict(pred, gt, "X")
+    assert len(d) == 3 * 10  # 9 voices + mean per family
+    assert all(np.isfinite(v) for v in d.values())

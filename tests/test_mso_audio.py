@@ -1,0 +1,114 @@
+"""Audio synthesis + MSO DSP: shapes, grid alignment, onset responsiveness."""
+
+import numpy as np
+import pytest
+
+from transformergrooveinfilling_tpu.audio.drumkit import default_kit
+from transformergrooveinfilling_tpu.audio.synth import (
+    read_wav,
+    synthesize_hvo,
+    synthesize_hvo_batch,
+    write_wav,
+)
+from transformergrooveinfilling_tpu.hvo import N_VOICES
+from transformergrooveinfilling_tpu.ops.mso import (
+    MSOParams,
+    log_frequency_filterbank,
+    mso_batch_from_hvo,
+    mso_from_audio,
+)
+
+SR = 44100
+
+
+def _one_hit_hvo(step=0, voice=0, vel=1.0, t=32):
+    hvo = np.zeros((t, 3 * N_VOICES), np.float32)
+    hvo[step, voice] = 1.0
+    hvo[step, voice + N_VOICES] = vel
+    return hvo
+
+
+def test_default_kit_shapes():
+    kit = default_kit(SR)
+    assert len(kit) == N_VOICES
+    for s in kit:
+        assert s.dtype == np.float32
+        assert np.max(np.abs(s)) <= 0.95
+        assert len(s) > 100
+
+
+def test_synthesize_single_hit_at_onset():
+    hvo = _one_hit_hvo(step=4, voice=0, vel=0.8)
+    y = synthesize_hvo(hvo, qpm=120.0, sr=SR)
+    # step 4 at 120 qpm = 4 * (60/120/4) s = 0.5 s
+    onset = int(0.5 * SR)
+    assert np.all(y[: onset - 10] == 0)
+    assert np.max(np.abs(y[onset : onset + 1000])) > 0.1
+
+
+def test_synthesize_velocity_scales_amplitude():
+    loud = synthesize_hvo(_one_hit_hvo(vel=1.0), qpm=120)
+    quiet = synthesize_hvo(_one_hit_hvo(vel=0.2), qpm=120)
+    assert np.max(np.abs(loud)) > 3 * np.max(np.abs(quiet))
+
+
+def test_synthesize_batch_fixed_length():
+    hvos = np.stack([_one_hit_hvo(0, 0), _one_hit_hvo(8, 2)])
+    out = synthesize_hvo_batch(hvos, [120.0, 90.0], [None, None],
+                               fixed_length=SR * 3)
+    assert out.shape == (2, SR * 3)
+
+
+def test_wav_roundtrip(tmp_path):
+    y = synthesize_hvo(_one_hit_hvo(), qpm=120)
+    path = str(tmp_path / "x.wav")
+    write_wav(path, y, SR)
+    y2, sr2 = read_wav(path)
+    assert sr2 == SR
+    np.testing.assert_allclose(y2[:1000], y[:1000], atol=2e-4)
+
+
+def test_filterbank_covers_bands():
+    fb = log_frequency_filterbank(MSOParams())
+    assert fb.shape == (16, 513)
+    assert (fb >= 0).all()
+    # every band has some support
+    assert (fb.sum(axis=1) > 0).all()
+
+
+def test_mso_shape_and_hit_alignment():
+    # one kick at step 0, one snare at step 16 → strongest onsets at those steps
+    hvo = _one_hit_hvo(0, 0)
+    hvo[16, 1] = 1.0
+    hvo[16, 1 + N_VOICES] = 1.0
+    y = synthesize_hvo(hvo, qpm=120)
+    mso = mso_from_audio(y, n_steps=32, qpm=120)
+    assert mso.shape == (32, 16)
+    assert (mso >= 0).all()
+    energy = mso.sum(axis=1)
+    top2 = set(np.argsort(energy)[-2:].tolist())
+    assert 0 in top2 and 16 in top2
+
+
+def test_mso_silent_is_zeroish():
+    y = np.zeros(SR * 2, np.float32)
+    mso = mso_from_audio(y, n_steps=32, qpm=120)
+    assert np.allclose(mso, 0, atol=1e-5)
+
+
+def test_mso_batch_from_hvo():
+    hvos = np.stack([_one_hit_hvo(0, 0), _one_hit_hvo(4, 1), _one_hit_hvo(8, 2)])
+    out = mso_batch_from_hvo(hvos, [None] * 3, [120.0, 100.0, 140.0])
+    assert out.shape == (3, 32, 16)
+    # each item's strongest step matches its hit step
+    for i, step in enumerate((0, 4, 8)):
+        assert abs(int(np.argmax(out[i].sum(axis=1))) - step) <= 1
+
+
+def test_kick_vs_hat_band_separation():
+    """Kick energy concentrates in low bands, closed hat in high bands."""
+    kick = mso_from_audio(synthesize_hvo(_one_hit_hvo(0, 0), 120), 32, 120)
+    hat = mso_from_audio(synthesize_hvo(_one_hit_hvo(0, 2), 120), 32, 120)
+    kick_centroid = np.average(np.arange(16), weights=kick[0] + 1e-9)
+    hat_centroid = np.average(np.arange(16), weights=hat[0] + 1e-9)
+    assert kick_centroid < hat_centroid

@@ -1,0 +1,115 @@
+"""Sharding: 8-virtual-device mesh, dp/tp training parity, graft entry hooks."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from transformergrooveinfilling_tpu.models import build_model
+from transformergrooveinfilling_tpu.models.transformer import (
+    GrooveTransformerConfig,
+)
+from transformergrooveinfilling_tpu.parallel.mesh import (
+    data_sharding,
+    make_mesh,
+    param_partition_specs,
+    replicated,
+    shard_params,
+)
+from transformergrooveinfilling_tpu.train.loop import (
+    TrainState,
+    create_train_state,
+    make_epoch_fn,
+    make_optimizer,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+CFG = GrooveTransformerConfig(
+    d_model=32, n_heads=4, dim_feedforward=16, dropout=0.0,
+    num_encoder_layers=2, embedding_size_src=16)
+
+
+def _data(rng, n=32):
+    x = jnp.asarray(rng.standard_normal((n, 32, 16)), jnp.float32)
+    h = (rng.random((n, 32, 9)) < 0.3).astype(np.float32)
+    y = jnp.asarray(np.concatenate([h, h * 0.7, h * 0.1], 2), jnp.float32)
+    return x, y
+
+
+def test_mesh_shapes():
+    plan = make_mesh(n_model=2)
+    assert plan.n_model == 2 and plan.n_data == 4
+    plan1 = make_mesh()
+    assert plan1.n_data == 8 and plan1.n_model == 1
+
+
+def test_partition_specs_rules():
+    model = build_model(CFG)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 32, 16)), deterministic=True)["params"]
+    specs = param_partition_specs(params)
+    l0 = specs["encoder_layer_0"]
+    assert l0["self_attn"]["qkv"]["kernel"] == P(None, "model")
+    assert l0["self_attn"]["out"]["kernel"] == P("model", None)
+    assert l0["linear1"]["kernel"] == P(None, "model")
+    assert l0["linear2"]["kernel"] == P("model", None)
+    assert specs["encoder_norm"]["scale"] == P()
+    assert specs["input"]["embed"]["kernel"] == P()
+
+
+@pytest.mark.parametrize("n_model", [1, 2])
+def test_sharded_training_matches_single_device(n_model, rng):
+    """dp(×tp) training must be numerically equivalent to 1-device training."""
+    x, y = _data(rng)
+    model = build_model(CFG)
+    tx = make_optimizer("sgd", 0.05)
+    state0 = create_train_state(model, CFG, tx, jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(9)
+
+    # single-device run
+    epoch_single = make_epoch_fn(model, tx, 0.5, 8, 32, donate=False)
+    s1, m1 = epoch_single(state0, x, y, key)
+
+    # sharded run
+    plan = make_mesh(n_model=n_model)
+    params, _ = shard_params(state0.params, plan, tensor_parallel=n_model > 1)
+    opt_state = jax.tree.map(
+        lambda a: jax.device_put(a, replicated(plan)), state0.opt_state)
+    state_sharded = TrainState(
+        step=jax.device_put(state0.step, replicated(plan)),
+        params=params, opt_state=opt_state)
+    xs = jax.device_put(x, replicated(plan))
+    ys = jax.device_put(y, replicated(plan))
+    epoch_sharded = make_epoch_fn(model, tx, 0.5, 8, 32, plan=plan,
+                                  donate=False)
+    s2, m2 = epoch_sharded(state_sharded, xs, ys, key)
+
+    assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-4
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5),
+        s1.params, jax.device_get(s2.params))
+
+
+def test_data_sharding_spec():
+    plan = make_mesh()
+    sh = data_sharding(plan)
+    assert sh.spec == P("data", None, None)
+
+
+def test_graft_entry_hooks():
+    import importlib.util, pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", pathlib.Path(__file__).parents[1] / "__graft_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    fn, (params, x) = mod.entry()
+    out = jax.jit(fn)(params, x)
+    assert [o.shape for o in out] == [(32, 32, 9)] * 3
+    mod.dryrun_multichip(8)

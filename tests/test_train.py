@@ -1,0 +1,169 @@
+"""Training loop: loss goes down, partial batches, checkpoint resume, schedule."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from transformergrooveinfilling_tpu.models import build_model
+from transformergrooveinfilling_tpu.models.transformer import (
+    GrooveTransformerConfig,
+)
+from transformergrooveinfilling_tpu.train import checkpoint as ckpt
+from transformergrooveinfilling_tpu.train.loop import (
+    TrainState,
+    create_train_state,
+    make_epoch_fn,
+    make_eval_loss_fn,
+    make_optimizer,
+)
+from transformergrooveinfilling_tpu.train.schedule import eval_log_freq
+
+CFG = GrooveTransformerConfig(
+    d_model=16, n_heads=2, dim_feedforward=16, dropout=0.1,
+    num_encoder_layers=1, embedding_size_src=27)
+
+
+def _toy_data(rng, n=20):
+    h = (rng.random((n, 32, 9)) < 0.3).astype(np.float32)
+    y = np.concatenate([h, h * 0.8, h * 0.1], axis=2).astype(np.float32)
+    x = y.copy()
+    x[:, :, [2, 11, 20]] = 0  # mask HH
+    return jnp.asarray(x), jnp.asarray(y)
+
+
+def test_epoch_reduces_loss(rng):
+    x, y = _toy_data(rng)
+    model = build_model(CFG)
+    tx = make_optimizer("sgd", 0.1)
+    state = create_train_state(model, CFG, tx, jax.random.PRNGKey(0))
+    epoch_fn = make_epoch_fn(model, tx, 0.5, batch_size=8, n_samples=20,
+                             donate=False)
+    key = jax.random.PRNGKey(1)
+    _, first = epoch_fn(state, x, y, key)
+    for i in range(15):
+        key, k = jax.random.split(key)
+        state, metrics = epoch_fn(state, x, y, k)
+    assert float(metrics["loss"]) < float(first["loss"])
+    assert 0 <= float(metrics["hit_accuracy"]) <= 1
+
+
+def test_partial_batch_weighting_matches_full(rng):
+    """A dataset of N=12 with B=8 (one full + one half batch) must produce the
+    same loss statistics as processing the real samples only."""
+    x, y = _toy_data(rng, n=12)
+    model = build_model(CFG)
+    tx = make_optimizer("sgd", 0.0)  # lr 0 → state unchanged, pure measurement
+    state = create_train_state(model, CFG, tx, jax.random.PRNGKey(0))
+    epoch_fn = make_epoch_fn(model, tx, 1.0, batch_size=8, n_samples=12,
+                             donate=False)
+    _, metrics = epoch_fn(state, x, y, jax.random.PRNGKey(5))
+    eval_fn = make_eval_loss_fn(model, 1.0)
+    # dropout off in eval; compare within loose tolerance (dropout in train)
+    ref = eval_fn(state.params, x, y)
+    assert abs(float(metrics["loss"]) - float(ref["loss"])) / float(ref["loss"]) < 0.35
+
+
+def test_adam_optimizer(rng):
+    x, y = _toy_data(rng)
+    model = build_model(CFG)
+    tx = make_optimizer("adam", 1e-3)
+    state = create_train_state(model, CFG, tx, jax.random.PRNGKey(0))
+    epoch_fn = make_epoch_fn(model, tx, 0.5, 8, 20, donate=False)
+    state2, metrics = epoch_fn(state, x, y, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_unknown_optimizer_raises():
+    with pytest.raises(ValueError):
+        make_optimizer("adagrad", 0.1)
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    model = build_model(CFG)
+    tx = make_optimizer("sgd", 0.05)
+    state = create_train_state(model, CFG, tx, jax.random.PRNGKey(3))
+    path = ckpt.save_checkpoint(str(tmp_path), "runX", 7, state, 1.23, CFG)
+    params, opt_state, epoch, loss = ckpt.load_checkpoint(path)
+    assert epoch == 7 and abs(loss - 1.23) < 1e-9
+    found, ep = ckpt.find_latest(str(tmp_path))
+    assert found == path and ep == 7
+
+    # restore contract
+    restored, opt, initial = ckpt.restore({"location": "local",
+                                           "dir": str(tmp_path)}, CFG)
+    assert initial == 8
+    from flax import serialization
+    tree = serialization.from_state_dict(state.params, restored)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, atol=1e-7),
+                 tree, state.params)
+
+
+def test_eval_log_freq_schedule():
+    partial, full = eval_log_freq(100, 10, 1, 1, 10, 20)
+    assert list(partial[:10]) == list(range(10))
+    assert 99 in partial and 99 in full
+    assert 30 in partial  # secondary step 10
+    assert 30 in full or 50 in full  # secondary step 20
+
+    only, empty = eval_log_freq(100, 10, 1, 1, 10, 20, only_final=True)
+    assert list(only) == [99] and len(empty) == 0
+
+    p, a = eval_log_freq(5, 10, 1, 1, 10, 20)
+    assert list(p) == [0, 1, 2, 3, 4]
+
+
+def test_initialize_model_contract(tmp_path):
+    from transformergrooveinfilling_tpu.train.driver import initialize_model
+
+    params = {
+        "model": {
+            "experiment": "InfillingClosedHH_testing", "encoder_only": 1,
+            "optimizer": "sgd", "d_model": 32, "n_heads": 4,
+            "dim_feedforward": 16, "dropout": 0.18, "num_encoder_layers": 6,
+            "num_decoder_layers": 0, "max_len": 32,
+            "embedding_size_src": 16, "embedding_size_tgt": 27,
+        },
+        "training": {"learning_rate": 0.094, "batch_size": 32,
+                     "hit_loss_penalty": 0.47},
+        "load_model": None,
+    }
+    bundle, tx, initial_epoch = initialize_model(params)
+    assert initial_epoch == 0
+    x = np.random.default_rng(0).standard_normal((2, 32, 16)).astype(np.float32)
+    h, v, o = bundle.predict(x)
+    assert h.shape == (2, 32, 9)
+    assert set(np.unique(h)).issubset({0.0, 1.0})
+
+    # resume from a saved checkpoint
+    path = ckpt.save_checkpoint(str(tmp_path), "runY", 3, bundle.state, 2.0,
+                                bundle.config)
+    params["load_model"] = {"location": "local", "dir": str(tmp_path)}
+    bundle2, _, initial2 = initialize_model(params)
+    assert initial2 == 4
+    np.testing.assert_allclose(
+        np.asarray(bundle2.state.params["output"]["proj"]["bias"]),
+        np.asarray(bundle.state.params["output"]["proj"]["bias"]), atol=1e-7)
+
+
+def test_legacy_model_restore(demo_checkpoint_path, tmp_path):
+    """initialize_model resumes from a reference torch .Model directory."""
+    import shutil
+    from transformergrooveinfilling_tpu.train.driver import initialize_model
+
+    shutil.copy(demo_checkpoint_path, tmp_path)
+    params = {
+        "model": {"experiment": "InfillingClosedHH_testing", "encoder_only": 1,
+                  "optimizer": "sgd", "d_model": 32, "n_heads": 4,
+                  "dim_feedforward": 16, "dropout": 0.18,
+                  "num_encoder_layers": 6, "num_decoder_layers": 0,
+                  "max_len": 32, "embedding_size_src": 16,
+                  "embedding_size_tgt": 27},
+        "training": {"learning_rate": 0.094, "batch_size": 32,
+                     "hit_loss_penalty": 0.47},
+        "load_model": {"location": "local", "dir": str(tmp_path),
+                       "file_pattern": "transformer_run_{}_Epoch_{}.Model"},
+    }
+    bundle, _, initial_epoch = initialize_model(params)
+    assert initial_epoch == 1  # demo ckpt is epoch 0

@@ -40,11 +40,13 @@ def _highpass(x: np.ndarray, sr: int, fc: float) -> np.ndarray:
 
 
 def _kick(sr: int) -> np.ndarray:
-    n = int(0.35 * sr)
+    # tight kick: fast 160→50 Hz sweep (~30 ms), short body so the low-band
+    # energy stays at the onset instead of smearing into later grid steps
+    n = int(0.22 * sr)
     t = np.arange(n) / sr
-    freq = 150 * np.exp(-t / 0.06) + 45
+    freq = 160 * np.exp(-t / 0.03) + 50
     phase = 2 * np.pi * np.cumsum(freq) / sr
-    body = np.sin(phase) * _env(n, sr, 0.18)
+    body = np.sin(phase) * _env(n, sr, 0.09)
     click = _noise(int(0.005 * sr), 1) * 0.4
     body[: len(click)] += click * _env(len(click), sr, 0.004)
     return body
@@ -103,7 +105,12 @@ def default_kit(sr: int = 44100) -> tuple:
         _cymbal(sr, ride=True),   # ride
     ]
     assert len(samples) == N_VOICES
-    return tuple(
-        (0.9 * s / max(np.max(np.abs(s)), 1e-9)).astype(np.float32)
-        for s in samples
-    )
+    out = []
+    for s in samples:
+        # short fade-out: a hard truncation is a broadband click that would
+        # register as a spurious onset in the MSO flux
+        fade = min(int(0.01 * sr), len(s))
+        s = s.copy()
+        s[-fade:] *= np.linspace(1, 0, fade)
+        out.append((0.9 * s / max(np.max(np.abs(s)), 1e-9)).astype(np.float32))
+    return tuple(out)
