@@ -1,0 +1,92 @@
+"""Serving: fused attention parity, bucketing, HTTP endpoint."""
+
+import json
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from transformergrooveinfilling_tpu.models import build_model
+from transformergrooveinfilling_tpu.models.transformer import (
+    GrooveTransformerConfig,
+)
+from transformergrooveinfilling_tpu.ops.attention import fused_mha, mha_reference
+from transformergrooveinfilling_tpu.serve import InfillServer, latency_benchmark
+
+CFG = GrooveTransformerConfig(
+    d_model=32, n_heads=4, dim_feedforward=16, dropout=0.0,
+    num_encoder_layers=2, embedding_size_src=16)
+
+
+def test_fused_mha_matches_reference(rng):
+    q = jnp.asarray(rng.standard_normal((2, 4, 32, 16)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((2, 4, 32, 16)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((2, 4, 32, 16)), jnp.float32)
+    ref = mha_reference(q, k, v)
+    out = fused_mha(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_model_with_pallas_attention_matches_einsum(rng):
+    import dataclasses
+
+    model = build_model(CFG)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 16)),
+                        deterministic=True)["params"]
+    x = jnp.asarray(rng.standard_normal((3, 32, 16)), jnp.float32)
+    base = model.apply({"params": params}, x, deterministic=True)
+
+    cfg_p = dataclasses.replace(CFG, use_pallas_attention=True)
+    model_p = build_model(cfg_p)
+    out = model_p.apply({"params": params}, x, deterministic=True)
+    for a, b in zip(out, base):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+
+@pytest.fixture(scope="module")
+def server():
+    model = build_model(CFG)
+    params = model.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 16)),
+                        deterministic=True)["params"]
+    return InfillServer(params, CFG, batch_sizes=(1, 4), use_pallas=False)
+
+
+def test_infill_shapes(server, rng):
+    x = rng.standard_normal((32, 16)).astype(np.float32)
+    out = server.infill(x)
+    assert out.shape == (32, 27)
+    h = out[..., :9]
+    assert set(np.unique(h)).issubset({0.0, 1.0})
+
+    batch = rng.standard_normal((6, 32, 16)).astype(np.float32)
+    outb = server.infill(batch)  # 6 → bucket 4 + bucket 4(padded 2)
+    assert outb.shape == (6, 32, 27)
+    # same inputs give same outputs regardless of bucketing
+    np.testing.assert_allclose(server.infill(batch[:1])[0], outb[0], atol=1e-6)
+
+
+def test_latency_benchmark_runs(server):
+    stats = latency_benchmark(server, n_requests=5)
+    assert np.isfinite(stats["p50_ms"])
+
+
+def test_http_endpoint(server, rng):
+    httpd = server.serve_http(port=0, block=False)
+    port = httpd.server_address[1]
+    x = rng.standard_normal((32, 16)).tolist()
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/infill",
+        data=json.dumps({"input": x}).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=30) as resp:
+        payload = json.loads(resp.read())
+    assert np.asarray(payload["hvo"]).shape == (32, 27)
+
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz", timeout=30) as resp:
+        health = json.loads(resp.read())
+    assert health["ok"] and health["count"] >= 1
+    httpd.shutdown()

@@ -46,6 +46,9 @@ class GrooveTransformerConfig:
     embedding_size_src: int = 16  # 16 = MSO bands; 27 for the symbolic experiment
     embedding_size_tgt: int = 27  # HVO width (9 voices × h/v/o)
     compute_dtype: jnp.dtype = jnp.float32
+    # inference-path fused attention kernel (ops/attention.py); training keeps
+    # the autodiff-friendly einsum path
+    use_pallas_attention: bool = False
 
     @property
     def encoder_only(self) -> bool:
@@ -81,6 +84,7 @@ class SelfAttention(nn.Module):
     d_model: int
     n_heads: int
     dropout: float
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool, kv: Optional[jax.Array] = None):
@@ -102,10 +106,20 @@ class SelfAttention(nn.Module):
             return t.reshape(t.shape[:-1] + (h, hd))
 
         q, k, v = heads(q), heads(k), heads(v)
-        scores = jnp.einsum("...qhd,...khd->...hqk", q, k) / math.sqrt(hd)
-        w = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
-        w = nn.Dropout(self.dropout)(w, deterministic=deterministic)
-        out = jnp.einsum("...hqk,...khd->...qhd", w, v)
+        if self.use_pallas and deterministic and x.ndim == 3:
+            # fused VMEM-resident attention kernel (no dropout on this path)
+            from ..ops.attention import fused_mha
+
+            interpret = jax.default_backend() == "cpu"
+            out = fused_mha(
+                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3), interpret=interpret,
+            ).transpose(0, 2, 1, 3)
+        else:
+            scores = jnp.einsum("...qhd,...khd->...hqk", q, k) / math.sqrt(hd)
+            w = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
+            w = nn.Dropout(self.dropout)(w, deterministic=deterministic)
+            out = jnp.einsum("...hqk,...khd->...qhd", w, v)
         out = out.reshape(out.shape[:-2] + (d,))
         return nn.Dense(d, name="out")(out)
 
@@ -118,10 +132,12 @@ class EncoderLayer(nn.Module):
     n_heads: int
     dim_feedforward: int
     dropout: float
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool):
-        sa = SelfAttention(self.d_model, self.n_heads, self.dropout, name="self_attn")(
+        sa = SelfAttention(self.d_model, self.n_heads, self.dropout,
+                           use_pallas=self.use_pallas, name="self_attn")(
             x, deterministic=deterministic
         )
         x = nn.LayerNorm(name="norm1")(
@@ -229,6 +245,7 @@ class GrooveTransformerEncoder(nn.Module):
                 cfg.n_heads,
                 cfg.dim_feedforward,
                 cfg.dropout,
+                use_pallas=cfg.use_pallas_attention,
                 name=f"encoder_layer_{i}",
             )(x, deterministic=deterministic)
         x = nn.LayerNorm(name="encoder_norm")(x)

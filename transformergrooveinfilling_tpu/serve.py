@@ -1,0 +1,189 @@
+"""Low-latency infill serving.
+
+The north-star serving target (BASELINE.md): < 20 ms p50 per 2-bar infill on one
+TPU chip. Design:
+
+- predict is AOT-compiled per batch-size bucket at server start (no first-hit
+  compile stall); requests route to the smallest bucket ≥ n and are padded —
+  static shapes, zero recompiles in steady state.
+- inputs transfer as one host→device copy; outputs come back as a single
+  device→host copy of three stacked head tensors.
+- the Pallas fused attention kernel is enabled on the serving model
+  (config.use_pallas_attention).
+
+``InfillServer.serve_http`` exposes a stdlib ThreadingHTTPServer JSON endpoint
+(POST /infill with {"input": [[...]], "qpm": optional}) — the "streaming infill
+server" configuration of BASELINE.json without any web-framework dependency.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models import build_model
+from .models.transformer import GrooveTransformerConfig
+
+
+@dataclasses.dataclass
+class ServeStats:
+    count: int = 0
+    latencies_ms: list = dataclasses.field(default_factory=list)
+
+    def record(self, ms: float):
+        self.count += 1
+        self.latencies_ms.append(ms)
+        if len(self.latencies_ms) > 10000:
+            del self.latencies_ms[: len(self.latencies_ms) // 2]
+
+    def percentile(self, p: float) -> float:
+        return float(np.percentile(self.latencies_ms, p)) if self.latencies_ms \
+            else float("nan")
+
+
+class InfillServer:
+    def __init__(self, params, config: GrooveTransformerConfig,
+                 batch_sizes: Sequence[int] = (1, 8, 32),
+                 use_thres: bool = True, thres: float = 0.5,
+                 use_pallas: bool | None = None):
+        if use_pallas is None:
+            use_pallas = jax.default_backend() not in ("cpu",)
+        self.config = dataclasses.replace(config, use_pallas_attention=use_pallas)
+        self.model = build_model(self.config)
+        self.params = jax.device_put(params)
+        self.batch_sizes = sorted(batch_sizes)
+        self.use_thres = use_thres
+        self.thres = thres
+        self.stats = ServeStats()
+
+        def _predict(params, x):
+            h_logits, v, o = self.model.apply({"params": params}, x,
+                                              deterministic=True)
+            h = jax.nn.sigmoid(h_logits)
+            if use_thres:
+                h = (h > thres).astype(jnp.float32)
+            return jnp.concatenate([h, v, o], axis=-1)
+
+        self._compiled = {}
+        e = self.config.embedding_size_src
+        for b in self.batch_sizes:
+            fn = jax.jit(_predict)
+            shape = jax.ShapeDtypeStruct((b, self.config.max_len, e), jnp.float32)
+            self._compiled[b] = fn.lower(self.params, shape).compile()
+        # warmup execution (allocator, tunnels)
+        for b in self.batch_sizes:
+            x = jnp.zeros((b, self.config.max_len, e), jnp.float32)
+            np.asarray(self._compiled[b](self.params, x))
+
+    def _bucket(self, n: int) -> int:
+        for b in self.batch_sizes:
+            if b >= n:
+                return b
+        return self.batch_sizes[-1]
+
+    def infill(self, inputs: np.ndarray) -> np.ndarray:
+        """``(N, T, E_src)`` (or a single ``(T, E_src)``) → ``(N, T, 27)``."""
+        t0 = time.perf_counter()
+        x = np.asarray(inputs, np.float32)
+        single = x.ndim == 2
+        if single:
+            x = x[None]
+        n = x.shape[0]
+        out_parts = []
+        i = 0
+        while i < n:
+            b = self._bucket(n - i)
+            chunk = x[i : i + b]
+            if chunk.shape[0] < b:
+                chunk = np.pad(chunk, ((0, b - chunk.shape[0]), (0, 0), (0, 0)))
+            y = np.asarray(self._compiled[b](self.params, jnp.asarray(chunk)))
+            out_parts.append(y[: min(b, n - i)])
+            i += b
+        out = np.concatenate(out_parts, axis=0)
+        self.stats.record((time.perf_counter() - t0) * 1000.0)
+        return out[0] if single else out
+
+    # -- HTTP endpoint ---------------------------------------------------------
+
+    def serve_http(self, host: str = "127.0.0.1", port: int = 8327,
+                   block: bool = True):
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+        import threading
+
+        server_self = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    body = json.dumps({
+                        "ok": True,
+                        "count": server_self.stats.count,
+                        "p50_ms": server_self.stats.percentile(50),
+                        "p99_ms": server_self.stats.percentile(99),
+                    }).encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                else:
+                    self.send_response(404)
+                    self.end_headers()
+
+            def do_POST(self):
+                if self.path != "/infill":
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    payload = json.loads(self.rfile.read(n))
+                    x = np.asarray(payload["input"], np.float32)
+                    out = server_self.infill(x)
+                    body = json.dumps({"hvo": out.tolist()}).encode()
+                    self.send_response(200)
+                except Exception as e:  # bad input → 400 with reason
+                    body = json.dumps({"error": str(e)}).encode()
+                    self.send_response(400)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+        httpd = ThreadingHTTPServer((host, port), Handler)
+        if block:
+            httpd.serve_forever()
+            return httpd
+        thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+        thread.start()
+        return httpd
+
+
+def latency_benchmark(server: InfillServer, n_requests: int = 100,
+                      batch: int = 1, seed: int = 0) -> dict:
+    """p50/p99 single-request latency through the full infill path."""
+    rng = np.random.default_rng(seed)
+    e = server.config.embedding_size_src
+    xs = rng.standard_normal(
+        (n_requests, batch, server.config.max_len, e)).astype(np.float32)
+    server.infill(xs[0])  # prime
+    lat = []
+    for i in range(n_requests):
+        t0 = time.perf_counter()
+        server.infill(xs[i])
+        lat.append((time.perf_counter() - t0) * 1000.0)
+    return {
+        "p50_ms": float(np.percentile(lat, 50)),
+        "p90_ms": float(np.percentile(lat, 90)),
+        "p99_ms": float(np.percentile(lat, 99)),
+        "mean_ms": float(np.mean(lat)),
+    }
