@@ -1,0 +1,92 @@
+"""Native C++ mixer + SF2 parser/writer roundtrip."""
+
+import numpy as np
+import pytest
+
+from transformergrooveinfilling_tpu.audio import synth
+from transformergrooveinfilling_tpu.audio.drumkit import default_kit
+from transformergrooveinfilling_tpu.hvo.mapping import VOICE_TO_MIDI_NOTE
+
+native = pytest.importorskip(
+    "transformergrooveinfilling_tpu.audio.native_binding")
+
+
+def test_native_builds():
+    lib = native.get_lib()
+    assert lib is not None
+
+
+def test_native_mix_matches_numpy(rng):
+    table = default_kit(44100)
+    n = 44100
+    voices = rng.integers(0, 9, 20).astype(np.int32)
+    onsets = rng.integers(0, n - 1, 20).astype(np.int64)
+    vels = rng.random(20).astype(np.float32)
+
+    buf_native = np.zeros(n, np.float32)
+    native.mix_events_native(buf_native, table, voices, onsets, vels)
+
+    buf_numpy = np.zeros(n, np.float32)
+    synth._mix_events_numpy(buf_numpy, table, voices, onsets, vels)
+
+    np.testing.assert_allclose(buf_native, buf_numpy, atol=1e-6)
+    assert np.abs(buf_native).max() > 0
+
+
+def test_native_mix_bounds():
+    """Events at/after buffer end and invalid voices must not crash."""
+    table = default_kit(44100)
+    buf = np.zeros(1000, np.float32)
+    voices = np.asarray([0, 99, -1, 1], np.int32)
+    onsets = np.asarray([900, 0, 0, 999], np.int64)
+    vels = np.ones(4, np.float32)
+    native.mix_events_native(buf, table, voices, onsets, vels)
+    assert np.isfinite(buf).all()
+
+
+def test_resample_linear():
+    t = np.linspace(0, 1, 1000).astype(np.float32)
+    out = native.resample_linear(t, 2.0)
+    assert abs(len(out) - 499) <= 1
+    np.testing.assert_allclose(out[:400], t[: 800 : 2][:400], atol=1e-5)
+
+
+def test_sf2_write_parse_roundtrip(tmp_path):
+    from transformergrooveinfilling_tpu.audio.sf2 import (
+        kit_from_sf2, parse_sf2, write_minimal_sf2,
+    )
+
+    sr = 44100
+    kit = default_kit(sr)
+    samples = {key: kit[v] for v, key in enumerate(VOICE_TO_MIDI_NOTE)}
+    path = str(tmp_path / "testkit.sf2")
+    write_minimal_sf2(path, samples, sr=sr)
+
+    sf = parse_sf2(path)
+    assert len(sf["shdr"]) == len(samples)
+    assert sf["phdr"][0][2] == 128  # percussion bank
+
+    table = kit_from_sf2(path, sr)
+    assert len(table) == 9
+    # same rate + root key == target → samples round-trip (16-bit quantized)
+    for v in range(9):
+        n = min(len(table[v]), len(kit[v]) - 1, 2000)
+        np.testing.assert_allclose(table[v][:n], kit[v][:n], atol=2e-3)
+
+
+def test_synthesis_with_sf2(tmp_path):
+    from transformergrooveinfilling_tpu.audio.sf2 import write_minimal_sf2
+
+    sr = 44100
+    kit = default_kit(sr)
+    samples = {key: kit[v] for v, key in enumerate(VOICE_TO_MIDI_NOTE)}
+    path = str(tmp_path / "kit.sf2")
+    write_minimal_sf2(path, samples, sr=sr)
+
+    hvo = np.zeros((32, 27), np.float32)
+    hvo[0, 0] = 1
+    hvo[0, 9] = 1.0
+    y_sf2 = synth.synthesize_hvo(hvo, qpm=120, sf_path=path)
+    y_kit = synth.synthesize_hvo(hvo, qpm=120, sf_path=None)
+    n = min(len(y_sf2), len(y_kit), 5000)
+    np.testing.assert_allclose(y_sf2[:n], y_kit[:n], atol=5e-3)

@@ -1,0 +1,80 @@
+// Native sample-accumulation synthesizer core.
+//
+// The fluidsynth-equivalent hot path (SURVEY.md §2.3): given a per-voice sample
+// table and a flat event list (voice, onset sample index, velocity), mix every
+// event into the output buffer. Dataset construction renders tens of thousands
+// of 2-bar loops through this loop (the reference's dominant preprocessing
+// cost), so it is plain contiguous float math with no allocation.
+//
+// Exposed C ABI (consumed via ctypes from ../native_binding.py):
+//   tgi_mix_events      — mix one loop's events into one buffer
+//   tgi_mix_batch       — mix a batch of loops (events pre-grouped per item)
+//   tgi_resample_linear — linear-interpolation resampler (SF2 pitch/rate)
+//
+// Build: make -C transformergrooveinfilling_tpu/audio/native
+
+#include <cstdint>
+#include <cstring>
+#include <algorithm>
+
+extern "C" {
+
+// Mix `n_events` events into `buf` (length `buf_len`). `samples` is a table of
+// `n_voices` pointers with lengths `sample_lens`. Events index that table.
+void tgi_mix_events(float* buf, int64_t buf_len,
+                    const float* const* samples, const int64_t* sample_lens,
+                    int64_t n_voices,
+                    const int32_t* voices, const int64_t* onsets,
+                    const float* vels, int64_t n_events) {
+    for (int64_t e = 0; e < n_events; ++e) {
+        const int32_t voice = voices[e];
+        if (voice < 0 || voice >= n_voices) continue;
+        const float* s = samples[voice];
+        const int64_t s_len = sample_lens[voice];
+        const int64_t onset = onsets[e];
+        if (onset < 0 || onset >= buf_len) continue;
+        const int64_t n = std::min(s_len, buf_len - onset);
+        const float vel = vels[e];
+        float* out = buf + onset;
+        for (int64_t i = 0; i < n; ++i) {
+            out[i] += vel * s[i];
+        }
+    }
+}
+
+// Batched variant: `buf` is (n_items, buf_len) row-major; `event_offsets`
+// (n_items+1) delimits each item's slice of the flat event arrays.
+void tgi_mix_batch(float* buf, int64_t n_items, int64_t buf_len,
+                   const float* const* samples, const int64_t* sample_lens,
+                   int64_t n_voices,
+                   const int32_t* voices, const int64_t* onsets,
+                   const float* vels, const int64_t* event_offsets) {
+    for (int64_t item = 0; item < n_items; ++item) {
+        const int64_t start = event_offsets[item];
+        const int64_t end = event_offsets[item + 1];
+        tgi_mix_events(buf + item * buf_len, buf_len,
+                       samples, sample_lens, n_voices,
+                       voices + start, onsets + start, vels + start,
+                       end - start);
+    }
+}
+
+// Linear-interpolation resampling: `ratio` = src samples advanced per output
+// sample (combines sample-rate conversion and pitch shift). Returns the number
+// of output samples written (<= out_len).
+int64_t tgi_resample_linear(const float* src, int64_t src_len,
+                            float* out, int64_t out_len, double ratio) {
+    if (src_len <= 1 || ratio <= 0.0) return 0;
+    int64_t n = std::min<int64_t>(
+        out_len, static_cast<int64_t>((src_len - 1) / ratio));
+    double pos = 0.0;
+    for (int64_t i = 0; i < n; ++i, pos += ratio) {
+        const int64_t i0 = static_cast<int64_t>(pos);
+        const double frac = pos - static_cast<double>(i0);
+        out[i] = static_cast<float>(
+            src[i0] * (1.0 - frac) + src[i0 + 1] * frac);
+    }
+    return n;
+}
+
+}  // extern "C"

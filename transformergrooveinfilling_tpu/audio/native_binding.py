@@ -1,0 +1,95 @@
+"""ctypes binding for the native synthesizer core (audio/native/sf2synth.cpp).
+
+Builds the shared object on first use (g++, cached next to the source); every
+entry point has a numpy fallback in synth.py, so environments without a
+compiler still work — just slower on big corpora.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "libsf2synth.so")
+_lock = threading.Lock()
+_lib = None
+
+
+def _build() -> str:
+    src = os.path.join(_NATIVE_DIR, "sf2synth.cpp")
+    if not os.path.exists(_SO_PATH) or (
+        os.path.getmtime(src) > os.path.getmtime(_SO_PATH)
+    ):
+        subprocess.run(
+            ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-Wall",
+             "-o", _SO_PATH, src],
+            check=True, capture_output=True,
+        )
+    return _SO_PATH
+
+
+def get_lib():
+    global _lib
+    with _lock:
+        if _lib is None:
+            lib = ctypes.CDLL(_build())
+            lib.tgi_mix_events.restype = None
+            lib.tgi_mix_batch.restype = None
+            lib.tgi_resample_linear.restype = ctypes.c_int64
+            _lib = lib
+    return _lib
+
+
+def _sample_table_ptrs(table):
+    n = len(table)
+    arrs = [np.ascontiguousarray(s, dtype=np.float32) for s in table]
+    ptrs = (ctypes.POINTER(ctypes.c_float) * n)(
+        *[a.ctypes.data_as(ctypes.POINTER(ctypes.c_float)) for a in arrs])
+    lens = np.asarray([len(a) for a in arrs], dtype=np.int64)
+    return arrs, ptrs, lens
+
+
+def mix_events_native(buf: np.ndarray, table, voices: np.ndarray,
+                      onsets: np.ndarray, vels: np.ndarray):
+    """Drop-in replacement for synth._mix_events_numpy (same signature)."""
+    lib = get_lib()
+    assert buf.dtype == np.float32 and buf.flags.c_contiguous
+    arrs, ptrs, lens = _sample_table_ptrs(table)
+    voices = np.ascontiguousarray(voices, np.int32)
+    onsets = np.ascontiguousarray(onsets, np.int64)
+    vels = np.ascontiguousarray(vels, np.float32)
+    lib.tgi_mix_events(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(buf.shape[0]),
+        ptrs,
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(len(table)),
+        voices.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        onsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        vels.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(len(voices)),
+    )
+    del arrs  # keep alive until after the call
+
+
+def resample_linear(src: np.ndarray, ratio: float,
+                    out_len: int | None = None) -> np.ndarray:
+    """Native linear resampler; ``ratio`` = src samples per output sample."""
+    lib = get_lib()
+    src = np.ascontiguousarray(src, np.float32)
+    if out_len is None:
+        out_len = max(int((len(src) - 1) / ratio), 0)
+    out = np.zeros(out_len, np.float32)
+    n = lib.tgi_resample_linear(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(len(src)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(out_len),
+        ctypes.c_double(ratio),
+    )
+    return out[:n]
