@@ -1,0 +1,266 @@
+"""MIDI ↔ HVO conversion (the GMD2HVO_PreProcessing equivalent, SURVEY.md §2.2).
+
+The reference's corpus extraction converts Groove-MIDI-Dataset drum MIDI into
+HVO pickles offline via magenta/note_seq (absent submodule
+``GMD2HVO_PreProcessing``). Neither magenta nor a MIDI library exists in this
+image, so this module carries a self-contained Standard-MIDI-File reader/writer
+(delta-time varints, meta tempo/time-signature events, channel voice messages)
+plus the grid quantizer:
+
+- ``midi_to_hvo_sequences``: drum notes → 16th-note grid, velocity ∈ [0,1],
+  offset = signed fractional-gridstep distance to the nearest gridline
+  (∈ [-0.5, 0.5]), split into 2-bar (32-step) loops;
+- ``hvo_to_midi``: HVO grid → one-track SMF at the loop tempo;
+- ``gmd_to_processed_tree``: walk a GMD-style archive (``info.csv`` metadata)
+  → the ``GrooveMIDI_processed_<split>/hvo_sequence_data.obj`` layout the
+  subsetter consumes.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import pickle
+import struct
+
+import numpy as np
+
+from ..hvo import HVOSequence, N_VOICES, midi_note_to_voice
+from ..hvo.mapping import VOICE_TO_MIDI_NOTE
+from ..hvo.sequence import Metadata, Tempo, TimeSignature
+
+
+# -- SMF reading ---------------------------------------------------------------
+
+
+def _read_varlen(data: bytes, pos: int):
+    value = 0
+    while True:
+        b = data[pos]
+        pos += 1
+        value = (value << 7) | (b & 0x7F)
+        if not b & 0x80:
+            return value, pos
+
+
+def parse_midi(data: bytes) -> dict:
+    """→ {"division", "notes": [(tick, channel, note, velocity)],
+    "tempi": [(tick, us_per_qn)], "time_signatures": [(tick, num, den)]}."""
+    if data[:4] != b"MThd":
+        raise ValueError("not a Standard MIDI File")
+    (_hlen, _fmt, ntrks, division) = struct.unpack(">IHHH", data[4:14])
+    pos = 14
+    notes, tempi, tsigs = [], [], []
+    for _ in range(ntrks):
+        if data[pos : pos + 4] != b"MTrk":
+            raise ValueError("missing MTrk chunk")
+        (tlen,) = struct.unpack(">I", data[pos + 4 : pos + 8])
+        p = pos + 8
+        end = p + tlen
+        tick = 0
+        running = 0
+        while p < end:
+            delta, p = _read_varlen(data, p)
+            tick += delta
+            status = data[p]
+            if status & 0x80:
+                p += 1
+                running = status
+            else:
+                status = running
+            kind = status & 0xF0
+            channel = status & 0x0F
+            if status == 0xFF:  # meta
+                meta_type = data[p]
+                p += 1
+                mlen, p = _read_varlen(data, p)
+                payload = data[p : p + mlen]
+                p += mlen
+                if meta_type == 0x51 and mlen == 3:
+                    tempi.append((tick, int.from_bytes(payload, "big")))
+                elif meta_type == 0x58 and mlen >= 2:
+                    tsigs.append((tick, payload[0], 1 << payload[1]))
+            elif status in (0xF0, 0xF7):  # sysex
+                mlen, p = _read_varlen(data, p)
+                p += mlen
+            elif kind == 0x90:
+                note, vel = data[p], data[p + 1]
+                p += 2
+                if vel > 0:
+                    notes.append((tick, channel, note, vel))
+            elif kind in (0x80, 0xA0, 0xB0, 0xE0):
+                p += 2
+            elif kind in (0xC0, 0xD0):
+                p += 1
+            else:
+                raise ValueError(f"unhandled MIDI status 0x{status:02x}")
+        pos = end
+    return {"division": division, "notes": notes, "tempi": tempi,
+            "time_signatures": tsigs}
+
+
+def midi_to_hvo_sequences(
+    path_or_bytes, *, steps_per_quarter: int = 4, bars_per_loop: int = 2,
+    metadata: Metadata | None = None, drop_empty: bool = True,
+) -> list[HVOSequence]:
+    """Parse drum MIDI and split into fixed-length HVO loops."""
+    data = path_or_bytes
+    if not isinstance(data, (bytes, bytearray)):
+        with open(data, "rb") as f:
+            data = f.read()
+    mid = parse_midi(bytes(data))
+    division = mid["division"]
+    qpm = 60e6 / mid["tempi"][0][1] if mid["tempi"] else 120.0
+    num, den = (mid["time_signatures"][0][1:]
+                if mid["time_signatures"] else (4, 4))
+
+    ticks_per_step = division / steps_per_quarter
+    steps_per_loop = bars_per_loop * num * (16 // den) * steps_per_quarter // 4
+
+    events = []
+    max_step = 0
+    for tick, _channel, note, vel in mid["notes"]:
+        voice = midi_note_to_voice(note)
+        if voice is None:
+            continue
+        pos = tick / ticks_per_step
+        step = int(round(pos))
+        offset = pos - step
+        events.append((step, voice, vel / 127.0, offset))
+        max_step = max(max_step, step)
+
+    n_loops = max(1, -(-(max_step + 1) // steps_per_loop))
+    grids = np.zeros((n_loops, steps_per_loop, 3 * N_VOICES))
+    for step, voice, vel, off in events:
+        loop, s = divmod(step, steps_per_loop)
+        if loop >= n_loops:
+            continue
+        if grids[loop, s, voice] and grids[loop, s, voice + N_VOICES] >= vel:
+            continue  # keep the loudest hit on a collision
+        grids[loop, s, voice] = 1.0
+        grids[loop, s, voice + N_VOICES] = vel
+        grids[loop, s, voice + 2 * N_VOICES] = np.clip(off, -0.5, 0.5)
+
+    out = []
+    meta = metadata or Metadata(bpm=qpm)
+    for i in range(n_loops):
+        seq = HVOSequence(
+            hvo=grids[i],
+            time_signatures=[TimeSignature(numerator=num, denominator=den)],
+            tempos=[Tempo(qpm=qpm)],
+            metadata=Metadata(**{**meta.to_dict(),
+                                 "loop_id": f"{meta.loop_id or 'loop'}_{i}"}),
+        )
+        if drop_empty and seq.is_silent():
+            continue
+        out.append(seq)
+    return out
+
+
+# -- SMF writing ---------------------------------------------------------------
+
+
+def _varlen(value: int) -> bytes:
+    out = [value & 0x7F]
+    value >>= 7
+    while value:
+        out.append(0x80 | (value & 0x7F))
+        value >>= 7
+    return bytes(reversed(out))
+
+
+def hvo_to_midi(seq: HVOSequence, path: str | None = None,
+                steps_per_quarter: int = 4, division: int = 480) -> bytes:
+    """Render an HVO grid to a one-track SMF (drum channel 10)."""
+    qpm = seq.tempos[0].qpm or 120.0
+    ticks_per_step = division / steps_per_quarter
+    events = []  # (tick, bytes)
+    events.append((0, b"\xff\x51\x03"
+                   + int(round(60e6 / qpm)).to_bytes(3, "big")))
+    ts = seq.time_signatures[0]
+    den_pow = max(ts.denominator.bit_length() - 1, 0)
+    events.append((0, bytes([0xFF, 0x58, 0x04, ts.numerator, den_pow, 24, 8])))
+
+    h, v, o = seq.hits, seq.velocities, seq.offsets
+    for step in range(h.shape[0]):
+        for voice in range(h.shape[1]):
+            if h[step, voice] > 0:
+                tick = int(round((step + o[step, voice]) * ticks_per_step))
+                vel = int(np.clip(round(v[step, voice] * 127), 1, 127))
+                note = VOICE_TO_MIDI_NOTE[voice]
+                events.append((max(tick, 0), bytes([0x99, note, vel])))
+                events.append((max(tick, 0) + int(ticks_per_step // 2),
+                               bytes([0x89, note, 0])))
+    events.sort(key=lambda e: e[0])
+
+    track = b""
+    prev = 0
+    for tick, payload in events:
+        track += _varlen(tick - prev) + payload
+        prev = tick
+    track += _varlen(0) + b"\xff\x2f\x00"
+
+    blob = (b"MThd" + struct.pack(">IHHH", 6, 0, 1, division)
+            + b"MTrk" + struct.pack(">I", len(track)) + track)
+    if path:
+        with open(path, "wb") as f:
+            f.write(blob)
+    return blob
+
+
+# -- GMD archive → processed tree ---------------------------------------------
+
+
+def gmd_to_processed_tree(gmd_root: str, out_root: str,
+                          info_csv: str = "info.csv",
+                          bars_per_loop: int = 2) -> dict:
+    """Convert a Groove-MIDI-Dataset archive into the
+    ``GrooveMIDI_processed_<split>/hvo_sequence_data.obj`` layout
+    (+ metadata.csv) that :class:`..data.subsetter.GrooveMidiSubsetter` reads.
+
+    Returns {split: n_sequences}.
+    """
+    info_path = os.path.join(gmd_root, info_csv)
+    with open(info_path, newline="") as f:
+        rows = list(csv.DictReader(f))
+
+    per_split: dict[str, list] = {}
+    for row in rows:
+        midi_rel = row.get("midi_filename", "")
+        midi_path = os.path.join(gmd_root, midi_rel)
+        if not midi_rel or not os.path.exists(midi_path):
+            continue
+        style = row.get("style", "")
+        meta = Metadata(
+            drummer=row.get("drummer", ""),
+            session=row.get("session", ""),
+            master_id=f"{row.get('drummer', '')}/{row.get('session', '')}/"
+                      f"{row.get('id', '')}",
+            style_primary=style.split("/")[0],
+            style_secondary="/".join(style.split("/")[1:]),
+            beat_type=row.get("beat_type", ""),
+            loop_id=row.get("id", ""),
+            bpm=float(row.get("bpm", 0) or 0),
+        )
+        split = row.get("split", "train")
+        try:
+            seqs = midi_to_hvo_sequences(
+                midi_path, bars_per_loop=bars_per_loop, metadata=meta)
+        except (ValueError, struct.error):
+            continue
+        per_split.setdefault(split, []).extend(seqs)
+
+    counts = {}
+    for split, seqs in per_split.items():
+        out_dir = os.path.join(out_root, f"GrooveMIDI_processed_{split}")
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "hvo_sequence_data.obj"), "wb") as f:
+            pickle.dump(seqs, f)
+        with open(os.path.join(out_dir, "metadata.csv"), "w", newline="") as f:
+            writer = csv.DictWriter(f, fieldnames=list(
+                seqs[0].metadata.to_dict()) if seqs else ["master_id"])
+            writer.writeheader()
+            for s in seqs:
+                writer.writerow(s.metadata.to_dict())
+        counts[split] = len(seqs)
+    return counts
