@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Hyperparameter sweep runner.
+
+The reference scales out via wandb random-search sweeps (configs/*_sweep.yaml,
+SURVEY.md §2.4) with a cloud-side agent. This runner executes the same sweep
+YAML schema locally: sample N configs from the declared distributions, run each
+through the training driver, and rank by the sweep metric read back from the
+run's metrics sink. With wandb installed + online, prefer `wandb sweep` — the
+YAML is compatible by construction.
+
+Usage: python sweep.py --sweep configs/InfillingClosedHH_sweep.yaml --count 8
+"""
+
+import argparse
+import glob
+import json
+import os
+import random
+import sys
+
+import yaml
+
+
+def sample_param(spec, rng: random.Random):
+    if "value" in spec:
+        return spec["value"]
+    if "values" in spec:
+        return rng.choice(spec["values"])
+    dist = spec.get("distribution")
+    if dist == "uniform":
+        return rng.uniform(spec["min"], spec["max"])
+    if dist == "int_uniform":
+        return rng.randint(spec["min"], spec["max"])
+    if dist == "log_uniform":
+        import math
+        return math.exp(rng.uniform(spec["min"], spec["max"]))
+    raise ValueError(f"unsupported distribution spec: {spec}")
+
+
+def sample_config(sweep: dict, rng: random.Random) -> dict:
+    return {name: sample_param(spec, rng)
+            for name, spec in sweep["parameters"].items()}
+
+
+def read_final_metric(project: str, metric: str):
+    """Latest run's last logged value of `metric` from the local JSONL sink."""
+    run_dirs = sorted(glob.glob(os.path.join("runs", project, "*")))
+    if not run_dirs:
+        return None
+    path = os.path.join(run_dirs[-1], "metrics.jsonl")
+    value = None
+    if os.path.exists(path):
+        with open(path) as f:
+            for line in f:
+                rec = json.loads(line)
+                if metric in rec:
+                    value = rec[metric]
+    return value
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--sweep", required=True, help="sweep yaml")
+    parser.add_argument("--count", type=int, default=4)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--paths", default="configs/paths.yaml")
+    parser.add_argument("--epochs", type=int, default=None,
+                        help="override epochs per trial (quick sweeps)")
+    args = parser.parse_args(argv)
+
+    with open(args.sweep) as f:
+        sweep = yaml.safe_load(f)
+    metric = sweep.get("metric", {}).get("name", "loss")
+    goal = sweep.get("metric", {}).get("goal", "minimize")
+    project = sweep.get("project", "sweep")
+    rng = random.Random(args.seed)
+
+    import train as train_cli
+
+    results = []
+    for trial in range(args.count):
+        hp = sample_config(sweep, rng)
+        if args.epochs is not None:
+            hp["epochs"] = args.epochs
+        print(f"--- trial {trial}: {hp}")
+        cli = ["--paths", args.paths, "--wandb", "False",
+               "--eval_train", "False", "--eval_validation", "False",
+               "--dump_eval", "False", "--only_final_eval", "True"]
+        for key, val in hp.items():
+            cli += [f"--{key}", str(val)]
+        try:
+            train_cli.main(cli)
+            value = read_final_metric(project, metric)
+        except Exception as e:
+            print(f"    trial failed: {e}")
+            value = None
+        results.append((value, hp))
+        print(f"    {metric} = {value}")
+
+    scored = [(v, hp) for v, hp in results if v is not None]
+    if scored:
+        best = (min if goal == "minimize" else max)(scored, key=lambda r: r[0])
+        print(f"\nbest {metric} = {best[0]}\nbest config: "
+              f"{json.dumps(best[1], indent=2, default=str)}")
+        return 0
+    print("no successful trials")
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

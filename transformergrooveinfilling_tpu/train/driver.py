@@ -158,10 +158,22 @@ def run_training(
     state = bundle.state
     key = jax.random.PRNGKey(seed + 1)
 
+    # observability (SURVEY.md §5.1): per-epoch wall/throughput always logged;
+    # TGI_PROFILE=1 additionally captures an XLA device trace of the first
+    # epoch into the run dir (view with tensorboard / xprof)
+    profile_dir = None
+    if os.environ.get("TGI_PROFILE") and run is not None:
+        profile_dir = os.path.join(run.dir, "profile")
+
     for ep in range(initial_epoch, hp.epochs):
         t0 = time.time()
         key, epoch_key = jax.random.split(key)
-        state, metrics = epoch_fn(state, inputs, outputs, epoch_key)
+        if profile_dir and ep == initial_epoch:
+            with jax.profiler.trace(profile_dir):
+                state, metrics = epoch_fn(state, inputs, outputs, epoch_key)
+                jax.block_until_ready(metrics["loss"])
+        else:
+            state, metrics = epoch_fn(state, inputs, outputs, epoch_key)
         metrics = {k: float(v) for k, v in metrics.items()}
         bundle.state = state
         dt = time.time() - t0
