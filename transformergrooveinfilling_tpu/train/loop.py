@@ -86,6 +86,7 @@ def make_epoch_fn(
     plan: MeshPlan | None = None,
     tensor_parallel: bool = False,
     donate: bool = True,
+    n_epochs: int = 1,
 ):
     """Compile a whole-epoch function ``(state, inputs, outputs, key) ->
     (state, metrics)``.
@@ -93,7 +94,8 @@ def make_epoch_fn(
     ``n_samples`` and ``batch_size`` are static: the epoch is a ``lax.scan`` over
     ``ceil(N/B)`` steps with a permutation gather per step. Metrics are averaged
     over steps weighted by live-sample counts, so the epoch-mean loss equals the
-    reference's sample-weighted mean.
+    reference's sample-weighted mean. ``n_epochs > 1`` wraps an outer scan so
+    one dispatch trains many epochs (metrics returned for the last epoch).
     """
     step_fn = make_train_step(model, tx, hit_loss_penalty)
     n_batches = -(-n_samples // batch_size)
@@ -137,6 +139,19 @@ def make_epoch_fn(
     # parallel.mesh.shard_params); jit infers from the committed arguments and
     # the with_sharding_constraint above keeps batches on the data axis.
     donate_argnums = (0,) if donate else ()
+    if n_epochs > 1:
+        # scan over epochs inside one XLA program: amortizes host dispatch
+        # (significant when the host↔device link has high latency) and lets
+        # the compiler pipeline across epoch boundaries
+        def multi(state, inputs, outputs, key):
+            def body(carry, epoch_key):
+                state, metrics = epoch(carry, inputs, outputs, epoch_key)
+                return state, metrics
+            keys = jax.random.split(key, n_epochs)
+            state, metrics = jax.lax.scan(body, state, keys)
+            return state, jax.tree.map(lambda m: m[-1], metrics)
+
+        return jax.jit(multi, donate_argnums=donate_argnums)
     return jax.jit(epoch, donate_argnums=donate_argnums)
 
 
