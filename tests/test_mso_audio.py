@@ -112,3 +112,32 @@ def test_kick_vs_hat_band_separation():
     kick_centroid = np.average(np.arange(16), weights=kick[0] + 1e-9)
     hat_centroid = np.average(np.arange(16), weights=hat[0] + 1e-9)
     assert kick_centroid < hat_centroid
+
+
+def test_pallas_band_energies_matches_fft(rng):
+    import jax.numpy as jnp
+    from transformergrooveinfilling_tpu.ops.mso_pallas import (
+        band_energies_pallas, band_energies_reference)
+
+    params = MSOParams()
+    fb_t = jnp.asarray(log_frequency_filterbank(params).T)
+    frames = jnp.asarray(rng.standard_normal((200, params.n_fft)), jnp.float32)
+    ref = band_energies_reference(frames, fb_t)
+    out = band_energies_pallas(frames, fb_t, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_mso_pallas_path_matches_default():
+    import jax.numpy as jnp
+    from transformergrooveinfilling_tpu.ops.mso import mso_batch
+
+    hvo = _one_hit_hvo(0, 0)
+    hvo[16, 1] = 1.0
+    hvo[16, 1 + N_VOICES] = 1.0
+    y = jnp.asarray(synthesize_hvo(hvo, qpm=120))[None]
+    sps = jnp.asarray([8.0])
+    base = mso_batch(y, sps, 32, MSOParams(), use_pallas=False)
+    fused = mso_batch(y, sps, 32, MSOParams(), use_pallas=True)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(base),
+                               rtol=1e-3, atol=1e-3)

@@ -97,9 +97,14 @@ def onset_strength_bands(mag: jnp.ndarray, fb: jnp.ndarray,
     """Log-compressed band energies → adaptive-threshold spectral flux
     ``(..., F, n_bands)``."""
     bands = jnp.einsum("...fk,bk->...fb", mag, fb)
+    return _flux_from_bands(bands, params)
+
+
+def _flux_from_bands(bands: jnp.ndarray, params: MSOParams) -> jnp.ndarray:
+    """Log compression + moving-average adaptive-threshold flux."""
     s = jnp.log1p(10.0 * bands)
-    # moving-average adaptive threshold over mean_filter_size frames (centered),
-    # computed with a cumsum (works for any batch rank, fuses cleanly)
+    # centered moving average over mean_filter_size frames, via cumsum
+    # (works for any batch rank, fuses cleanly)
     k = params.mean_filter_size
     pad = [(0, 0)] * (s.ndim - 2) + [(k // 2, k - 1 - k // 2), (0, 0)]
     s_pad = jnp.pad(s, pad, mode="edge")
@@ -123,15 +128,49 @@ def grid_pool(flux: jnp.ndarray, steps_per_sec: jnp.ndarray, n_steps: int,
     return jnp.max(jnp.where(mask, vals, 0.0), axis=-3)  # (..., S, B)
 
 
-@partial(jax.jit, static_argnames=("n_steps", "params"))
+def _windowed_frames(y: jnp.ndarray, params: MSOParams) -> jnp.ndarray:
+    """Center-padded, Hann-windowed frames ``(..., F, n_fft)``."""
+    pad = params.n_fft // 2
+    y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(pad, pad)], mode="reflect")
+    length = y.shape[-1]
+    n_frames = 1 + (length - params.win_length) // params.hop_length
+    idx = (
+        jnp.arange(n_frames)[:, None] * params.hop_length
+        + jnp.arange(params.win_length)[None, :]
+    )
+    frames = y[..., idx] * hann_window(params.win_length)
+    if params.win_length < params.n_fft:
+        frames = jnp.pad(
+            frames, [(0, 0)] * (frames.ndim - 1)
+            + [(0, params.n_fft - params.win_length)])
+    return frames
+
+
+@partial(jax.jit, static_argnames=("n_steps", "params", "use_pallas"))
 def mso_batch(y: jnp.ndarray, steps_per_sec: jnp.ndarray, n_steps: int,
-              params: MSOParams) -> jnp.ndarray:
-    """Batched waveforms ``(M, L)`` (+ per-item grid rate) → ``(M, T, 16)``."""
+              params: MSOParams, use_pallas: bool = False) -> jnp.ndarray:
+    """Batched waveforms ``(M, L)`` (+ per-item grid rate) → ``(M, T, 16)``.
+
+    ``use_pallas`` routes the |DFT| + band projection through the fused MXU
+    kernel (ops/mso_pallas.py); default path is the XLA rFFT.
+    """
     peak = jnp.max(jnp.abs(y), axis=-1, keepdims=True)
     y = y / jnp.maximum(peak, 1e-9)
-    mag = stft_magnitude(y, params)
     fb = jnp.asarray(log_frequency_filterbank(params))
-    flux = onset_strength_bands(mag, fb, params)
+    if use_pallas:
+        from .mso_pallas import band_energies_pallas
+
+        frames = _windowed_frames(y, params)
+        m, f = frames.shape[0], frames.shape[1]
+        energies = band_energies_pallas(
+            frames.reshape(m * f, params.n_fft), fb.T,
+            interpret=jax.default_backend() == "cpu",
+        ).reshape(m, f, params.n_bands)
+        bands = energies
+    else:
+        mag = stft_magnitude(y, params)
+        bands = jnp.einsum("...fk,bk->...fb", mag, fb)
+    flux = _flux_from_bands(bands, params)
     return grid_pool(flux, jnp.asarray(steps_per_sec), n_steps, params)
 
 
