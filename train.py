@@ -39,6 +39,8 @@ def parse_args(argv=None):
     parser.add_argument("--export_legacy", default=False,
                         help="also write torch-format .Model checkpoints")
     parser.add_argument("--ckpt_dir", default="checkpoints")
+    parser.add_argument("--epoch_block", type=int, default=1,
+                        help="epochs fused per device dispatch (scan-of-epochs)")
 
     # hyperparameters
     parser.add_argument("--config", default=None,
@@ -170,6 +172,7 @@ def main(argv=None):
         dump_eval=bool(args.dump_eval) and args.dump_eval != "False",
         ckpt_dir=args.ckpt_dir,
         export_legacy=bool(args.export_legacy) and args.export_legacy != "False",
+        epoch_block=args.epoch_block,
     )
     xlog.finish()
 

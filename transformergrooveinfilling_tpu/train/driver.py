@@ -111,10 +111,15 @@ def run_training(
     export_legacy: bool = False,
     seed: int = 0,
     log_media: bool = True,
+    epoch_block: int = 1,
 ) -> ModelBundle:
     """Full training run: the reference epoch loop, compiled.
 
     ``evaluators``: optional ``{"train": ev, "test": ev, "validation": ev}``.
+    ``epoch_block > 1`` fuses that many epochs into one device dispatch
+    (scan-of-epochs); scalar logging, held-out losses, checkpointing, and
+    evaluator passes then happen at block granularity — use on high-latency
+    host↔device links.
     """
     from ..eval.evaluator import log_eval
 
@@ -136,9 +141,10 @@ def run_training(
     n = inputs.shape[0]
     assert n > 0, "dataset is empty"
 
+    epoch_block = max(1, min(epoch_block, hp.epochs - initial_epoch or 1))
     epoch_fn = make_epoch_fn(
         bundle.model, bundle.tx, hp.hit_loss_penalty, hp.batch_size, n,
-        plan=plan, donate=True)
+        plan=plan, donate=True, n_epochs=epoch_block)
     eval_loss_fn = make_eval_loss_fn(bundle.model, hp.hit_loss_penalty)
 
     epoch_save_partial, epoch_save_all = eval_log_freq(
@@ -165,40 +171,53 @@ def run_training(
     if os.environ.get("TGI_PROFILE") and run is not None:
         profile_dir = os.path.join(run.dir, "profile")
 
-    for ep in range(initial_epoch, hp.epochs):
+    ep = initial_epoch
+    while ep < hp.epochs:
+        block = min(epoch_block, hp.epochs - ep)
         t0 = time.time()
         key, epoch_key = jax.random.split(key)
+        if block == epoch_block:
+            run_fn = epoch_fn
+        else:  # trailing partial block
+            run_fn = make_epoch_fn(
+                bundle.model, bundle.tx, hp.hit_loss_penalty, hp.batch_size,
+                n, plan=plan, donate=True, n_epochs=block)
         if profile_dir and ep == initial_epoch:
             with jax.profiler.trace(profile_dir):
-                state, metrics = epoch_fn(state, inputs, outputs, epoch_key)
+                state, metrics = run_fn(state, inputs, outputs, epoch_key)
                 jax.block_until_ready(metrics["loss"])
         else:
-            state, metrics = epoch_fn(state, inputs, outputs, epoch_key)
+            state, metrics = run_fn(state, inputs, outputs, epoch_key)
         metrics = {k: float(v) for k, v in metrics.items()}
         bundle.state = state
+        ep += block  # `ep` is now one past the last completed epoch
         dt = time.time() - t0
-        metrics["epoch_time_s"] = dt
-        metrics["seqs_per_sec"] = n / dt if dt > 0 else 0.0
+        metrics["epoch_time_s"] = dt / block
+        metrics["seqs_per_sec"] = n * block / dt if dt > 0 else 0.0
 
         for name, (hx, hy) in held_out.items():
             hm = eval_loss_fn(state.params, hx, hy)
             metrics.update({f"{name}_{k}": float(v) for k, v in hm.items()})
 
-        xlog.log({**metrics, "epoch": ep}, commit=False)
+        last_ep = ep - 1  # epoch index the metrics/evals belong to
+        block_epochs = range(ep - block, ep)
+        xlog.log({**metrics, "epoch": last_ep}, commit=False)
 
-        save_now = ep in epoch_save_partial or ep in epoch_save_all
+        save_now = any(e in epoch_save_partial or e in epoch_save_all
+                       for e in block_epochs)
         if save_now:
-            ckpt.save_checkpoint(ckpt_dir, run_id, ep, state,
+            ckpt.save_checkpoint(ckpt_dir, run_id, last_ep, state,
                                  metrics["loss"], bundle.config)
             if export_legacy and bundle.config.encoder_only:
-                ckpt.export_legacy(ckpt_dir, run_id, ep, state.params,
+                ckpt.export_legacy(ckpt_dir, run_id, last_ep, state.params,
                                    bundle.config, metrics["loss"])
 
-        media_now = log_media and ep in epoch_save_all
+        media_now = log_media and any(e in epoch_save_all for e in block_epochs)
         for name, ev in evaluators.items():
             ev._identifier = f"{name.capitalize()}_Set"
-            log_eval(ev, bundle, log_media=media_now, epoch=ep, dump=dump_eval)
+            log_eval(ev, bundle, log_media=media_now, epoch=last_ep,
+                     dump=dump_eval)
 
-        xlog.log({"epoch": ep}, commit=True)
+        xlog.log({"epoch": last_ep}, commit=True)
 
     return bundle
