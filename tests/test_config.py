@@ -1,0 +1,115 @@
+"""Config system: reference YAMLs load unchanged; derived-params logic."""
+
+import glob
+import os
+
+import pytest
+import yaml
+
+from transformergrooveinfilling_tpu.train.config import (
+    HyperParams,
+    derive_model_config,
+    embedding_size_src_for,
+    load_hyperparameters,
+    load_paths,
+)
+
+REFERENCE_CONFIGS = "/root/reference/configs"
+
+
+def test_our_configs_load():
+    for path in glob.glob("configs/*_training.yaml"):
+        hp = load_hyperparameters(path)
+        assert hp.experiment
+        cfg = derive_model_config(hp)
+        assert cfg.max_len == 32 and cfg.embedding_size_tgt == 27
+
+
+@pytest.mark.skipif(not os.path.isdir(REFERENCE_CONFIGS),
+                    reason="reference configs unavailable")
+def test_reference_training_configs_load_unchanged():
+    """North-star requirement (SURVEY.md §5.6): the reference's exact YAML
+    files must be consumable as-is."""
+    paths = glob.glob(os.path.join(REFERENCE_CONFIGS, "*_training.yaml"))
+    paths += glob.glob(os.path.join(REFERENCE_CONFIGS,
+                                    "InfillingRandom_test_large.yaml"))
+    assert paths
+    for path in paths:
+        hp = load_hyperparameters(path)
+        cfg = derive_model_config(hp)
+        assert cfg.num_encoder_layers == hp.num_encoder_decoder_layers
+        if hp.encoder_only:
+            assert cfg.num_decoder_layers == 0
+        assert cfg.embedding_size_src == (
+            27 if "Symbolic" in hp.experiment else 16)
+
+
+@pytest.mark.skipif(not os.path.isdir(REFERENCE_CONFIGS),
+                    reason="reference configs unavailable")
+def test_reference_paths_yaml_loads():
+    paths = load_paths(os.path.join(REFERENCE_CONFIGS, "paths.yaml"))
+    assert "InfillingClosedHH" in paths
+    assert "datasets" in paths["InfillingClosedHH"]
+
+
+@pytest.mark.skipif(not os.path.isdir(REFERENCE_CONFIGS),
+                    reason="reference configs unavailable")
+def test_reference_sweep_yaml_samples():
+    """Our sweep runner consumes the reference's sweep schema directly."""
+    import random
+    import sweep as sweep_cli
+
+    with open(os.path.join(REFERENCE_CONFIGS,
+                           "InfillingKicksAndSnares_sweep.yaml")) as f:
+        spec = yaml.safe_load(f)
+    rng = random.Random(0)
+    cfg = sweep_cli.sample_config(spec, rng)
+    assert cfg["experiment"] == "InfillingKicksAndSnares"
+    assert cfg["batch_size"] in spec["parameters"]["batch_size"]["values"]
+    assert 0.1 <= cfg["dropout"] <= 0.3
+    assert 6 <= cfg["num_encoder_decoder_layers"] <= 12
+
+
+def test_demo_checkpoint_config_derivation():
+    """The testing config derives exactly the demo checkpoint's architecture."""
+    hp = HyperParams.from_dict({
+        "experiment": "InfillingClosedHH_testing", "batch_size": 32,
+        "d_model": 32, "dim_feedforward": 16, "dropout": 0.18,
+        "optimizer_algorithm": "sgd", "learning_rate": 0.094, "n_heads": 4,
+        "num_encoder_decoder_layers": 6, "epochs": 1, "encoder_only": 1,
+        "hit_loss_penalty": 0.47, "load_model": None})
+    cfg = derive_model_config(hp)
+    assert (cfg.d_model, cfg.n_heads, cfg.dim_feedforward,
+            cfg.num_encoder_layers, cfg.embedding_size_src) == (32, 4, 16, 6, 16)
+
+
+def test_encoder_decoder_variant(rng):
+    """encoder_only=0 builds the full enc-dec model and it runs."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from transformergrooveinfilling_tpu.models import build_model
+
+    hp = HyperParams.from_dict({
+        "experiment": "InfillingClosedHH", "encoder_only": 0, "d_model": 16,
+        "n_heads": 2, "dim_feedforward": 16, "dropout": 0.1,
+        "num_encoder_decoder_layers": 2, "batch_size": 4,
+        "learning_rate": 0.05, "epochs": 1, "hit_loss_penalty": 1.0})
+    cfg = derive_model_config(hp)
+    assert cfg.num_decoder_layers == 2
+    model = build_model(cfg)
+    x = jnp.asarray(rng.standard_normal((2, 32, 16)), jnp.float32)
+    tgt = jnp.asarray(rng.standard_normal((2, 32, 27)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x, tgt,
+                        deterministic=True)["params"]
+    h, v, o = model.apply({"params": params}, x, tgt, deterministic=True)
+    assert h.shape == (2, 32, 9)
+    assert "decoder_layer_0" in params and "decoder_norm" in params
+    # gradients flow through the decoder
+    def loss(p):
+        hh, vv, oo = model.apply({"params": p}, x, tgt, deterministic=True)
+        return (hh ** 2).mean() + (vv ** 2).mean()
+    g = jax.grad(loss)(params)
+    gnorm = np.asarray(
+        jnp.abs(g["decoder_layer_0"]["cross_attn"]["q"]["kernel"]).max())
+    assert gnorm > 0
