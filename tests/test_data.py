@@ -137,3 +137,59 @@ def test_symbolic_dataset_deterministic(tmp_path):
     b = GrooveMidiDatasetInfillingSymbolic(data=[s.copy() for s in seqs], **kw)
     np.testing.assert_allclose(a.processed_inputs, b.processed_inputs)
     assert a.voices_reduced == b.voices_reduced
+
+
+def test_audio_dataset_mso_inputs(tmp_path):
+    """GrooveMidiDatasetInfilling (audio modality): MSO inputs (32, 16)."""
+    from transformergrooveinfilling_tpu.data import GrooveMidiDatasetInfilling
+
+    seqs = synthetic_gmd_sequences(6, seed=21)
+    ds = GrooveMidiDatasetInfilling(
+        data=seqs, dataset_name="AudioDS", split="train",
+        save_dataset_path=str(tmp_path / "ds"),
+        voices_params={"voice_idx": [0, 1], "min_n_voices_to_remove": 1,
+                       "max_n_voices_to_remove": 2, "prob": [1, 1], "k": 2},
+        max_aug_items=2, seed=5, save=False)
+    assert len(ds) > 0
+    x, y, _ = ds[0]
+    assert x.shape == (32, 16) and y.shape == (32, 27)
+    assert np.isfinite(x).all() and (x >= 0).all()
+    assert x.max() > 0  # non-silent input produced onset energy
+    assert len(ds.soundfonts) == len(ds)
+
+
+def test_train_loop_compat_wrapper(tmp_path):
+    """Reference train_loop(...) signature drives one epoch."""
+    from transformergrooveinfilling_tpu.data import (
+        GrooveMidiDatasetInfillingSymbolic)
+    from transformergrooveinfilling_tpu.train import initialize_model, train_loop
+
+    seqs = synthetic_gmd_sequences(12, seed=31)
+    ds = GrooveMidiDatasetInfillingSymbolic(
+        data=seqs, dataset_name="TL", split="t",
+        save_dataset_path=str(tmp_path), save=False,
+        voices_params={"voice_idx": [2], "min_n_voices_to_remove": 1,
+                       "max_n_voices_to_remove": 1, "prob": [1], "k": 2},
+        max_aug_items=1, seed=2)
+    params = {
+        "model": {"experiment": "InfillingClosedHH_Symbolic", "encoder_only": 1,
+                  "optimizer": "sgd", "d_model": 16, "n_heads": 2,
+                  "dim_feedforward": 16, "dropout": 0.1,
+                  "num_encoder_layers": 1, "num_decoder_layers": 0,
+                  "max_len": 32, "embedding_size_src": 27,
+                  "embedding_size_tgt": 27},
+        "training": {"learning_rate": 0.05, "batch_size": 8,
+                     "hit_loss_penalty": 0.5},
+        "load_model": None}
+    bundle, opt, ep0 = initialize_model(params)
+    metrics = train_loop(
+        dataloader=ds, groove_transformer=bundle, encoder_only=1, opt=opt,
+        epoch=0, loss_fn=None, bce_fn=None, mse_fn=None, device=None,
+        test_inputs=ds.processed_inputs, test_gt=ds.processed_outputs,
+        validation_inputs=None, validation_gt=None,
+        hit_loss_penalty=0.5, save=True, batch_size=8,
+        ckpt_dir=str(tmp_path / "ck"))
+    assert "loss" in metrics and "test_loss" in metrics
+    assert "grad_norm" in metrics and metrics["grad_norm"] > 0
+    import os
+    assert any(f.endswith(".ckpt") for f in os.listdir(tmp_path / "ck"))

@@ -144,3 +144,16 @@ def test_metrics_dict_shape(rng):
     d = metrics_dict(pred, gt, "X")
     assert len(d) == 3 * 10  # 9 voices + mean per family
     assert all(np.isfinite(v) for v in d.values())
+
+
+def test_feature_pdf_media(evaluator):
+    from transformergrooveinfilling_tpu.eval.media import feature_pdf_html
+
+    html = feature_pdf_html(
+        {t: s for t, s in zip(evaluator._gt_tags, evaluator._gt_subsets)},
+        "GT")
+    assert "<svg" in html and "Syncopation::Combined" in html
+
+    ev = evaluator.gt_SubSet_Evaluator
+    d = ev.get_logging_dict(audio_files=False, global_features_html=True)
+    assert "global_feature_pdfs" in d and "<svg" in d["global_feature_pdfs"]

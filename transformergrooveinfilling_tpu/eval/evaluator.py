@@ -116,10 +116,12 @@ class HVOSeqSubsetInfillingEvaluator:
         out = []
         for key, samples in sampled.items():
             for idx, sample in enumerate(samples):
-                merged = (self.add_removed_part_to_hvo(sample.copy(), key, idx)
-                          if key in self.hvo_comp_dict else sample.copy())
-                sf = (self.sf_dict.get(key, [None] * (idx + 1))[idx]
-                      if self.sf_dict else None)
+                merged = (
+                    self.add_removed_part_to_hvo(sample.copy(), key, idx)
+                    if idx < len(self.hvo_comp_dict.get(key, []))
+                    else sample.copy())
+                sfs = self.sf_dict.get(key, [])
+                sf = sfs[idx] if idx < len(sfs) else None
                 out.append((self._caption(sample, idx, ".wav"),
                             merged.synthesize(sf_path=sf)))
         out.sort(key=lambda ca: ca[0])
@@ -135,7 +137,8 @@ class HVOSeqSubsetInfillingEvaluator:
             rolls = []
             for idx, sample in enumerate(sampled[tag]):
                 s = sample.copy()
-                if add_inputs and tag in self.hvo_comp_dict:
+                # input context exists only for the sampled audio locations
+                if add_inputs and idx < len(self.hvo_comp_dict.get(tag, [])):
                     s = self.add_removed_part_to_hvo(s, tag, idx)
                 rolls.append(piano_roll_html(s, title=self._caption(sample, idx)))
             tabs.append(tabs_html(rolls, [str(i) for i in range(len(rolls))]))
@@ -153,6 +156,12 @@ class HVOSeqSubsetInfillingEvaluator:
                          audio_files=True, sf_paths=None,
                          use_specific_samples_at=None):
         out = {}
+        if global_features_html and self.analyze_global_features:
+            from .media import feature_pdf_html
+
+            out["global_feature_pdfs"] = feature_pdf_html(
+                self.get_hvo_samples_located_at(use_specific_samples_at),
+                self.set_identifier)
         if piano_roll_html:
             out["piano_rolls"] = self.get_piano_rolls(use_specific_samples_at)
             out["piano_rolls_plus_inputs"] = self.get_piano_rolls(
@@ -174,6 +183,10 @@ class HVOSeqSubsetInfillingEvaluator:
         if "velocity_heatmaps" in logging_dict:
             media["velocity_heatmaps"] = {
                 self.set_identifier: xlog.Html(logging_dict["velocity_heatmaps"])}
+        if logging_dict.get("global_feature_pdfs"):
+            media["global_feature_pdfs"] = {
+                self.set_identifier: xlog.Html(
+                    logging_dict["global_feature_pdfs"])}
         if "captions_audios" in logging_dict and logging_dict["captions_audios"]:
             media["audios"] = {
                 self.set_identifier + "_plus_inputs": [

@@ -137,3 +137,54 @@ def html_document(body: str, title: str = "report") -> str:
     return (f"<!DOCTYPE html><html><head><meta charset='utf-8'>"
             f"<title>{_html.escape(title)}</title></head>"
             f"<body>{body}</body></html>")
+
+
+def _histogram_svg(values, title: str, bins: int = 20,
+                   width: int = 420, height: int = 160) -> str:
+    """Dependency-free histogram (the reference's bokeh feature PDFs)."""
+    import numpy as _np
+
+    values = _np.asarray(values, float)
+    values = values[_np.isfinite(values)]
+    parts = [_svg_header(width, height, title),
+             f'<text x="4" y="14">{_html.escape(title)}</text>']
+    if values.size:
+        counts, edges = _np.histogram(values, bins=bins)
+        peak = max(counts.max(), 1)
+        plot_w, plot_h, x0, y0 = width - 20, height - 40, 10, 20
+        bar_w = plot_w / bins
+        for i, c in enumerate(counts):
+            h = plot_h * c / peak
+            parts.append(
+                f'<rect x="{x0 + i * bar_w:.1f}" y="{y0 + plot_h - h:.1f}" '
+                f'width="{bar_w - 1:.1f}" height="{h:.1f}" fill="#2166ac" '
+                f'fill-opacity="0.8"/>')
+        parts.append(
+            f'<text x="{x0}" y="{height - 4}" font-size="9">'
+            f'{edges[0]:.2f}</text>'
+            f'<text x="{width - 50}" y="{height - 4}" font-size="9">'
+            f'{edges[-1]:.2f}</text>')
+    parts.append("</svg>")
+    return "".join(parts)
+
+
+def feature_pdf_html(subsets: dict, identifier: str) -> str:
+    """Per-family tabs of per-feature value histograms over all samples
+    (reference "global_feature_pdfs" media)."""
+    import numpy as _np
+
+    from .features import ALL_FAMILIES
+
+    samples = [s for sub in subsets.values() for s in sub]
+    if not samples:
+        return ""
+    stack = _np.stack([_np.asarray(s.hvo) for s in samples])
+    family_tabs, family_names = [], []
+    for family, fn in ALL_FAMILIES.items():
+        feats = fn(stack)
+        plots = "".join(
+            _histogram_svg(vec, f"{family}::{name}")
+            for name, vec in feats.items())
+        family_tabs.append(f"<div>{plots}</div>")
+        family_names.append(family)
+    return tabs_html(family_tabs, family_names)

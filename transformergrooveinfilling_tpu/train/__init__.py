@@ -8,6 +8,8 @@ from .config import (
 )
 from .schedule import eval_log_freq
 from .loop import TrainState, create_train_state, make_train_step, train_epoch
+from .driver import ModelBundle, initialize_model, run_training, train_loop
+from ..models.losses import calculate_loss
 from . import checkpoint
 
 __all__ = [
@@ -21,4 +23,9 @@ __all__ = [
     "make_train_step",
     "train_epoch",
     "checkpoint",
+    "ModelBundle",
+    "initialize_model",
+    "run_training",
+    "train_loop",
+    "calculate_loss",
 ]

@@ -221,3 +221,49 @@ def run_training(
         xlog.log({"epoch": last_ep}, commit=True)
 
     return bundle
+
+
+def train_loop(dataloader=None, groove_transformer: ModelBundle | None = None,
+               encoder_only: int = 1, opt=None, epoch: int = 0,
+               loss_fn=None, bce_fn=None, mse_fn=None, device=None,
+               test_inputs=None, test_gt=None,
+               validation_inputs=None, validation_gt=None,
+               hit_loss_penalty: float = 1.0, save: bool = False,
+               *, dataset=None, batch_size: int = 16, ckpt_dir: str = "checkpoints",
+               run_id: str = "local", seed: int | None = None):
+    """Reference ``train_loop`` contract (BaseGrooveTransformers; call site
+    /root/reference/train.py:195-215): one epoch of training + held-out losses
+    + optional checkpoint save.
+
+    Differences by design: ``dataloader`` is the dataset object itself (or pass
+    ``dataset=``) — batching/shuffling happen inside the compiled epoch;
+    ``loss_fn/bce_fn/mse_fn/device`` are accepted for signature compatibility
+    and ignored (the fused loss lives in models/losses.py; placement is jit's).
+    Returns the epoch's metric dict.
+    """
+    bundle = groove_transformer
+    data = dataset if dataset is not None else dataloader
+    assert bundle is not None and data is not None
+    inputs = jnp.asarray(np.asarray(data.processed_inputs, np.float32))
+    outputs = jnp.asarray(np.asarray(data.processed_outputs, np.float32))
+    epoch_fn = make_epoch_fn(bundle.model, bundle.tx, hit_loss_penalty,
+                             batch_size, inputs.shape[0], donate=False)
+    key = jax.random.PRNGKey(epoch if seed is None else seed)
+    state, metrics = epoch_fn(bundle.state, inputs, outputs, key)
+    bundle.state = state
+    metrics = {k: float(v) for k, v in metrics.items()}
+
+    eval_loss_fn = make_eval_loss_fn(bundle.model, hit_loss_penalty)
+    for name, (hx, hy) in (("test", (test_inputs, test_gt)),
+                           ("validation", (validation_inputs, validation_gt))):
+        if hx is not None and hy is not None:
+            hm = eval_loss_fn(bundle.state.params,
+                              jnp.asarray(np.asarray(hx, np.float32)),
+                              jnp.asarray(np.asarray(hy, np.float32)))
+            metrics.update({f"{name}_{k}": float(v) for k, v in hm.items()})
+
+    xlog.log(metrics, commit=False)
+    if save:
+        ckpt.save_checkpoint(ckpt_dir, run_id, epoch, bundle.state,
+                             metrics["loss"], bundle.config)
+    return metrics

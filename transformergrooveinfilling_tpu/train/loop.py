@@ -65,6 +65,9 @@ def make_train_step(model, tx, hit_loss_penalty: float) -> Callable:
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics = {
+            # global gradient norm: the scalar stand-in for the reference's
+            # wandb.watch histograms (SURVEY.md §5.5)
+            "grad_norm": optax.global_norm(grads),
             "loss": out.total_loss,
             "hit_accuracy": out.hit_accuracy,
             "hit_perplexity": out.hit_perplexity,
