@@ -41,6 +41,9 @@ def parse_args(argv=None):
     parser.add_argument("--ckpt_dir", default="checkpoints")
     parser.add_argument("--epoch_block", type=int, default=1,
                         help="epochs fused per device dispatch (scan-of-epochs)")
+    parser.add_argument("--fast_prng", type=int, default=1,
+                        help="use the rbg PRNG for dropout masks (~2x step "
+                             "time on TPU at this model size)")
 
     # hyperparameters
     parser.add_argument("--config", default=None,
@@ -99,6 +102,13 @@ def main(argv=None):
 
     os.environ["WANDB_MODE"] = "online" if args.wandb and args.wandb != "False" \
         else "offline"
+
+    if args.fast_prng:
+        import jax
+        try:
+            jax.config.update("jax_default_prng_impl", "unsafe_rbg")
+        except Exception:
+            pass
 
     from transformergrooveinfilling_tpu.data import load_processed_dataset
     from transformergrooveinfilling_tpu.eval.evaluator import init_evaluator
