@@ -137,3 +137,61 @@ def test_random_weights_parity(rng):
     np.testing.assert_allclose(np.asarray(jx_h), th_h.numpy(), atol=3e-5)
     np.testing.assert_allclose(np.asarray(jx_v), th_v.numpy(), atol=3e-5)
     np.testing.assert_allclose(np.asarray(jx_o), th_o.numpy(), atol=3e-5)
+
+
+def test_sgd_training_step_parity(rng):
+    """Three full-batch SGD steps in both stacks from identical weights land on
+    identical parameters — training dynamics, not just the forward, match."""
+    import jax
+    import jax.numpy as jnp
+    from transformergrooveinfilling_tpu.train.loop import (
+        create_train_state, make_epoch_fn, make_optimizer, TrainState)
+
+    cfg = GrooveTransformerConfig(
+        d_model=32, n_heads=4, dim_feedforward=16, dropout=0.0,
+        num_encoder_layers=2, embedding_size_src=16)
+    oracle = TorchGrooveTransformerEncoder(16, 27, 32, 4, 16, 0.0, 2, 32)
+    oracle.train()
+    sd = {k: v.numpy() for k, v in oracle.state_dict().items()}
+    params = torch_compat.state_dict_to_params(sd, cfg)
+
+    n, lr, hlp = 16, 0.05, 0.5
+    x = rng.standard_normal((n, 32, 16)).astype(np.float32)
+    h = (rng.random((n, 32, 9)) < 0.3).astype(np.float32)
+    y = np.concatenate([h, h * 0.6, h * 0.1], axis=2).astype(np.float32)
+
+    # torch: 3 SGD steps
+    opt = torch.optim.SGD(oracle.parameters(), lr=lr)
+    bce = torch.nn.BCEWithLogitsLoss(reduction="none")
+    mse = torch.nn.MSELoss(reduction="none")
+    xt, yt = torch.from_numpy(x), torch.from_numpy(y)
+    y_h, y_v, y_o = torch.split(yt, 9, dim=2)
+    pen = torch.where(y_h == 1, 1.0, hlp)
+    for _ in range(3):
+        opt.zero_grad()
+        p_h, p_v, p_o = oracle(xt)
+        loss = ((bce(p_h, y_h) * pen).sum(2).mean()
+                + (mse(p_v, y_v) * pen).sum(2).mean()
+                + (mse(p_o, y_o) * pen).sum(2).mean())
+        loss.backward()
+        opt.step()
+
+    # jax: batch_size = n → one full-batch step per epoch; permutation is moot
+    from transformergrooveinfilling_tpu.models import build_model
+    model = build_model(cfg)
+    tx = make_optimizer("sgd", lr)
+    params_j = jax.tree.map(jnp.asarray, params)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params_j,
+                       opt_state=tx.init(params_j))
+    epoch_fn = make_epoch_fn(model, tx, hlp, batch_size=n, n_samples=n,
+                             donate=False)
+    for i in range(3):
+        state, metrics = epoch_fn(state, jnp.asarray(x), jnp.asarray(y),
+                                  jax.random.PRNGKey(i))
+
+    sd_after = {k: v.detach().numpy() for k, v in oracle.state_dict().items()}
+    params_torch_after = torch_compat.state_dict_to_params(sd_after, cfg)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5),
+        jax.device_get(state.params), params_torch_after)

@@ -23,7 +23,9 @@ from .transformer import GrooveTransformerConfig
 
 
 def _t(a) -> np.ndarray:
-    return np.asarray(a, dtype=np.float32)
+    # explicit copy: np.asarray on a torch-backed array shares storage, so a
+    # later optimizer step would silently mutate the "converted" parameters
+    return np.array(a, dtype=np.float32, copy=True)
 
 
 def state_dict_to_params(state_dict, config: GrooveTransformerConfig) -> dict:
