@@ -193,3 +193,51 @@ def test_train_loop_compat_wrapper(tmp_path):
     assert "grad_norm" in metrics and metrics["grad_norm"] > 0
     import os
     assert any(f.endswith(".ckpt") for f in os.listdir(tmp_path / "ck"))
+
+
+def test_streaming_augmenter_symbolic():
+    from transformergrooveinfilling_tpu.data.pipeline import StreamingAugmenter
+
+    seqs = synthetic_gmd_sequences(8, seed=41)
+    base = np.stack([s.hvo for s in seqs]).astype(np.float32)
+    with StreamingAugmenter(base, aug_per_item=3, mode="symbolic",
+                            seed=9) as streamer:
+        x1, y1 = streamer.next_epoch()
+        x2, y2 = streamer.next_epoch()
+    assert x1.shape == (24, 32, 27) and y1.shape == (24, 32, 27)
+    # partition holds per generation
+    np.testing.assert_allclose(
+        x1 + y1, np.repeat(base, 3, axis=0), atol=1e-6)
+    # generations differ (fresh random maskings)
+    assert not np.allclose(x1, x2)
+    # deterministic given the seed
+    with StreamingAugmenter(base, aug_per_item=3, mode="symbolic",
+                            seed=9) as s2:
+        x1b, _ = s2.next_epoch()
+    np.testing.assert_allclose(x1, x1b)
+
+
+def test_streaming_augmenter_audio():
+    from transformergrooveinfilling_tpu.data.pipeline import StreamingAugmenter
+
+    seqs = synthetic_gmd_sequences(3, seed=43)
+    base = np.stack([s.hvo for s in seqs]).astype(np.float32)
+    qpms = [s.tempos[0].qpm for s in seqs]
+    with StreamingAugmenter(base, qpms=qpms, aug_per_item=2,
+                            mode="audio", seed=3) as streamer:
+        x, y = streamer.next_epoch()
+    assert x.shape == (6, 32, 16)
+    assert (x >= 0).all() and x.max() > 0
+
+
+def test_rhythmic_distances():
+    from transformergrooveinfilling_tpu.eval.metrics import rhythmic_distances
+
+    rng = np.random.default_rng(0)
+    gt = (rng.random((5, 32, 27)) > 0.7).astype(np.float32)
+    d0 = rhythmic_distances(gt, gt, "X")
+    assert d0["X_Rhythmic_Distance_Hamming_mean"] == 0.0
+    pred = gt.copy()
+    pred[:, 0, 0] = 1 - pred[:, 0, 0]  # flip one hit per item
+    d1 = rhythmic_distances(pred, gt, "X")
+    assert d1["X_Rhythmic_Distance_Hamming_mean"] == 1.0

@@ -167,3 +167,39 @@ def test_legacy_model_restore(demo_checkpoint_path, tmp_path):
     }
     bundle, _, initial_epoch = initialize_model(params)
     assert initial_epoch == 1  # demo ckpt is epoch 0
+
+
+def test_run_training_with_streamer(tmp_path, monkeypatch, rng):
+    """Overlapped-preprocessing training: fresh augmentations per block."""
+    from transformergrooveinfilling_tpu.data.pipeline import StreamingAugmenter
+    from transformergrooveinfilling_tpu.data.synthetic import (
+        synthetic_gmd_sequences)
+    from transformergrooveinfilling_tpu.train.config import HyperParams
+    from transformergrooveinfilling_tpu.train.driver import run_training
+
+    monkeypatch.chdir(tmp_path)
+    seqs = synthetic_gmd_sequences(8, seed=51)
+    base = np.stack([s.hvo for s in seqs]).astype(np.float32)
+
+    class ArrayDataset:
+        pass
+
+    hp = HyperParams.from_dict({
+        "experiment": "InfillingRandom", "encoder_only": 1,
+        "optimizer_algorithm": "sgd", "d_model": 16, "n_heads": 2,
+        "dropout": 0.1, "num_encoder_decoder_layers": 1,
+        "hit_loss_penalty": 0.5, "batch_size": 8, "dim_feedforward": 16,
+        "learning_rate": 0.05, "epochs": 4})
+    with StreamingAugmenter(base, aug_per_item=2, mode="symbolic",
+                            seed=1) as streamer:
+        ds = ArrayDataset()
+        x0, y0 = streamer.next_epoch()
+        ds.processed_inputs, ds.processed_outputs = x0, y0
+        import dataclasses as _dc
+        from transformergrooveinfilling_tpu.train.config import (
+            derive_model_config)
+        # symbolic arrays are 27-wide; widen src accordingly
+        hp.experiment = "InfillingClosedHH_Symbolic"
+        bundle = run_training(hp, ds, {}, epoch_block=2, streamer=streamer,
+                              log_media=False, ckpt_dir=str(tmp_path / "ck"))
+    assert bundle.state is not None

@@ -386,6 +386,12 @@ class InfillingEvaluator:
     def get_micro_timing_errors(self, drum_mapping=ROLAND_REDUCED_MAPPING) -> dict:
         return self._family("Micro_Timing_MSE")
 
+    def get_rhythmic_distances(self) -> dict:
+        from .metrics import rhythmic_distances
+
+        return rhythmic_distances(
+            self._prediction_hvos_array, self._gt_hvos_array, self._identifier)
+
     def get_gmd_ground_truth_hvo_sequences(self):
         return copy.deepcopy(self._gmd_gt_hvo_sequences)
 

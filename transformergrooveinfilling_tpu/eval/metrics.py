@@ -56,3 +56,25 @@ def metrics_dict(pred, gt, identifier: str, drum_mapping=None) -> dict:
             out[f"{identifier}_{fam}_{name}"] = float(val)
         out[f"{identifier}_{fam}_mean"] = float(arr.mean())
     return out
+
+
+def rhythmic_distances(pred, gt, identifier: str = "") -> dict:
+    """Prediction↔GT rhythmic distance summary (the reference's optional
+    ``get_rhythmic_distances``, evaluator.py:604): per-pair hamming distance on
+    hits, L2 on velocities, L2 on offsets — mean and std across the set."""
+    pred = np.asarray(pred)
+    gt = np.asarray(gt)
+    n = gt.shape[-1] // 3
+    hamming = np.abs((pred[..., :n] > 0.5) ^ (gt[..., :n] > 0.5)).sum(axis=(1, 2))
+    vel_l2 = np.sqrt(
+        np.square(pred[..., n:2 * n] - gt[..., n:2 * n]).sum(axis=(1, 2)))
+    off_l2 = np.sqrt(np.square(pred[..., 2 * n:] - gt[..., 2 * n:]).sum(axis=(1, 2)))
+    prefix = f"{identifier}_" if identifier else ""
+    return {
+        f"{prefix}Rhythmic_Distance_Hamming_mean": float(hamming.mean()),
+        f"{prefix}Rhythmic_Distance_Hamming_std": float(hamming.std()),
+        f"{prefix}Rhythmic_Distance_Velocity_L2_mean": float(vel_l2.mean()),
+        f"{prefix}Rhythmic_Distance_Velocity_L2_std": float(vel_l2.std()),
+        f"{prefix}Rhythmic_Distance_Offset_L2_mean": float(off_l2.mean()),
+        f"{prefix}Rhythmic_Distance_Offset_L2_std": float(off_l2.std()),
+    }

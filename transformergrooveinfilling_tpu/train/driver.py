@@ -112,6 +112,7 @@ def run_training(
     seed: int = 0,
     log_media: bool = True,
     epoch_block: int = 1,
+    streamer=None,
 ) -> ModelBundle:
     """Full training run: the reference epoch loop, compiled.
 
@@ -120,6 +121,9 @@ def run_training(
     (scan-of-epochs); scalar logging, held-out losses, checkpointing, and
     evaluator passes then happen at block granularity — use on high-latency
     host↔device links.
+    ``streamer``: optional data.pipeline.StreamingAugmenter — fresh augmented
+    arrays are swapped in per block, regenerated on the host while the device
+    trains (overlapped preprocessing). Shapes stay constant → no recompiles.
     """
     from ..eval.evaluator import log_eval
 
@@ -182,6 +186,10 @@ def run_training(
             run_fn = make_epoch_fn(
                 bundle.model, bundle.tx, hp.hit_loss_penalty, hp.batch_size,
                 n, plan=plan, donate=True, n_epochs=block)
+        if streamer is not None:
+            fresh_in, fresh_out = streamer.next_epoch()
+            inputs = jnp.asarray(fresh_in)
+            outputs = jnp.asarray(fresh_out)
         if profile_dir and ep == initial_epoch:
             with jax.profiler.trace(profile_dir):
                 state, metrics = run_fn(state, inputs, outputs, epoch_key)
