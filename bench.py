@@ -45,6 +45,14 @@ def bench_jax() -> float:
         create_train_state, make_epoch_fn, make_optimizer,
     )
 
+    # CPU fallback (no accelerator): shrink the workload so the bench still
+    # completes — the resulting number is a CPU number, not the TPU headline
+    on_cpu = jax.default_backend() == "cpu"
+    n_samples = 512 if on_cpu else N_SAMPLES
+    batch = 128 if on_cpu else BATCH
+    epochs_per_call = 2 if on_cpu else EPOCHS_PER_CALL
+    max_calls = 2 if on_cpu else MAX_CALLS
+
     config = GrooveTransformerConfig(
         d_model=D_MODEL, n_heads=N_HEADS, dim_feedforward=DIM_FF,
         dropout=0.30, num_encoder_layers=N_LAYERS, max_len=T,
@@ -56,16 +64,16 @@ def bench_jax() -> float:
     state = create_train_state(model, config, tx, jax.random.PRNGKey(0))
 
     rng = np.random.default_rng(0)
-    inputs = jnp.asarray(rng.standard_normal((N_SAMPLES, T, E_SRC)), jnp.float32)
-    h = (rng.random((N_SAMPLES, T, 9)) < 0.3).astype(np.float32)
+    inputs = jnp.asarray(rng.standard_normal((n_samples, T, E_SRC)), jnp.float32)
+    h = (rng.random((n_samples, T, 9)) < 0.3).astype(np.float32)
     outputs = jnp.asarray(
         np.concatenate([h, h * rng.random(h.shape),
                         h * (rng.random(h.shape) - 0.5)], axis=2), jnp.float32)
 
     # EPOCHS_PER_CALL epochs run as one XLA program: measures the device, not
     # the host↔device dispatch link
-    epoch_fn = make_epoch_fn(model, tx, HIT_LOSS_PENALTY, BATCH, N_SAMPLES,
-                             donate=True, n_epochs=EPOCHS_PER_CALL)
+    epoch_fn = make_epoch_fn(model, tx, HIT_LOSS_PENALTY, batch, n_samples,
+                             donate=True, n_epochs=epochs_per_call)
     key = jax.random.PRNGKey(1)
 
     # warmup/compile (fetch the value: on the tunneled dev backend
@@ -80,11 +88,11 @@ def bench_jax() -> float:
         state, m = epoch_fn(state, inputs, outputs, k)
         final_loss = float(np.asarray(m["loss"]))  # forces full completion
         calls += 1
-        if calls >= MAX_CALLS:
+        if calls >= max_calls:
             break
     dt = time.perf_counter() - t0
     assert np.isfinite(final_loss)
-    return N_SAMPLES * EPOCHS_PER_CALL * calls / dt
+    return n_samples * epochs_per_call * calls / dt
 
 
 def bench_torch_baseline() -> float:
