@@ -195,3 +195,67 @@ def test_sgd_training_step_parity(rng):
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=5e-5),
         jax.device_get(state.params), params_torch_after)
+
+
+def test_loss_curve_parity(rng):
+    """BASELINE.md behavioral-parity protocol: multi-epoch training curves of
+    the two stacks coincide on identical data with identical batch order
+    (dropout off so randomness can't diverge the trajectories)."""
+    import jax
+    import jax.numpy as jnp
+    from transformergrooveinfilling_tpu.train.loop import (
+        make_epoch_fn, make_optimizer, TrainState)
+
+    cfg = GrooveTransformerConfig(
+        d_model=32, n_heads=4, dim_feedforward=16, dropout=0.0,
+        num_encoder_layers=3, embedding_size_src=27)
+    oracle = TorchGrooveTransformerEncoder(27, 27, 32, 4, 16, 0.0, 3, 32)
+    sd = {k: v.numpy() for k, v in oracle.state_dict().items()}
+    params = torch_compat.state_dict_to_params(sd, cfg)
+
+    n, b, lr, hlp, epochs = 24, 8, 0.094, 0.47, 10
+    h = (rng.random((n, 32, 9)) < 0.3).astype(np.float32)
+    y = np.concatenate([h, h * rng.random(h.shape).astype(np.float32),
+                        h * (rng.random(h.shape).astype(np.float32) - 0.5)],
+                       axis=2).astype(np.float32)
+    x = y.copy()
+    x[:, :, [2, 11, 20]] = 0  # symbolic ClosedHH masking
+
+    # torch curve (sequential batches, per-epoch mean loss)
+    opt = torch.optim.SGD(oracle.parameters(), lr=lr)
+    bce = torch.nn.BCEWithLogitsLoss(reduction="none")
+    mse = torch.nn.MSELoss(reduction="none")
+    torch_curve = []
+    for _ in range(epochs):
+        losses = []
+        for i in range(0, n, b):
+            xb = torch.from_numpy(x[i : i + b])
+            yb = torch.from_numpy(y[i : i + b])
+            y_h, y_v, y_o = torch.split(yb, 9, dim=2)
+            pen = torch.where(y_h == 1, 1.0, hlp)
+            opt.zero_grad()
+            p_h, p_v, p_o = oracle(xb)
+            loss = ((bce(p_h, y_h) * pen).sum(2).mean()
+                    + (mse(p_v, y_v) * pen).sum(2).mean()
+                    + (mse(p_o, y_o) * pen).sum(2).mean())
+            loss.backward()
+            opt.step()
+            losses.append(float(loss.detach()))
+        torch_curve.append(np.mean(losses))
+
+    # jax curve (shuffle off → identical batch order)
+    from transformergrooveinfilling_tpu.models import build_model
+    model = build_model(cfg)
+    tx = make_optimizer("sgd", lr)
+    pj = jax.tree.map(jnp.asarray, params)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=pj,
+                       opt_state=tx.init(pj))
+    epoch_fn = make_epoch_fn(model, tx, hlp, b, n, donate=False, shuffle=False)
+    jax_curve = []
+    for e in range(epochs):
+        state, metrics = epoch_fn(state, jnp.asarray(x), jnp.asarray(y),
+                                  jax.random.PRNGKey(e))
+        jax_curve.append(float(metrics["loss"]))
+
+    np.testing.assert_allclose(jax_curve, torch_curve, rtol=2e-4)
+    assert jax_curve[-1] < jax_curve[0]  # it actually learned

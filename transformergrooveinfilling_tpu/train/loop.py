@@ -90,6 +90,7 @@ def make_epoch_fn(
     tensor_parallel: bool = False,
     donate: bool = True,
     n_epochs: int = 1,
+    shuffle: bool = True,
 ):
     """Compile a whole-epoch function ``(state, inputs, outputs, key) ->
     (state, metrics)``.
@@ -106,7 +107,8 @@ def make_epoch_fn(
 
     def epoch(state: TrainState, inputs, outputs, key):
         perm_key, dropout_key = jax.random.split(key)
-        perm = jax.random.permutation(perm_key, n_samples)
+        perm = (jax.random.permutation(perm_key, n_samples) if shuffle
+                else jnp.arange(n_samples))  # sequential: parity tests
         idx = jnp.concatenate(
             [perm, jnp.zeros((padded - n_samples,), perm.dtype)]
         ).reshape(n_batches, batch_size)
