@@ -16,7 +16,6 @@ import wave
 
 import numpy as np
 
-from ..hvo.mapping import N_VOICES
 from .drumkit import default_kit
 
 _TAIL_SECONDS = 1.0  # let the last hits ring out (cymbal decay)

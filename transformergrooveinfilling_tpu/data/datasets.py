@@ -35,7 +35,6 @@ from ..utils import logging as xlog
 from .samplers import (
     get_sf_list,
     get_sf_v_combinations,
-    get_voice_combinations,
     get_voice_idx_for_item,
 )
 

@@ -22,8 +22,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..hvo.mapping import N_VOICES
-
 # frequency groups over the 9-voice mapping: low = kick; mid = snare + toms;
 # high = hats + cymbals (GrooveToolbox convention)
 LOW_VOICES = (0,)

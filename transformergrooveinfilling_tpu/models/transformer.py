@@ -15,9 +15,9 @@ TPU notes:
   fuses softmax+scale into the surrounding matmuls.
 - an optional ``compute_dtype=bfloat16`` casts activations for MXU throughput
   while keeping parameters and the loss in float32.
-- tensor-parallel sharding constraints (heads / FFN dims over the "model" mesh
-  axis) are annotated via ``nn.with_logical_constraint``-free plain
-  ``jax.lax.with_sharding_constraint`` hooks in :mod:`..parallel.mesh`.
+- tensor-parallel layouts (packed-QKV / FFN dims over the "model" mesh axis)
+  come from the parameter partition rules in :mod:`..parallel.mesh`; batch
+  sharding constraints live in the training loop.
 """
 
 from __future__ import annotations

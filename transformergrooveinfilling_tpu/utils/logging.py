@@ -13,8 +13,6 @@ from __future__ import annotations
 import json
 import os
 import time
-from typing import Any
-
 try:  # pragma: no cover - exercised only where wandb exists
     import wandb as _real_wandb
 except Exception:  # ModuleNotFoundError and any import-time failure
