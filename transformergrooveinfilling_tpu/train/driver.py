@@ -48,8 +48,14 @@ class ModelBundle:
     learning_rate: float = 0.05
 
     def predict(self, inputs, use_thres: bool = True, thres: float = 0.5):
-        out = model_predict(self.model, self.state.params, jnp.asarray(inputs),
-                            use_thres=use_thres, thres=thres)
+        """Batched inference, jit-compiled once per (shape, thresholding)."""
+        if not hasattr(self, "_predict_jit"):
+            self._predict_jit = jax.jit(
+                lambda params, x, thres, use_thres=True: model_predict(
+                    self.model, params, x, use_thres=use_thres, thres=thres),
+                static_argnames=("use_thres",))
+        out = self._predict_jit(self.state.params, jnp.asarray(inputs),
+                                thres, use_thres=use_thres)
         return [np.asarray(o) for o in out]
 
 
