@@ -90,3 +90,45 @@ def test_http_endpoint(server, rng):
         health = json.loads(resp.read())
     assert health["ok"] and health["count"] >= 1
     httpd.shutdown()
+
+
+def test_multi_task_server(rng):
+    import dataclasses
+    from transformergrooveinfilling_tpu.serve import MultiTaskServer
+
+    cfg_audio = CFG  # 16-wide MSO input
+    cfg_sym = dataclasses.replace(CFG, embedding_size_src=27)
+    bundles = {}
+    for name, cfg in (("InfillingRandom", cfg_audio),
+                      ("InfillingClosedHH_Symbolic", cfg_sym)):
+        m = build_model(cfg)
+        p = m.init(jax.random.PRNGKey(0),
+                   jnp.zeros((1, 32, cfg.embedding_size_src)),
+                   deterministic=True)["params"]
+        bundles[name] = (p, cfg)
+    mts = MultiTaskServer(bundles, batch_sizes=(1,), use_pallas=False)
+
+    out_a = mts.infill("InfillingRandom",
+                       rng.standard_normal((32, 16)).astype(np.float32))
+    out_s = mts.infill("InfillingClosedHH_Symbolic",
+                       rng.standard_normal((32, 27)).astype(np.float32))
+    assert out_a.shape == out_s.shape == (32, 27)
+    with pytest.raises(KeyError):
+        mts.infill("Nope", np.zeros((32, 16), np.float32))
+    stats = mts.stats()
+    assert stats["InfillingRandom"]["count"] == 1
+
+    import json as _json
+    import urllib.request
+    httpd = mts.serve_http(port=0, block=False)
+    port = httpd.server_address[1]
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/infill",
+        data=_json.dumps({
+            "experiment": "InfillingRandom",
+            "input": rng.standard_normal((32, 16)).tolist()}).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=30) as resp:
+        payload = _json.loads(resp.read())
+    assert np.asarray(payload["hvo"]).shape == (32, 27)
+    httpd.shutdown()

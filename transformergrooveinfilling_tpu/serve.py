@@ -187,3 +187,85 @@ def latency_benchmark(server: InfillServer, n_requests: int = 100,
         "p99_ms": float(np.percentile(lat, 99)),
         "mean_ms": float(np.mean(lat)),
     }
+
+
+class MultiTaskServer:
+    """Serve every infilling subtask from one process (BASELINE.json config #5:
+    batched multi-task serving).
+
+    Routes by experiment name to per-task compiled servers; one shared HTTP
+    endpoint (POST /infill with {"experiment": ..., "input": ...}; GET /healthz
+    aggregates per-task latency stats). Each task's weights stay resident on
+    the chip — at groove-model sizes all five subtasks fit trivially.
+    """
+
+    def __init__(self, bundles: dict, batch_sizes=(1, 8, 32),
+                 use_pallas: bool | None = None):
+        """``bundles``: {experiment_name: (params, GrooveTransformerConfig)}."""
+        self.servers = {
+            name: InfillServer(params, config, batch_sizes=batch_sizes,
+                               use_pallas=use_pallas)
+            for name, (params, config) in bundles.items()
+        }
+
+    def infill(self, experiment: str, inputs):
+        if experiment not in self.servers:
+            raise KeyError(
+                f"unknown experiment {experiment!r}; serving "
+                f"{sorted(self.servers)}")
+        return self.servers[experiment].infill(inputs)
+
+    def stats(self) -> dict:
+        return {
+            name: {"count": srv.stats.count,
+                   "p50_ms": srv.stats.percentile(50),
+                   "p99_ms": srv.stats.percentile(99)}
+            for name, srv in self.servers.items()
+        }
+
+    def serve_http(self, host: str = "127.0.0.1", port: int = 8328,
+                   block: bool = True):
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+        import threading
+
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def _reply(self, code, payload):
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    self._reply(200, {"ok": True, "tasks": outer.stats()})
+                else:
+                    self.send_response(404)
+                    self.end_headers()
+
+            def do_POST(self):
+                if self.path != "/infill":
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    payload = json.loads(self.rfile.read(n))
+                    out = outer.infill(payload["experiment"],
+                                       np.asarray(payload["input"], np.float32))
+                    self._reply(200, {"hvo": out.tolist()})
+                except Exception as e:
+                    self._reply(400, {"error": str(e)})
+
+        httpd = ThreadingHTTPServer((host, port), Handler)
+        if block:
+            httpd.serve_forever()
+            return httpd
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        return httpd
