@@ -203,3 +203,26 @@ def test_run_training_with_streamer(tmp_path, monkeypatch, rng):
         bundle = run_training(hp, ds, {}, epoch_block=2, streamer=streamer,
                               log_media=False, ckpt_dir=str(tmp_path / "ck"))
     assert bundle.state is not None
+
+
+def test_remat_matches_plain(rng):
+    """Rematerialized encoder layers give identical losses and gradients."""
+    import dataclasses
+    from transformergrooveinfilling_tpu.models.losses import calculate_loss
+
+    x = jnp.asarray(rng.standard_normal((4, 32, 27)), jnp.float32)
+    h = (rng.random((4, 32, 9)) < 0.3).astype(np.float32)
+    y = jnp.asarray(np.concatenate([h, h * 0.7, h * 0.1], 2), jnp.float32)
+
+    model = build_model(CFG)
+    params = model.init(jax.random.PRNGKey(0), x[:1], deterministic=True)["params"]
+    model_r = build_model(dataclasses.replace(CFG, remat=True))
+
+    def loss(m, p):
+        pred = m.apply({"params": p}, x, deterministic=True)
+        return calculate_loss(pred, y, 0.5).total_loss
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(model, p))(params)
+    l1, g1 = jax.value_and_grad(lambda p: loss(model_r, p))(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, atol=1e-6), g0, g1)

@@ -49,6 +49,9 @@ class GrooveTransformerConfig:
     # inference-path fused attention kernel (ops/attention.py); training keeps
     # the autodiff-friendly einsum path
     use_pallas_attention: bool = False
+    # rematerialize encoder layers in the backward pass (trade FLOPs for HBM;
+    # for configs far beyond the reference's sizes)
+    remat: bool = False
 
     @property
     def encoder_only(self) -> bool:
@@ -135,7 +138,7 @@ class EncoderLayer(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x, *, deterministic: bool):
+    def __call__(self, x, deterministic: bool = True):
         sa = SelfAttention(self.d_model, self.n_heads, self.dropout,
                            use_pallas=self.use_pallas, name="self_attn")(
             x, deterministic=deterministic
@@ -239,15 +242,19 @@ class GrooveTransformerEncoder(nn.Module):
         x = InputLayer(cfg.d_model, cfg.dropout, cfg.max_len, name="input")(
             x, deterministic=deterministic
         )
+        # remat: recompute each layer's activations in the backward pass
+        # (static_argnums=(2,): `deterministic` stays a python bool)
+        layer_cls = (nn.remat(EncoderLayer, static_argnums=(2,)) if cfg.remat
+                     else EncoderLayer)
         for i in range(cfg.num_encoder_layers):
-            x = EncoderLayer(
+            x = layer_cls(
                 cfg.d_model,
                 cfg.n_heads,
                 cfg.dim_feedforward,
                 cfg.dropout,
                 use_pallas=cfg.use_pallas_attention,
                 name=f"encoder_layer_{i}",
-            )(x, deterministic=deterministic)
+            )(x, deterministic)
         x = nn.LayerNorm(name="encoder_norm")(x)
         x = x.astype(jnp.float32)  # heads + loss in f32
         return OutputLayer(cfg.embedding_size_tgt, name="output")(x)
