@@ -97,13 +97,19 @@ def restore(load_model: dict, config: GrooveTransformerConfig):
     ckpt_dir = load_model["dir"]
     pattern = load_model.get("file_pattern", CKPT_PATTERN)
     if "epoch" in load_model and load_model["epoch"] is not None:
-        # explicit epoch: try native then legacy naming
-        run = load_model.get("run", "*")
+        # explicit epoch: try native then legacy naming (optionally pinned to a
+        # specific run id, as in the reference's wandb-style restore dicts)
+        run_filter = load_model.get("run")
         path = None
-        for fname in os.listdir(ckpt_dir):
-            if fname.endswith((".ckpt", ".Model")) and f"Epoch_{load_model['epoch']}." in fname:
-                path = os.path.join(ckpt_dir, fname)
-                break
+        for fname in sorted(os.listdir(ckpt_dir)):
+            if not fname.endswith((".ckpt", ".Model")):
+                continue
+            if f"Epoch_{load_model['epoch']}." not in fname:
+                continue
+            if run_filter and str(run_filter) not in fname:
+                continue
+            path = os.path.join(ckpt_dir, fname)
+            break
         if path is None:
             raise FileNotFoundError(
                 f"no checkpoint for epoch {load_model['epoch']} in {ckpt_dir}")
