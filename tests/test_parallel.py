@@ -113,3 +113,14 @@ def test_graft_entry_hooks():
     out = jax.jit(fn)(params, x)
     assert [o.shape for o in out] == [(32, 32, 9)] * 3
     mod.dryrun_multichip(8)
+
+
+def test_multihost_helpers_single_process():
+    from transformergrooveinfilling_tpu.parallel.multihost import (
+        global_mesh, initialize_from_env, is_main_process, local_batch_slice)
+
+    assert initialize_from_env() is False  # no env → single-process no-op
+    assert is_main_process()
+    plan = global_mesh(n_model=2)
+    assert plan.n_data * plan.n_model == len(jax.devices())
+    assert local_batch_slice(32) == slice(0, 32)

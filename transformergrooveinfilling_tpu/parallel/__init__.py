@@ -2,6 +2,12 @@
 execution at all, SURVEY.md §2.4; scale-out here is dp × tp over ICI via
 jax.sharding + jit)."""
 
+from .multihost import (
+    initialize_from_env,
+    is_main_process,
+    global_mesh,
+    local_batch_slice,
+)
 from .mesh import (
     make_mesh,
     data_sharding,
@@ -18,4 +24,8 @@ __all__ = [
     "param_partition_specs",
     "shard_params",
     "MeshPlan",
+    "initialize_from_env",
+    "is_main_process",
+    "global_mesh",
+    "local_batch_slice",
 ]

@@ -219,7 +219,7 @@ def run_training(
 
         save_now = any(e in epoch_save_partial or e in epoch_save_all
                        for e in block_epochs)
-        if save_now:
+        if save_now and jax.process_index() == 0:  # multi-host: one writer
             ckpt.save_checkpoint(ckpt_dir, run_id, last_ep, state,
                                  metrics["loss"], bundle.config)
             if export_legacy and bundle.config.encoder_only:
