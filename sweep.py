@@ -82,10 +82,13 @@ def main(argv=None):
         hp = sample_config(sweep, rng)
         if args.epochs is not None:
             hp["epochs"] = args.epochs
+        # only_final_eval is a driver flag, not a model hyperparameter
+        only_final = bool(hp.pop("only_final_eval", 1))
         print(f"--- trial {trial}: {hp}")
         cli = ["--paths", args.paths, "--wandb", "False",
                "--eval_train", "False", "--eval_validation", "False",
-               "--dump_eval", "False", "--only_final_eval", "True"]
+               "--dump_eval", "False",
+               "--only_final_eval", "True" if only_final else "False"]
         for key, val in hp.items():
             cli += [f"--{key}", str(val)]
         try:
