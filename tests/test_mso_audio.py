@@ -141,3 +141,17 @@ def test_mso_pallas_path_matches_default():
     fused = mso_batch(y, sps, 32, MSOParams(), use_pallas=True)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(base),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_mso_golden_regression():
+    """Golden-file guard: the deterministic synth + DSP output must not drift
+    across refactors (regenerate tests/data/mso_golden.npz deliberately if the
+    DSP definition changes)."""
+    import os
+
+    golden = np.load(os.path.join(os.path.dirname(__file__), "data",
+                                  "mso_golden.npz"))
+    y = synthesize_hvo(golden["hvo"], qpm=120)
+    np.testing.assert_allclose(y[:2000], golden["audio_head"], atol=1e-5)
+    mso = mso_from_audio(y, 32, 120)
+    np.testing.assert_allclose(mso, golden["mso"], atol=1e-3)

@@ -332,6 +332,7 @@ class InfillingEvaluator:
         eval_pred = model.predict(self.processed_inputs, use_thres=True, thres=0.5)
         self._prediction_hvos_array = np.concatenate(
             [np.asarray(p) for p in eval_pred], axis=2)
+        self._metrics_cache = None  # new predictions → recompute metric families
 
         tags_order, subsets, index_dict = [], {}, {}
         templates = self._prediction_hvo_seq_templates
@@ -373,9 +374,13 @@ class InfillingEvaluator:
     # -- metrics ---------------------------------------------------------------
 
     def _family(self, family: str) -> dict:
-        full = metrics_dict(self._prediction_hvos_array, self._gt_hvos_array,
-                            self._identifier)
-        return {k: v for k, v in full.items() if f"_{family}_" in k}
+        # one vectorized pass covers all three families; cached per set_pred
+        if getattr(self, "_metrics_cache", None) is None:
+            self._metrics_cache = metrics_dict(
+                self._prediction_hvos_array, self._gt_hvos_array,
+                self._identifier)
+        return {k: v for k, v in self._metrics_cache.items()
+                if f"_{family}_" in k}
 
     def get_hits_accuracies(self, drum_mapping=ROLAND_REDUCED_MAPPING) -> dict:
         return self._family("Hits_Accuracy")
