@@ -157,3 +157,24 @@ def test_feature_pdf_media(evaluator):
     ev = evaluator.gt_SubSet_Evaluator
     d = ev.get_logging_dict(audio_files=False, global_features_html=True)
     assert "global_feature_pdfs" in d and "<svg" in d["global_feature_pdfs"]
+
+
+def test_media_persisted_to_run_dir(evaluator, tmp_path, monkeypatch):
+    """The local sink writes Html/Audio media as real files under media/."""
+    from transformergrooveinfilling_tpu.utils import logging as xlog
+
+    monkeypatch.chdir(tmp_path)
+    xlog.init(config={}, project="media_test")
+    evaluator.set_pred(PerfectModel(evaluator._gt_hvos_array))
+    log_eval(evaluator, PerfectModel(evaluator._gt_hvos_array),
+             log_media=True, epoch=1, dump=False)
+    run_dir = xlog.run.dir
+    xlog.finish()
+    media_dir = os.path.join(run_dir, "media")
+    assert os.path.isdir(media_dir)
+    files = os.listdir(media_dir)
+    assert any(f.endswith(".html") for f in files)
+    assert any(f.endswith(".wav") for f in files)
+    # the JSONL references the persisted paths
+    text = open(os.path.join(run_dir, "metrics.jsonl")).read()
+    assert "media/" in text

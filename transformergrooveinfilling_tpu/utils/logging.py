@@ -46,32 +46,66 @@ class Run:
         self._pending: dict = {}
 
     def log(self, data: dict, commit: bool = True):
-        self._pending.update(_jsonable(data))
+        self._pending.update(self._persist(data, prefix=""))
         if commit:
             self._pending["_timestamp"] = time.time()
             with open(self._metrics_path, "a") as f:
                 f.write(json.dumps(self._pending) + "\n")
             self._pending = {}
 
+    def _persist(self, data: dict, prefix: str) -> dict:
+        """JSON-serializable view of a log dict; media objects (Html/Audio)
+        are written under <run.dir>/media/ and replaced by their paths."""
+        out = {}
+        for k, v in data.items():
+            key = f"{prefix}{k}"
+            if isinstance(v, (int, float, str, bool)) or v is None:
+                out[key] = v
+            elif hasattr(v, "item") and getattr(v, "size", 2) == 1:
+                out[key] = v.item()
+            elif isinstance(v, Html):
+                out[key] = self._write_media(key, "html", v.html.encode())
+            elif isinstance(v, Audio):
+                out[key] = self._write_audio(key, v)
+            elif isinstance(v, (list, tuple)) and v and isinstance(
+                    v[0], (Html, Audio)):
+                out[key] = [
+                    self._write_media(f"{key}_{i}", "html", m.html.encode())
+                    if isinstance(m, Html) else self._write_audio(
+                        f"{key}_{i}", m)
+                    for i, m in enumerate(v)
+                ]
+            elif isinstance(v, dict):
+                out[key] = self._persist(v, prefix=f"{key}.")
+            else:
+                out[key] = f"<{type(v).__name__}>"
+        return out
+
+    def _write_media(self, key: str, ext: str, payload: bytes) -> str:
+        media_dir = os.path.join(self.dir, "media")
+        os.makedirs(media_dir, exist_ok=True)
+        safe = "".join(c if c.isalnum() or c in "._-" else "_" for c in key)
+        path = os.path.join(media_dir, f"{safe}.{ext}")
+        with open(path, "wb") as f:
+            f.write(payload)
+        return os.path.relpath(path, self.dir)
+
+    def _write_audio(self, key: str, audio: "Audio") -> str:
+        media_dir = os.path.join(self.dir, "media")
+        os.makedirs(media_dir, exist_ok=True)
+        safe = "".join(c if c.isalnum() or c in "._-" else "_"
+                       for c in (audio.caption or key))
+        path = os.path.join(media_dir, f"{safe}.wav")
+        from ..audio.synth import write_wav
+
+        write_wav(path, audio.data, audio.sample_rate)
+        return os.path.relpath(path, self.dir)
+
     def finish(self):
         if self._pending:
             self.log({}, commit=True)
         with open(os.path.join(self.dir, "config.json"), "w") as f:
             json.dump(dict(self.config), f, indent=2, default=str)
-
-
-def _jsonable(data: dict) -> dict:
-    out = {}
-    for k, v in data.items():
-        if isinstance(v, (int, float, str, bool)) or v is None:
-            out[k] = v
-        elif hasattr(v, "item") and getattr(v, "size", 2) == 1:
-            out[k] = v.item()
-        elif isinstance(v, dict):
-            out[k] = _jsonable(v)
-        else:
-            out[k] = f"<{type(v).__name__}>"  # media objects: paths logged separately
-    return out
 
 
 # module-level singleton mirroring the wandb API
