@@ -94,6 +94,11 @@ class InfillServer:
         single = x.ndim == 2
         if single:
             x = x[None]
+        expected = (self.config.max_len, self.config.embedding_size_src)
+        if x.ndim != 3 or x.shape[1:] != expected:
+            raise ValueError(
+                f"input must be (T={expected[0]}, E={expected[1]}) or "
+                f"(N, {expected[0]}, {expected[1]}); got {np.asarray(inputs).shape}")
         n = x.shape[0]
         out_parts = []
         i = 0
@@ -147,6 +152,8 @@ class InfillServer:
                 try:
                     n = int(self.headers.get("Content-Length", 0))
                     payload = json.loads(self.rfile.read(n))
+                    if "input" not in payload:
+                        raise ValueError('request body needs an "input" field')
                     x = np.asarray(payload["input"], np.float32)
                     out = server_self.infill(x)
                     body = json.dumps({"hvo": out.tolist()}).encode()
@@ -257,6 +264,10 @@ class MultiTaskServer:
                 try:
                     n = int(self.headers.get("Content-Length", 0))
                     payload = json.loads(self.rfile.read(n))
+                    for field in ("experiment", "input"):
+                        if field not in payload:
+                            raise ValueError(
+                                f'request body needs an "{field}" field')
                     out = outer.infill(payload["experiment"],
                                        np.asarray(payload["input"], np.float32))
                     self._reply(200, {"hvo": out.tolist()})
