@@ -280,3 +280,67 @@ class MultiTaskServer:
             return httpd
         threading.Thread(target=httpd.serve_forever, daemon=True).start()
         return httpd
+
+
+def main(argv=None):
+    """Serve a trained checkpoint over HTTP.
+
+    Usage: python -m transformergrooveinfilling_tpu.serve \\
+               --ckpt <file-or-dir> [--port 8327] [--batch-sizes 1 8 32]
+    Native ``.ckpt`` files carry their model config; for legacy ``.Model``
+    files pass the architecture flags explicitly.
+    """
+    import argparse
+    import os
+
+    from flax import serialization as _ser
+
+    from .train import checkpoint as ckpt
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--ckpt", required=True,
+                   help=".ckpt/.Model file, or a directory (newest epoch wins)")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8327)
+    p.add_argument("--batch-sizes", type=int, nargs="*", default=[1, 8, 32])
+    p.add_argument("--thres", type=float, default=0.5)
+    p.add_argument("--no-pallas", action="store_true")
+    # legacy-.Model architecture flags
+    p.add_argument("--d_model", type=int, default=32)
+    p.add_argument("--n_heads", type=int, default=4)
+    p.add_argument("--dim_feedforward", type=int, default=16)
+    p.add_argument("--num_encoder_layers", type=int, default=6)
+    p.add_argument("--embedding_size_src", type=int, default=16)
+    args = p.parse_args(argv)
+
+    path = args.ckpt
+    if os.path.isdir(path):
+        path, _epoch = ckpt.find_latest(path)
+    if path.endswith(".Model"):
+        from .models.torch_compat import load_legacy_checkpoint
+
+        config = GrooveTransformerConfig(
+            d_model=args.d_model, n_heads=args.n_heads,
+            dim_feedforward=args.dim_feedforward,
+            num_encoder_layers=args.num_encoder_layers,
+            embedding_size_src=args.embedding_size_src)
+        params, _ep, _loss = load_legacy_checkpoint(path, config)
+    else:
+        config = ckpt.load_checkpoint_config(path)
+        raw_params, _opt, _ep, _loss = ckpt.load_checkpoint(path)
+        template = build_model(config).init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, config.max_len, config.embedding_size_src)),
+            deterministic=True)["params"]
+        params = _ser.from_state_dict(template, raw_params)
+
+    server = InfillServer(params, config, batch_sizes=args.batch_sizes,
+                          thres=args.thres,
+                          use_pallas=False if args.no_pallas else None)
+    print(f"serving {path} ({config.d_model}d/{config.num_encoder_layers}L) "
+          f"on http://{args.host}:{args.port}/infill")
+    server.serve_http(host=args.host, port=args.port, block=True)
+
+
+if __name__ == "__main__":
+    main()

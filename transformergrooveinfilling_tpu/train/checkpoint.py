@@ -65,6 +65,17 @@ def load_checkpoint(path: str):
     )
 
 
+def load_checkpoint_config(path: str) -> GrooveTransformerConfig:
+    """Recover the model config embedded in a native checkpoint's metadata."""
+    import numpy as _np
+
+    with open(path, "rb") as f:
+        blob = serialization.msgpack_restore(f.read())
+    d = json.loads(blob["meta"]["config"])
+    d["compute_dtype"] = _np.dtype(d.get("compute_dtype", "float32")).type
+    return GrooveTransformerConfig(**d)
+
+
 def find_latest(ckpt_dir: str, file_pattern: str = CKPT_PATTERN):
     """Newest-epoch checkpoint in a dir; falls back to legacy ``.Model`` files
     (the reference's naming) if no native checkpoint matches."""
