@@ -52,6 +52,9 @@ class GrooveTransformerConfig:
     # rematerialize encoder layers in the backward pass (trade FLOPs for HBM;
     # for configs far beyond the reference's sizes)
     remat: bool = False
+    # fuse the two per-layer LN(x + dropout(y)) sites into the Pallas kernel
+    # (ops/fused_ln.py; TPU training path — masks regenerated in backward)
+    fused_dropout_ln: bool = False
 
     @property
     def encoder_only(self) -> bool:
@@ -127,6 +130,39 @@ class SelfAttention(nn.Module):
         return nn.Dense(d, name="out")(out)
 
 
+class DropAddLayerNorm(nn.Module):
+    """``LN(x + dropout(y))`` with torch eps (1e-5).
+
+    Param names (scale/bias) match ``nn.LayerNorm``, so the checkpoint tree is
+    identical whichever path runs. With ``use_fused`` (training on TPU), the
+    whole expression runs as the Pallas kernel in ops/fused_ln.py — the dropout
+    mask comes from the hardware PRNG and is regenerated in the backward pass
+    instead of being stored.
+    """
+
+    rate: float
+    use_fused: bool = False
+
+    @nn.compact
+    def __call__(self, x, y, deterministic: bool = True):
+        d = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (d,))
+        bias = self.param("bias", nn.initializers.zeros, (d,))
+        if self.use_fused and not deterministic and self.rate > 0.0:
+            from ..ops.fused_ln import dropout_add_layernorm
+
+            seed = jax.random.randint(
+                self.make_rng("dropout"), (), 0, 2**31 - 1, dtype=jnp.int32)
+            return dropout_add_layernorm(x, y, scale, bias, seed,
+                                         float(self.rate))
+        y = nn.Dropout(self.rate)(y, deterministic=deterministic)
+        a = (x + y).astype(jnp.float32)
+        mu = jnp.mean(a, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(a - mu), axis=-1, keepdims=True)
+        zhat = (a - mu) * jax.lax.rsqrt(var + 1e-5)
+        return (zhat * scale + bias).astype(x.dtype)
+
+
 class EncoderLayer(nn.Module):
     """Post-LN encoder layer matching torch 1.10 ``TransformerEncoderLayer``:
     ``x = LN(x + Drop(SA(x))); x = LN(x + Drop(W2·Drop(relu(W1·x))))``."""
@@ -136,6 +172,7 @@ class EncoderLayer(nn.Module):
     dim_feedforward: int
     dropout: float
     use_pallas: bool = False
+    fused_dropout_ln: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -143,17 +180,15 @@ class EncoderLayer(nn.Module):
                            use_pallas=self.use_pallas, name="self_attn")(
             x, deterministic=deterministic
         )
-        x = nn.LayerNorm(name="norm1")(
-            x + nn.Dropout(self.dropout)(sa, deterministic=deterministic)
-        )
+        x = DropAddLayerNorm(self.dropout, self.fused_dropout_ln,
+                             name="norm1")(x, sa, deterministic)
         ff = nn.Dense(self.dim_feedforward, name="linear1")(x)
         ff = nn.Dropout(self.dropout)(
             jax.nn.relu(ff), deterministic=deterministic
         )
         ff = nn.Dense(self.d_model, name="linear2")(ff)
-        x = nn.LayerNorm(name="norm2")(
-            x + nn.Dropout(self.dropout)(ff, deterministic=deterministic)
-        )
+        x = DropAddLayerNorm(self.dropout, self.fused_dropout_ln,
+                             name="norm2")(x, ff, deterministic)
         return x
 
 
@@ -253,6 +288,7 @@ class GrooveTransformerEncoder(nn.Module):
                 cfg.dim_feedforward,
                 cfg.dropout,
                 use_pallas=cfg.use_pallas_attention,
+                fused_dropout_ln=cfg.fused_dropout_ln,
                 name=f"encoder_layer_{i}",
             )(x, deterministic)
         x = nn.LayerNorm(name="encoder_norm")(x)
