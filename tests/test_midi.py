@@ -107,3 +107,44 @@ def test_gmd_tree_conversion(tmp_path):
     ).create_subsets()
     assert len(subsets[0]) == counts["train"]
     assert subsets[0][0].metadata.drummer == "drummer1"
+
+
+def test_process_dataset_entry_from_gmd_tree(tmp_path, monkeypatch):
+    """End to end: MIDI archive → processed tree → process_dataset CLI →
+    dataset pickles a training run can load."""
+    import csv as _csv
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import process_dataset as pd_cli
+
+    gmd = tmp_path / "gmd"
+    os.makedirs(gmd / "d" / "s")
+    rows = []
+    for i, seq in enumerate(synthetic_gmd_sequences(8, seed=77)):
+        rel = f"d/s/{i}.mid"
+        hvo_to_midi(seq, str(gmd / rel))
+        rows.append({"drummer": "d", "session": "s", "id": str(i),
+                     "style": seq.metadata.style_primary,
+                     "bpm": seq.metadata.bpm, "beat_type": "beat",
+                     "time_signature": "4-4", "midi_filename": rel,
+                     "audio_filename": "", "duration": "",
+                     "split": "train"})
+    with open(gmd / "info.csv", "w", newline="") as f:
+        w = _csv.DictWriter(f, fieldnames=list(rows[0]))
+        w.writeheader()
+        w.writerows(rows)
+    processed = tmp_path / "processed"
+    gmd_to_processed_tree(str(gmd), str(processed))
+
+    monkeypatch.chdir(tmp_path)
+    pd_cli.main(["--experiments", "InfillingClosedHH_Symbolic",
+                 "--splits", "train", "--source", str(processed)])
+    out_dir = "datasets/InfillingClosedHH_Symbolic/0.1.1/train"
+    assert os.path.isdir(out_dir)
+
+    from transformergrooveinfilling_tpu.data import load_processed_dataset
+
+    ds = load_processed_dataset(out_dir, exp="InfillingClosedHH_Symbolic")
+    assert len(ds) > 0
+    assert ds.processed_inputs.shape[1:] == (32, 27)
