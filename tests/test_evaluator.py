@@ -178,3 +178,19 @@ def test_media_persisted_to_run_dir(evaluator, tmp_path, monkeypatch):
     # the JSONL references the persisted paths
     text = open(os.path.join(run_dir, "metrics.jsonl")).read()
     assert "media/" in text
+
+
+def test_loss_curve_svg_rendered(tmp_path, monkeypatch):
+    from transformergrooveinfilling_tpu.utils import logging as xlog
+
+    monkeypatch.chdir(tmp_path)
+    xlog.init(config={}, project="curves")
+    for ep in range(5):
+        xlog.log({"loss": 3.0 - ep * 0.3, "validation_loss": 3.1 - ep * 0.25,
+                  "hit_accuracy": 0.5 + ep * 0.05, "epoch": ep}, commit=True)
+    run_dir = xlog.run.dir
+    xlog.finish()
+    svg = os.path.join(run_dir, "curves.svg")
+    assert os.path.exists(svg)
+    text = open(svg).read()
+    assert "<path" in text and "validation_loss" in text

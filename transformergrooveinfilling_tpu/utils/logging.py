@@ -106,6 +106,56 @@ class Run:
             self.log({}, commit=True)
         with open(os.path.join(self.dir, "config.json"), "w") as f:
             json.dump(dict(self.config), f, indent=2, default=str)
+        self._render_curves()
+
+    def _render_curves(self):
+        """Render loss/accuracy curves from metrics.jsonl to an SVG next to it."""
+        try:
+            series: dict[str, list] = {}
+            with open(self._metrics_path) as f:
+                for line in f:
+                    rec = json.loads(line)
+                    ep = rec.get("epoch")
+                    if ep is None:
+                        continue
+                    for key in ("loss", "validation_loss", "hit_accuracy"):
+                        if key in rec:
+                            series.setdefault(key, []).append((ep, rec[key]))
+            if not series.get("loss"):
+                return
+            from ..eval.media import _svg_header  # reuse styling
+
+            w, h, pad = 640, 240, 40
+            parts = [_svg_header(w, h, "training curves")]
+            all_pts = [p for pts in series.values() for p in pts]
+            xs = [p[0] for p in all_pts]
+            ys = [p[1] for p in series.get("loss", [])] + [
+                p[1] for p in series.get("validation_loss", [])]
+            x0, x1 = min(xs), max(max(xs), min(xs) + 1)
+            y0, y1 = min(ys), max(max(ys), min(ys) + 1e-9)
+            colors = {"loss": "#2166ac", "validation_loss": "#b2182b",
+                      "hit_accuracy": "#1a9850"}
+            for name, pts in series.items():
+                pts = sorted(pts)
+                lo, hi = (0.0, 1.0) if name == "hit_accuracy" else (y0, y1)
+                path = " ".join(
+                    f"{'M' if i == 0 else 'L'}"
+                    f"{pad + (e - x0) / (x1 - x0) * (w - 2 * pad):.1f},"
+                    f"{h - pad - (v - lo) / max(hi - lo, 1e-9) * (h - 2 * pad):.1f}"
+                    for i, (e, v) in enumerate(pts))
+                parts.append(f'<path d="{path}" fill="none" '
+                             f'stroke="{colors.get(name, "#555")}" '
+                             f'stroke-width="1.5"/>')
+            legend = " | ".join(f"{n}" for n in series)
+            parts.append(f'<text x="{pad}" y="16">{legend} '
+                         f'(loss {y0:.3f}–{y1:.3f}, epochs {x0}–{x1})</text>')
+            parts.append(f'<line x1="{pad}" y1="{h-pad}" x2="{w-pad}" '
+                         f'y2="{h-pad}" stroke="#999"/>')
+            parts.append("</svg>")
+            with open(os.path.join(self.dir, "curves.svg"), "w") as f:
+                f.write("".join(parts))
+        except Exception:
+            pass  # observability extra; never fail a run over it
 
 
 # module-level singleton mirroring the wandb API
