@@ -158,7 +158,10 @@ class DropAddLayerNorm(nn.Module):
         y = nn.Dropout(self.rate)(y, deterministic=deterministic)
         a = (x + y).astype(jnp.float32)
         mu = jnp.mean(a, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(a - mu), axis=-1, keepdims=True)
+        # one-pass variance (E[a²] − E[a]²): one reduction fewer per site
+        var = jnp.maximum(
+            jnp.mean(jnp.square(a), axis=-1, keepdims=True) - jnp.square(mu),
+            0.0)
         zhat = (a - mu) * jax.lax.rsqrt(var + 1e-5)
         return (zhat * scale + bias).astype(x.dtype)
 
