@@ -226,3 +226,31 @@ def test_remat_matches_plain(rng):
     l1, g1 = jax.value_and_grad(lambda p: loss(model_r, p))(params)
     np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
     jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, atol=1e-6), g0, g1)
+
+
+def test_shipped_demo_checkpoint_loads():
+    """The in-repo demo/ checkpoints load through both restore paths and
+    produce a working model."""
+    import os
+    from transformergrooveinfilling_tpu.train.driver import initialize_model
+
+    demo_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "demo")
+    if not os.path.isdir(demo_dir):
+        pytest.skip("demo checkpoints not present")
+    params = {
+        "model": {"experiment": "InfillingClosedHH_Symbolic",
+                  "encoder_only": 1, "optimizer": "sgd", "d_model": 32,
+                  "n_heads": 4, "dim_feedforward": 16, "dropout": 0.18,
+                  "num_encoder_layers": 6, "num_decoder_layers": 0,
+                  "max_len": 32, "embedding_size_src": 27,
+                  "embedding_size_tgt": 27},
+        "training": {"learning_rate": 0.094, "batch_size": 32,
+                     "hit_loss_penalty": 0.47},
+        "load_model": {"location": "local", "dir": demo_dir},
+    }
+    bundle, _, ep = initialize_model(params)
+    assert ep == 200
+    x = np.random.default_rng(0).standard_normal((2, 32, 27)).astype(np.float32)
+    h, v, o = bundle.predict(x)
+    assert h.shape == (2, 32, 9) and np.isfinite(v).all()

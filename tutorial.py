@@ -79,6 +79,14 @@ params["load_model"] = {"location": "local", "dir": ckpt_dir}
 bundle, _opt, initial_epoch = initialize_model(params)
 print(f"    resumed at epoch {initial_epoch}")
 
+# this repo ships its own demo checkpoints (native + torch formats):
+own_demo = os.path.join(os.path.dirname(os.path.abspath(__file__)), "demo")
+if os.path.isdir(own_demo):
+    params_demo = dict(params)
+    params_demo["load_model"] = {"location": "local", "dir": own_demo}
+    demo_bundle, _o, ep = initialize_model(params_demo)
+    print(f"    in-repo demo checkpoint resumed at epoch {ep}")
+
 # legacy torch checkpoints load the same way:
 demo = "/root/reference/demo/transformer_run_171tyqit_Epoch_1.Model"
 if os.path.exists(demo):
