@@ -23,7 +23,7 @@ EPOCHS_PER_CALL = 20
 D_MODEL, N_HEADS, DIM_FF, N_LAYERS = 256, 2, 512, 6
 T, E_SRC, E_TGT = 32, 16, 27
 HIT_LOSS_PENALTY = 0.73
-BASELINE_STEPS = 2
+BASELINE_STEPS = 4
 BASELINE_BATCH = 128  # torch-CPU baseline batch (throughput-per-seq comparable)
 SECONDS_BUDGET = 15.0
 MAX_CALLS = 8
@@ -146,11 +146,13 @@ def bench_torch_baseline() -> float:
         opt.step()
 
     step()  # warmup
-    t0 = time.perf_counter()
+    # best single-step time: robust to transient host load on a 1-core box
+    best = float("inf")
     for _ in range(BASELINE_STEPS):
+        t0 = time.perf_counter()
         step()
-    dt = time.perf_counter() - t0
-    return BASELINE_BATCH * BASELINE_STEPS / dt
+        best = min(best, time.perf_counter() - t0)
+    return BASELINE_BATCH / best
 
 
 def main():
