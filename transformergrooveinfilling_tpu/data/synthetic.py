@@ -36,6 +36,23 @@ _STYLE_PROFILES = {
 }
 
 
+# one bar (16 steps) of closed-hat placement per style — the style signature
+# carried by the kept voices makes these recoverable
+_STYLE_HAT_PATTERNS = {
+    "hiphop":   [1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0],  # 8ths
+    "funk":     [1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1],  # 16ths
+    "reggae":   [0, 0, 1, 0, 0, 0, 1, 0, 0, 0, 1, 0, 0, 0, 1, 0],  # off-beats
+    "soul":     [1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 1],
+    "latin":    [1, 0, 0, 1, 0, 0, 1, 0, 1, 0, 0, 1, 0, 0, 1, 0],  # tresillo
+    "jazz":     [0, 0, 0, 0, 1, 0, 1, 0, 0, 0, 0, 0, 1, 0, 1, 0],
+    "pop":      [1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0],
+    "afrobeat": [1, 0, 1, 1, 0, 1, 1, 0, 1, 0, 1, 1, 0, 1, 1, 0],
+    "highlife": [1, 0, 0, 1, 1, 0, 0, 1, 1, 0, 0, 1, 1, 0, 0, 1],
+    "punk":     [1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1],
+    "rock":     [1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0],
+}
+
+
 def _pattern(rng: np.random.Generator, style: str, t: int = 32) -> np.ndarray:
     kick_p, snare_p, hat_d, extra_d = _STYLE_PROFILES[style]
     h = np.zeros((t, N_VOICES))
@@ -49,10 +66,12 @@ def _pattern(rng: np.random.Generator, style: str, t: int = 32) -> np.ndarray:
         if rng.random() < snare_p:
             h[step % t, 1] = 1
     h[:, 1] += (rng.random(t) < extra_d * 0.3) * (h[:, 1] == 0)
-    # closed hats on 8ths/16ths
-    hat_steps = np.arange(0, t, 2 if rng.random() < 0.5 else 4)
-    for step in hat_steps:
-        if rng.random() < hat_d:
+    # closed hats: per-style deterministic pattern (so the infilling task is
+    # learnable — the removed voice must be predictable from the kept ones;
+    # a purely random hat grid has no mutual information with the context)
+    hat_pattern = _STYLE_HAT_PATTERNS[style]
+    for step in range(t):
+        if hat_pattern[step % 16] and rng.random() < 0.92:  # light humanization
             h[step, 2] = 1
     # open hat occasionally replaces closed
     open_mask = (rng.random(t) < extra_d * 0.3) & (h[:, 2] > 0)
