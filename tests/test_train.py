@@ -240,17 +240,17 @@ def test_shipped_demo_checkpoint_loads():
         pytest.skip("demo checkpoints not present")
     params = {
         "model": {"experiment": "InfillingClosedHH_Symbolic",
-                  "encoder_only": 1, "optimizer": "sgd", "d_model": 32,
-                  "n_heads": 4, "dim_feedforward": 16, "dropout": 0.18,
+                  "encoder_only": 1, "optimizer": "adam", "d_model": 32,
+                  "n_heads": 4, "dim_feedforward": 512, "dropout": 0.1,
                   "num_encoder_layers": 6, "num_decoder_layers": 0,
                   "max_len": 32, "embedding_size_src": 27,
                   "embedding_size_tgt": 27},
-        "training": {"learning_rate": 0.094, "batch_size": 32,
-                     "hit_loss_penalty": 0.47},
+        "training": {"learning_rate": 3e-4, "batch_size": 16,
+                     "hit_loss_penalty": 0.38},
         "load_model": {"location": "local", "dir": demo_dir},
     }
     bundle, _, ep = initialize_model(params)
-    assert ep == 200
+    assert ep == 800
     x = np.random.default_rng(0).standard_normal((2, 32, 27)).astype(np.float32)
     h, v, o = bundle.predict(x)
     assert h.shape == (2, 32, 9) and np.isfinite(v).all()
