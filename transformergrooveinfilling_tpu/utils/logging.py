@@ -95,6 +95,8 @@ class Run:
         os.makedirs(media_dir, exist_ok=True)
         safe = "".join(c if c.isalnum() or c in "._-" else "_"
                        for c in (audio.caption or key))
+        if safe.endswith(".wav"):  # captions often carry the extension already
+            safe = safe[:-4]
         path = os.path.join(media_dir, f"{safe}.wav")
         from ..audio.synth import write_wav
 
