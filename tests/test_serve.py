@@ -132,3 +132,23 @@ def test_multi_task_server(rng):
         payload = _json.loads(resp.read())
     assert np.asarray(payload["hvo"]).shape == (32, 27)
     httpd.shutdown()
+
+
+def test_http_midi_export(server, rng):
+    """POST /infill with format=midi returns a parseable SMF of the result."""
+    import base64
+    from transformergrooveinfilling_tpu.data.midi import parse_midi
+
+    httpd = server.serve_http(port=0, block=False)
+    port = httpd.server_address[1]
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/infill",
+        data=json.dumps({"input": rng.standard_normal((32, 16)).tolist(),
+                         "format": "midi", "qpm": 95}).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=30) as resp:
+        payload = json.loads(resp.read())
+    blob = base64.b64decode(payload["midi_base64"])
+    mid = parse_midi(blob)
+    assert abs(60e6 / mid["tempi"][0][1] - 95) < 0.5
+    httpd.shutdown()

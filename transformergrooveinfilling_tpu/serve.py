@@ -156,7 +156,22 @@ class InfillServer:
                         raise ValueError('request body needs an "input" field')
                     x = np.asarray(payload["input"], np.float32)
                     out = server_self.infill(x)
-                    body = json.dumps({"hvo": out.tolist()}).encode()
+                    reply = {"hvo": out.tolist()}
+                    if payload.get("format") == "midi":
+                        # also return the infilled loop as a base64 SMF
+                        import base64
+
+                        from .hvo import HVOSequence
+                        from .hvo.sequence import Tempo
+                        from .data.midi import hvo_to_midi
+
+                        seq = HVOSequence(
+                            hvo=out if out.ndim == 2 else out[0],
+                            tempos=[Tempo(qpm=float(
+                                payload.get("qpm", 120.0)))])
+                        reply["midi_base64"] = base64.b64encode(
+                            hvo_to_midi(seq)).decode()
+                    body = json.dumps(reply).encode()
                     self.send_response(200)
                 except Exception as e:  # bad input → 400 with reason
                     body = json.dumps({"error": str(e)}).encode()
