@@ -146,6 +146,20 @@ def run_training(
                              optimizer_algorithm=hp.optimizer_algorithm,
                              learning_rate=hp.learning_rate)
 
+    if plan.n_model > 1:
+        # tensor-parallel runs: place parameters with the tp partition specs
+        # (attention/FFN wide dims over "model"); optimizer state follows as
+        # replicated — jit re-lays it out against the param shardings
+        from ..parallel.mesh import replicated, shard_params
+
+        sharded, _specs = shard_params(bundle.state.params, plan,
+                                       tensor_parallel=True)
+        opt_state = jax.tree.map(
+            lambda a: jax.device_put(a, replicated(plan)), bundle.state.opt_state)
+        bundle.state = TrainState(
+            step=jax.device_put(bundle.state.step, replicated(plan)),
+            params=sharded, opt_state=opt_state)
+
     inputs = jnp.asarray(np.asarray(dataset.processed_inputs, np.float32))
     outputs = jnp.asarray(np.asarray(dataset.processed_outputs, np.float32))
     n = inputs.shape[0]
