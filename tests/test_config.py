@@ -113,3 +113,39 @@ def test_encoder_decoder_variant(rng):
     gnorm = np.asarray(
         jnp.abs(g["decoder_layer_0"]["cross_attn"]["q"]["kernel"]).max())
     assert gnorm > 0
+
+
+def test_encoder_decoder_trains_end_to_end(rng):
+    """encoder_only=0: teacher-forced training reduces the loss."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from transformergrooveinfilling_tpu.models import build_model
+    from transformergrooveinfilling_tpu.train.loop import (
+        create_train_state, make_epoch_fn, make_eval_loss_fn, make_optimizer)
+
+    hp = HyperParams.from_dict({
+        "experiment": "InfillingKicksAndSnares", "encoder_only": 0,
+        "d_model": 16, "n_heads": 2, "dim_feedforward": 32, "dropout": 0.1,
+        "num_encoder_decoder_layers": 1, "batch_size": 8,
+        "learning_rate": 0.05, "epochs": 1, "hit_loss_penalty": 0.5,
+        "optimizer_algorithm": "adam"})
+    cfg = derive_model_config(hp)
+    assert not cfg.encoder_only
+    model = build_model(cfg)
+    tx = make_optimizer("adam", 1e-3)
+    state = create_train_state(model, cfg, tx, jax.random.PRNGKey(0))
+
+    h = (rng.random((16, 32, 9)) < 0.3).astype(np.float32)
+    y = jnp.asarray(np.concatenate([h, h * 0.7, h * 0.1], 2), np.float32)
+    x = jnp.asarray(rng.standard_normal((16, 32, 16)), jnp.float32)
+    epoch_fn = make_epoch_fn(model, tx, 0.5, 8, 16, donate=False,
+                             encoder_only=False)
+    _, first = epoch_fn(state, x, y, jax.random.PRNGKey(1))
+    for i in range(20):
+        state, metrics = epoch_fn(state, x, y, jax.random.PRNGKey(2 + i))
+    assert float(metrics["loss"]) < float(first["loss"])
+
+    eval_fn = make_eval_loss_fn(model, 0.5, encoder_only=False)
+    out = eval_fn(state.params, x, y)
+    assert np.isfinite(float(out["loss"]))

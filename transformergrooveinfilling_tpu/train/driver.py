@@ -165,11 +165,14 @@ def run_training(
     n = inputs.shape[0]
     assert n > 0, "dataset is empty"
 
+    encoder_only = bundle.config.encoder_only
     epoch_block = max(1, min(epoch_block, hp.epochs - initial_epoch or 1))
     epoch_fn = make_epoch_fn(
         bundle.model, bundle.tx, hp.hit_loss_penalty, hp.batch_size, n,
-        plan=plan, donate=True, n_epochs=epoch_block)
-    eval_loss_fn = make_eval_loss_fn(bundle.model, hp.hit_loss_penalty)
+        plan=plan, donate=True, n_epochs=epoch_block,
+        encoder_only=encoder_only)
+    eval_loss_fn = make_eval_loss_fn(bundle.model, hp.hit_loss_penalty,
+                                     encoder_only=encoder_only)
 
     epoch_save_partial, epoch_save_all = eval_log_freq(
         total_epochs=hp.epochs, initial_epochs_lim=10,
@@ -205,7 +208,8 @@ def run_training(
         else:  # trailing partial block
             run_fn = make_epoch_fn(
                 bundle.model, bundle.tx, hp.hit_loss_penalty, hp.batch_size,
-                n, plan=plan, donate=True, n_epochs=block)
+                n, plan=plan, donate=True, n_epochs=block,
+                encoder_only=encoder_only)
         if streamer is not None:
             fresh_in, fresh_out = streamer.next_epoch()
             inputs = jnp.asarray(fresh_in)

@@ -48,14 +48,20 @@ def create_train_state(model, config, tx, rng) -> TrainState:
                       opt_state=tx.init(params))
 
 
-def make_train_step(model, tx, hit_loss_penalty: float) -> Callable:
+def make_train_step(model, tx, hit_loss_penalty: float,
+                    encoder_only: bool = True) -> Callable:
     """One SGD step: forward (train-mode dropout) → penalty-masked 3-term loss →
-    grads → update. Returns (state, metrics-dict)."""
+    grads → update. Returns (state, metrics-dict).
+
+    ``encoder_only=False`` trains the encoder-decoder family with teacher
+    forcing: the target grid feeds the decoder (shifted inside the model).
+    """
 
     def step(state: TrainState, x, y, w, dropout_key):
         def loss_fn(params):
+            args = (x,) if encoder_only else (x, y)
             pred = model.apply(
-                {"params": params}, x, deterministic=False,
+                {"params": params}, *args, deterministic=False,
                 rngs={"dropout": dropout_key},
             )
             out = calculate_loss(pred, y, hit_loss_penalty, sample_weights=w)
@@ -91,6 +97,7 @@ def make_epoch_fn(
     donate: bool = True,
     n_epochs: int = 1,
     shuffle: bool = True,
+    encoder_only: bool = True,
 ):
     """Compile a whole-epoch function ``(state, inputs, outputs, key) ->
     (state, metrics)``.
@@ -101,7 +108,8 @@ def make_epoch_fn(
     reference's sample-weighted mean. ``n_epochs > 1`` wraps an outer scan so
     one dispatch trains many epochs (metrics returned for the last epoch).
     """
-    step_fn = make_train_step(model, tx, hit_loss_penalty)
+    step_fn = make_train_step(model, tx, hit_loss_penalty,
+                              encoder_only=encoder_only)
     n_batches = -(-n_samples // batch_size)
     padded = n_batches * batch_size
 
@@ -160,13 +168,15 @@ def make_epoch_fn(
     return jax.jit(epoch, donate_argnums=donate_argnums)
 
 
-def make_eval_loss_fn(model, hit_loss_penalty: float):
+def make_eval_loss_fn(model, hit_loss_penalty: float,
+                      encoder_only: bool = True):
     """Deterministic held-out loss (the val/test losses the reference's
     train_loop computes per epoch)."""
 
     @jax.jit
     def eval_loss(params, x, y):
-        pred = model.apply({"params": params}, x, deterministic=True)
+        args = (x,) if encoder_only else (x, y)
+        pred = model.apply({"params": params}, *args, deterministic=True)
         out = calculate_loss(pred, y, hit_loss_penalty)
         return {
             "loss": out.total_loss,
