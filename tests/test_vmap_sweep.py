@@ -1,0 +1,60 @@
+"""Batched (vmap) sweeps: K trials in one program."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from transformergrooveinfilling_tpu.models import build_model
+from transformergrooveinfilling_tpu.models.transformer import (
+    GrooveTransformerConfig,
+)
+from transformergrooveinfilling_tpu.train.vmap_sweep import batched_sweep
+
+CFG = GrooveTransformerConfig(d_model=16, n_heads=2, dim_feedforward=16,
+                              dropout=0.1, num_encoder_layers=1,
+                              embedding_size_src=27)
+
+
+def _data(rng, n=24):
+    h = (rng.random((n, 32, 9)) < 0.3).astype(np.float32)
+    y = np.concatenate([h, h * 0.8, h * 0.1], axis=2).astype(np.float32)
+    x = y.copy()
+    x[:, :, [2, 11, 20]] = 0
+    return x, y
+
+
+def test_batched_sweep_runs_and_differs(rng):
+    x, y = _data(rng)
+    model = build_model(CFG)
+    params, losses = batched_sweep(
+        model, CFG, x, y, lrs=[0.0, 0.02, 0.05, 0.1],
+        penalties=[0.5, 0.5, 0.5, 0.5], epochs=8, batch_size=8)
+    losses = np.asarray(losses)
+    assert losses.shape == (4,)
+    assert np.isfinite(losses).all()
+    # distinct learning rates → distinct trajectories
+    assert len(np.unique(np.round(losses, 6))) >= 3
+    # stacked params carry the trial axis
+    leaf = jax.tree_util.tree_leaves(params)[0]
+    assert leaf.shape[0] == 4
+
+
+def test_lr_zero_trial_keeps_init(rng):
+    x, y = _data(rng)
+    model = build_model(CFG)
+    from transformergrooveinfilling_tpu.train.vmap_sweep import (
+        init_stacked_params)
+
+    init = init_stacked_params(model, CFG, 2, jax.random.PRNGKey(0))
+    params, _ = batched_sweep(model, CFG, x, y, lrs=[0.0, 0.05],
+                              penalties=[0.5, 0.5], epochs=3, batch_size=8,
+                              seed=0)
+    # trial 0 (lr=0) unchanged; trial 1 moved
+    a0 = np.asarray(jax.tree_util.tree_leaves(params)[0][0])
+    i0 = np.asarray(jax.tree_util.tree_leaves(init)[0][0])
+    np.testing.assert_allclose(a0, i0, atol=1e-7)
+    a1 = np.asarray(jax.tree_util.tree_leaves(params)[1][1])
+    i1 = np.asarray(jax.tree_util.tree_leaves(init)[1][1])
+    assert not np.allclose(a1, i1, atol=1e-7)

@@ -1,0 +1,103 @@
+"""Batched hyperparameter sweeps: K trials in one compiled program.
+
+The reference scales out sweeps as separate wandb agent processes (SURVEY.md
+§2.4) — one model per GPU at a time. On TPU, groove-sized models leave the chip
+mostly idle, so this module trains **K models simultaneously with one
+``jax.vmap``** over stacked parameters: K independent (learning_rate,
+hit_loss_penalty) trials per program, sharing each batch's gather and the MXU
+(the per-trial matmuls batch into one big one). A whole random-search sweep
+becomes a single device dispatch.
+
+SGD only (the reference's default optimizer): per-trial learning rates enter
+the update as data, not as optax state.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..models.losses import calculate_loss
+
+
+def init_stacked_params(model, config, n_trials: int, rng):
+    """K independent initializations, stacked on a leading trial axis."""
+    sample = jnp.zeros((1, config.max_len, config.embedding_size_src),
+                       jnp.float32)
+    keys = jax.random.split(rng, n_trials)
+    return jax.vmap(
+        lambda k: model.init(k, sample, deterministic=True)["params"])(keys)
+
+
+def make_batched_sweep_fn(model, batch_size: int, n_samples: int,
+                          n_epochs: int, encoder_only: bool = True):
+    """Compile ``(stacked_params, lrs, penalties, inputs, outputs, key) ->
+    (stacked_params, final_losses)``.
+
+    Every trial sees the same shuffled batches; dropout streams differ per
+    trial (fold_in on the trial index).
+    """
+    n_batches = -(-n_samples // batch_size)
+    padded = n_batches * batch_size
+
+    def trial_step(params, lr, penalty, x, y, w, dropout_key):
+        def loss_fn(p):
+            args = (x,) if encoder_only else (x, y)
+            pred = model.apply({"params": p}, *args, deterministic=False,
+                               rngs={"dropout": dropout_key})
+            return calculate_loss(pred, y, penalty, sample_weights=w).total_loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
+        return params, loss
+
+    def sweep(stacked_params, lrs, penalties, inputs, outputs, key):
+        def epoch(carry, epoch_key):
+            stacked = carry
+            perm_key, dropout_key = jax.random.split(epoch_key)
+            perm = jax.random.permutation(perm_key, n_samples)
+            idx = jnp.concatenate(
+                [perm, jnp.zeros((padded - n_samples,), perm.dtype)]
+            ).reshape(n_batches, batch_size)
+            weights = (jnp.arange(padded) < n_samples).astype(
+                jnp.float32).reshape(n_batches, batch_size)
+
+            def body(stacked, batch):
+                idx_b, w_b, i = batch
+                x = jnp.take(inputs, idx_b, axis=0)
+                y = jnp.take(outputs, idx_b, axis=0)
+                n_trials = lrs.shape[0]
+                keys = jax.vmap(
+                    lambda t: jax.random.fold_in(
+                        jax.random.fold_in(dropout_key, i), t)
+                )(jnp.arange(n_trials))
+                stacked, losses = jax.vmap(
+                    trial_step, in_axes=(0, 0, 0, None, None, None, 0)
+                )(stacked, lrs, penalties, x, y, w_b, keys)
+                return stacked, losses
+
+            stacked, losses = jax.lax.scan(
+                body, stacked, (idx, weights, jnp.arange(n_batches)))
+            return stacked, losses[-1]  # (K,) last-batch losses
+
+        keys = jax.random.split(key, n_epochs)
+        stacked_params, losses = jax.lax.scan(epoch, stacked_params, keys)
+        return stacked_params, losses[-1]
+
+    return jax.jit(sweep)
+
+
+def batched_sweep(model, config, inputs, outputs, lrs, penalties,
+                  epochs: int, batch_size: int, seed: int = 0):
+    """Run K SGD trials in one program → (stacked_params, final_losses)."""
+    lrs = jnp.asarray(lrs, jnp.float32)
+    penalties = jnp.asarray(penalties, jnp.float32)
+    assert lrs.shape == penalties.shape
+    stacked = init_stacked_params(model, config, lrs.shape[0],
+                                  jax.random.PRNGKey(seed))
+    fn = make_batched_sweep_fn(model, batch_size, inputs.shape[0], epochs,
+                               encoder_only=config.encoder_only)
+    return fn(stacked, lrs, penalties, jnp.asarray(inputs),
+              jnp.asarray(outputs), jax.random.PRNGKey(seed + 1))
