@@ -66,6 +66,10 @@ def main(argv=None):
     parser.add_argument("--paths", default="configs/paths.yaml")
     parser.add_argument("--epochs", type=int, default=None,
                         help="override epochs per trial (quick sweeps)")
+    parser.add_argument("--batched", action="store_true",
+                        help="run all trials in ONE compiled program (vmap): "
+                             "architecture sampled once, learning_rate and "
+                             "hit_loss_penalty vary per trial; sgd only")
     args = parser.parse_args(argv)
 
     with open(args.sweep) as f:
@@ -74,6 +78,9 @@ def main(argv=None):
     goal = sweep.get("metric", {}).get("goal", "minimize")
     project = sweep.get("project", "sweep")
     rng = random.Random(args.seed)
+
+    if args.batched:
+        return run_batched(sweep, metric, goal, rng, args)
 
     import train as train_cli
 
@@ -108,6 +115,53 @@ def main(argv=None):
         return 0
     print("no successful trials")
     return 1
+
+
+def run_batched(sweep: dict, metric: str, goal: str, rng: random.Random,
+                args) -> int:
+    """All trials in one compiled program (train/vmap_sweep.py)."""
+    import numpy as np
+
+    from transformergrooveinfilling_tpu.data import load_processed_dataset
+    from transformergrooveinfilling_tpu.models import build_model
+    from transformergrooveinfilling_tpu.train.config import (
+        HyperParams, derive_model_config)
+    from transformergrooveinfilling_tpu.train.vmap_sweep import batched_sweep
+
+    base = sample_config(sweep, rng)  # architecture sampled once
+    base.pop("only_final_eval", None)
+    lrs, pens = [], []
+    for _ in range(args.count):
+        trial = sample_config(sweep, rng)
+        lrs.append(float(trial.get("learning_rate", 0.05)))
+        pens.append(float(trial.get("hit_loss_penalty", 1.0)))
+    if args.epochs is not None:
+        base["epochs"] = args.epochs
+
+    hp = HyperParams.from_dict(base)
+    config = derive_model_config(hp)
+    model = build_model(config)
+
+    import yaml as _yaml
+    with open(args.paths) as f:
+        paths = _yaml.safe_load(f)
+    ds = load_processed_dataset(paths[hp.experiment]["datasets"]["train"],
+                                exp=hp.experiment)
+    print(f"batched sweep: {args.count} (lr, penalty) trials of "
+          f"d{hp.d_model}/ff{hp.dim_feedforward}/{hp.num_encoder_decoder_layers}L "
+          f"x {hp.epochs} epochs, one program")
+    _params, losses = batched_sweep(
+        model, config, np.asarray(ds.processed_inputs, np.float32),
+        np.asarray(ds.processed_outputs, np.float32), lrs, pens,
+        epochs=hp.epochs, batch_size=hp.batch_size, seed=args.seed)
+    losses = np.asarray(losses)
+    order = np.argsort(losses if goal == "minimize" else -losses)
+    for i in order[:5]:
+        print(f"  loss {losses[i]:.4f}  lr {lrs[i]:.4f}  "
+              f"hit_loss_penalty {pens[i]:.3f}")
+    print("note: raw loss is not comparable across hit_loss_penalty values "
+          "(the penalty scales the loss); prefer fixed-penalty batched sweeps")
+    return 0
 
 
 if __name__ == "__main__":
