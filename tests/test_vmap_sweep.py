@@ -30,7 +30,7 @@ def test_batched_sweep_runs_and_differs(rng):
     model = build_model(CFG)
     params, losses = batched_sweep(
         model, CFG, x, y, lrs=[0.0, 0.02, 0.05, 0.1],
-        penalties=[0.5, 0.5, 0.5, 0.5], epochs=8, batch_size=8)
+        penalties=[0.5, 0.5, 0.5, 0.5], epochs=5, batch_size=8)
     losses = np.asarray(losses)
     assert losses.shape == (4,)
     assert np.isfinite(losses).all()
@@ -49,7 +49,7 @@ def test_lr_zero_trial_keeps_init(rng):
 
     init = init_stacked_params(model, CFG, 2, jax.random.PRNGKey(0))
     params, _ = batched_sweep(model, CFG, x, y, lrs=[0.0, 0.05],
-                              penalties=[0.5, 0.5], epochs=3, batch_size=8,
+                              penalties=[0.5, 0.5], epochs=2, batch_size=8,
                               seed=0)
     # trial 0 (lr=0) unchanged; trial 1 moved
     a0 = np.asarray(jax.tree_util.tree_leaves(params)[0][0])
