@@ -14,7 +14,6 @@ the update as data, not as optax state.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp
