@@ -152,3 +152,31 @@ def test_http_midi_export(server, rng):
     mid = parse_midi(blob)
     assert abs(60e6 / mid["tempi"][0][1] - 95) < 0.5
     httpd.shutdown()
+
+
+def test_infill_from_hvo_audio_model(rng):
+    """Audio-modality serving: partial HVO → server-side synth+MSO → infill."""
+    from transformergrooveinfilling_tpu.data.synthetic import (
+        synthetic_gmd_sequences)
+
+    model = build_model(CFG)  # CFG is 16-wide (audio-modality input)
+    params = model.init(jax.random.PRNGKey(2), jnp.zeros((1, 32, 16)),
+                        deterministic=True)["params"]
+    srv = InfillServer(params, CFG, batch_sizes=(1,), use_pallas=False)
+    seq = synthetic_gmd_sequences(1, seed=3)[0]
+    partial, _ = seq.reset_voices([2])
+    out = srv.infill_from_hvo(partial.hvo, qpm=seq.tempos[0].qpm)
+    assert out.shape == (32, 27)
+
+    # and over HTTP
+    httpd = srv.serve_http(port=0, block=False)
+    port = httpd.server_address[1]
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/infill",
+        data=json.dumps({"hvo_input": partial.hvo.tolist(),
+                         "qpm": seq.tempos[0].qpm}).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=60) as resp:
+        payload = json.loads(resp.read())
+    assert np.asarray(payload["hvo"]).shape == (32, 27)
+    httpd.shutdown()

@@ -114,6 +114,30 @@ class InfillServer:
         self.stats.record((time.perf_counter() - t0) * 1000.0)
         return out[0] if single else out
 
+    def infill_from_hvo(self, partial_hvo, qpm: float = 120.0,
+                        sf_path=None) -> np.ndarray:
+        """Infill from a partial HVO grid.
+
+        For audio-modality models (16-wide input) this runs the full direct-
+        audio front end server-side: synthesize the partial loop (host C++
+        mixer), compute its MSO (device DSP), then infill. Symbolic models
+        take the grid directly.
+        """
+        x = np.asarray(partial_hvo, np.float32)
+        single = x.ndim == 2
+        if single:
+            x = x[None]
+        if self.config.embedding_size_src == x.shape[-1]:
+            inputs = x  # symbolic model: the grid is the input
+        else:
+            from .ops.mso import MSOParams, mso_batch_from_hvo
+
+            inputs = mso_batch_from_hvo(
+                x, [sf_path] * x.shape[0], np.full((x.shape[0],), qpm),
+                params=MSOParams())
+        out = self.infill(inputs)
+        return out[0] if single else out
+
     # -- HTTP endpoint ---------------------------------------------------------
 
     def serve_http(self, host: str = "127.0.0.1", port: int = 8327,
@@ -152,10 +176,19 @@ class InfillServer:
                 try:
                     n = int(self.headers.get("Content-Length", 0))
                     payload = json.loads(self.rfile.read(n))
-                    if "input" not in payload:
-                        raise ValueError('request body needs an "input" field')
-                    x = np.asarray(payload["input"], np.float32)
-                    out = server_self.infill(x)
+                    if "hvo_input" in payload:
+                        # partial HVO grid: server runs the synth+MSO front end
+                        # for audio models (or passes through for symbolic)
+                        out = server_self.infill_from_hvo(
+                            np.asarray(payload["hvo_input"], np.float32),
+                            qpm=float(payload.get("qpm", 120.0)))
+                    elif "input" in payload:
+                        x = np.asarray(payload["input"], np.float32)
+                        out = server_self.infill(x)
+                    else:
+                        raise ValueError(
+                            'request body needs an "input" (model-space) or '
+                            '"hvo_input" (partial HVO grid) field')
                     reply = {"hvo": out.tolist()}
                     if payload.get("format") == "midi":
                         # also return the infilled loop as a base64 SMF
