@@ -194,3 +194,26 @@ def test_loss_curve_svg_rendered(tmp_path, monkeypatch):
     assert os.path.exists(svg)
     text = open(svg).read()
     assert "<path" in text and "validation_loss" in text
+
+
+def test_media_html_well_formed(evaluator):
+    """Emitted media parses as HTML (self-contained SVG, no external deps)."""
+    from html.parser import HTMLParser
+
+    class Checker(HTMLParser):
+        def __init__(self):
+            super().__init__()
+            self.svg = 0
+
+        def handle_starttag(self, tag, attrs):
+            if tag == "svg":
+                self.svg += 1
+            for name, value in attrs:
+                assert "http" not in (value or "") or "www.w3.org" in value, \
+                    f"external reference in media: {value}"
+
+    evaluator.set_pred(PerfectModel(evaluator._gt_hvos_array))
+    html_doc = evaluator.prediction_SubSet_Evaluator.get_piano_rolls()
+    c = Checker()
+    c.feed(html_doc)
+    assert c.svg >= 1

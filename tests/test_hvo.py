@@ -120,3 +120,27 @@ def test_batched_ops_vmap(rng):
     masks = jnp.tile(ops.voice_mask_from_indices([0])[None], (8, 1))
     kept2, removed2 = ops.reset_voices_batch(x, masks)
     np.testing.assert_allclose(np.asarray(kept2 + removed2), np.asarray(x))
+
+
+def test_ops_arbitrary_lengths(rng):
+    """Grid ops hold for non-default T (the reference hard-fixes T=32; ours
+    parameterize it)."""
+    for t in (8, 17, 64):
+        x = jnp.asarray(rng.random((2, t, 27)))
+        mask = ops.voice_mask_from_indices([0, 4])
+        kept, removed = jax.vmap(ops.reset_voices, in_axes=(0, None))(x, mask)
+        np.testing.assert_allclose(np.asarray(kept + removed), np.asarray(x))
+        keys = jax.random.split(jax.random.PRNGKey(t), 2)
+        k2, r2 = ops.remove_random_events_batch(x, keys, (0.4, 0.6))
+        np.testing.assert_allclose(np.asarray(k2 + r2), np.asarray(x),
+                                   atol=1e-7)
+        assert ops.pad_to_length(x, 32).shape == (2, 32, 27)
+
+
+def test_voice_mask_empty():
+    mask = ops.voice_mask_from_indices([])
+    assert not bool(mask.any())
+    x = jnp.ones((32, 27))
+    kept, removed = ops.reset_voices(x, mask)
+    np.testing.assert_allclose(np.asarray(kept), np.asarray(x))
+    np.testing.assert_allclose(np.asarray(removed), 0)
