@@ -254,3 +254,19 @@ def test_shipped_demo_checkpoint_loads():
     x = np.random.default_rng(0).standard_normal((2, 32, 27)).astype(np.float32)
     h, v, o = bundle.predict(x)
     assert h.shape == (2, 32, 9) and np.isfinite(v).all()
+
+
+def test_async_checkpoint_save(tmp_path):
+    model = build_model(CFG)
+    tx = make_optimizer("sgd", 0.05)
+    state = create_train_state(model, CFG, tx, jax.random.PRNGKey(1))
+    futures = [ckpt.save_checkpoint_async(str(tmp_path), "async", ep, state,
+                                          1.0 + ep, CFG)
+               for ep in range(3)]
+    ckpt.flush_async_saves()
+    for ep, fut in enumerate(futures):
+        assert fut.result().endswith(f"Epoch_{ep}.ckpt")
+    path, latest = ckpt.find_latest(str(tmp_path))
+    assert latest == 2
+    params, _opt, epoch, loss = ckpt.load_checkpoint(path)
+    assert epoch == 2 and abs(loss - 3.0) < 1e-9

@@ -24,6 +24,34 @@ from ..models import torch_compat
 
 CKPT_PATTERN = "transformer_run_{}_Epoch_{}.ckpt"
 
+_async_pool = None
+
+
+def save_checkpoint_async(ckpt_dir: str, run_id: str, epoch: int, state,
+                          loss: float, config: GrooveTransformerConfig):
+    """Non-blocking checkpoint save: the device→host fetch and file write run
+    on a background thread so training dispatch continues immediately
+    (the fetch costs seconds on thin host↔device links). Saves are serialized
+    on one worker, preserving order; call :func:`flush_async_saves` before
+    reading checkpoints back.
+    """
+    global _async_pool
+    import concurrent.futures
+
+    if _async_pool is None:
+        _async_pool = concurrent.futures.ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="ckpt-save")
+    return _async_pool.submit(
+        save_checkpoint, ckpt_dir, run_id, epoch, state, loss, config)
+
+
+def flush_async_saves():
+    """Block until every pending async save has been written."""
+    global _async_pool
+    if _async_pool is not None:
+        _async_pool.shutdown(wait=True)
+        _async_pool = None
+
 
 def save_checkpoint(ckpt_dir: str, run_id: str, epoch: int, state, loss: float,
                     config: GrooveTransformerConfig) -> str:

@@ -238,8 +238,10 @@ def run_training(
         save_now = any(e in epoch_save_partial or e in epoch_save_all
                        for e in block_epochs)
         if save_now and jax.process_index() == 0:  # multi-host: one writer
-            ckpt.save_checkpoint(ckpt_dir, run_id, last_ep, state,
-                                 metrics["loss"], bundle.config)
+            # async: the device->host fetch runs on a background thread while
+            # the next block trains (flushed before run_training returns)
+            ckpt.save_checkpoint_async(ckpt_dir, run_id, last_ep, state,
+                                       metrics["loss"], bundle.config)
             if export_legacy and bundle.config.encoder_only:
                 ckpt.export_legacy(ckpt_dir, run_id, last_ep, state.params,
                                    bundle.config, metrics["loss"])
@@ -252,6 +254,7 @@ def run_training(
 
         xlog.log({"epoch": last_ep}, commit=True)
 
+    ckpt.flush_async_saves()
     return bundle
 
 
