@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import threading
 import time
 from typing import Sequence
 
@@ -33,18 +34,27 @@ from .models.transformer import GrooveTransformerConfig
 
 @dataclasses.dataclass
 class ServeStats:
+    """Latency accounting shared across ThreadingHTTPServer handler threads;
+    all access is lock-guarded (record's halving `del` would otherwise race
+    /healthz percentile reads)."""
+
     count: int = 0
     latencies_ms: list = dataclasses.field(default_factory=list)
+    _lock: threading.Lock = dataclasses.field(
+        default_factory=threading.Lock, repr=False)
 
     def record(self, ms: float):
-        self.count += 1
-        self.latencies_ms.append(ms)
-        if len(self.latencies_ms) > 10000:
-            del self.latencies_ms[: len(self.latencies_ms) // 2]
+        with self._lock:
+            self.count += 1
+            self.latencies_ms.append(ms)
+            if len(self.latencies_ms) > 10000:
+                del self.latencies_ms[: len(self.latencies_ms) // 2]
 
     def percentile(self, p: float) -> float:
-        return float(np.percentile(self.latencies_ms, p)) if self.latencies_ms \
-            else float("nan")
+        with self._lock:
+            if not self.latencies_ms:
+                return float("nan")
+            return float(np.percentile(self.latencies_ms, p))
 
 
 class InfillServer:
@@ -143,7 +153,6 @@ class InfillServer:
     def serve_http(self, host: str = "127.0.0.1", port: int = 8327,
                    block: bool = True):
         from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-        import threading
 
         server_self = self
 
@@ -281,7 +290,6 @@ class MultiTaskServer:
     def serve_http(self, host: str = "127.0.0.1", port: int = 8328,
                    block: bool = True):
         from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-        import threading
 
         outer = self
 

@@ -25,15 +25,36 @@ from ..models import torch_compat
 CKPT_PATTERN = "transformer_run_{}_Epoch_{}.ckpt"
 
 _async_pool = None
+_async_pending: list = []
+
+
+def _fetch_state_to_host(state) -> dict:
+    """Copy params/opt_state to host numpy, detached from device buffers.
+
+    Must run on the thread that owns the training loop *before* the next step
+    is dispatched: the compiled epoch donates its input state, so the device
+    buffers backing ``state`` are invalidated by the next dispatch — fetching
+    them later (e.g. on a checkpoint worker thread) races with that donation
+    and raises "Array has been deleted".
+    """
+    return {
+        "params": serialization.to_state_dict(
+            jax.tree.map(lambda a: np.array(a), jax.device_get(state.params))),
+        # optax states are (named)tuples; to_state_dict maps them to plain dicts
+        # so msgpack can carry them — restore rebuilds via from_state_dict
+        "opt_state": serialization.to_state_dict(
+            jax.tree.map(lambda a: np.array(a), jax.device_get(state.opt_state))),
+    }
 
 
 def save_checkpoint_async(ckpt_dir: str, run_id: str, epoch: int, state,
                           loss: float, config: GrooveTransformerConfig):
-    """Non-blocking checkpoint save: the device→host fetch and file write run
-    on a background thread so training dispatch continues immediately
-    (the fetch costs seconds on thin host↔device links). Saves are serialized
-    on one worker, preserving order; call :func:`flush_async_saves` before
-    reading checkpoints back.
+    """Non-blocking checkpoint save: the device→host fetch happens here, on
+    the calling thread (required for correctness under buffer donation — see
+    :func:`_fetch_state_to_host`), and only serialization + the file write run
+    on a background thread. Saves are serialized on one worker, preserving
+    order; call :func:`flush_async_saves` before reading checkpoints back —
+    it re-raises any write failure instead of dropping it.
     """
     global _async_pool
     import concurrent.futures
@@ -41,30 +62,36 @@ def save_checkpoint_async(ckpt_dir: str, run_id: str, epoch: int, state,
     if _async_pool is None:
         _async_pool = concurrent.futures.ThreadPoolExecutor(
             max_workers=1, thread_name_prefix="ckpt-save")
-    return _async_pool.submit(
-        save_checkpoint, ckpt_dir, run_id, epoch, state, loss, config)
+    payload = _fetch_state_to_host(state)
+    fut = _async_pool.submit(
+        _write_checkpoint, ckpt_dir, run_id, epoch, payload, loss, config)
+    _async_pending.append(fut)
+    return fut
 
 
 def flush_async_saves():
-    """Block until every pending async save has been written."""
+    """Block until every pending async save has been written; re-raise the
+    first worker exception (a silently-dropped checkpoint is a data-loss bug,
+    not a warning)."""
     global _async_pool
     if _async_pool is not None:
         _async_pool.shutdown(wait=True)
         _async_pool = None
+    pending, _async_pending[:] = list(_async_pending), []
+    for fut in pending:
+        fut.result()
 
 
 def save_checkpoint(ckpt_dir: str, run_id: str, epoch: int, state, loss: float,
                     config: GrooveTransformerConfig) -> str:
+    return _write_checkpoint(ckpt_dir, run_id, epoch,
+                             _fetch_state_to_host(state), loss, config)
+
+
+def _write_checkpoint(ckpt_dir: str, run_id: str, epoch: int, payload: dict,
+                      loss: float, config: GrooveTransformerConfig) -> str:
     os.makedirs(ckpt_dir, exist_ok=True)
     path = os.path.join(ckpt_dir, CKPT_PATTERN.format(run_id, epoch))
-    payload = {
-        "params": serialization.to_state_dict(
-            jax.tree.map(np.asarray, jax.device_get(state.params))),
-        # optax states are (named)tuples; to_state_dict maps them to plain dicts
-        # so msgpack can carry them — restore rebuilds via from_state_dict
-        "opt_state": serialization.to_state_dict(
-            jax.tree.map(np.asarray, jax.device_get(state.opt_state))),
-    }
     with open(path, "wb") as f:
         f.write(serialization.msgpack_serialize(
             {"state": payload,
@@ -136,11 +163,13 @@ def restore(load_model: dict, config: GrooveTransformerConfig):
     ckpt_dir = load_model["dir"]
     pattern = load_model.get("file_pattern", CKPT_PATTERN)
     if "epoch" in load_model and load_model["epoch"] is not None:
-        # explicit epoch: try native then legacy naming (optionally pinned to a
-        # specific run id, as in the reference's wandb-style restore dicts)
+        # explicit epoch: prefer native .ckpt over legacy .Model when both
+        # exist for the epoch (.Model drops optimizer state); optionally
+        # pinned to a run id, as in the reference's wandb-style restore dicts
         run_filter = load_model.get("run")
         path = None
-        for fname in sorted(os.listdir(ckpt_dir)):
+        for fname in sorted(os.listdir(ckpt_dir),
+                            key=lambda f: (not f.endswith(".ckpt"), f)):
             if not fname.endswith((".ckpt", ".Model")):
                 continue
             if f"Epoch_{load_model['epoch']}." not in fname:

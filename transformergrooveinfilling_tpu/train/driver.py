@@ -162,7 +162,10 @@ def run_training(
 
     inputs = jnp.asarray(np.asarray(dataset.processed_inputs, np.float32))
     outputs = jnp.asarray(np.asarray(dataset.processed_outputs, np.float32))
-    n = inputs.shape[0]
+    # the compiled epoch bakes n_samples into its permutation/weights; when a
+    # streamer supplies the arrays, its fan-out (not the seed dataset's size)
+    # is the truth — a mismatch would make jnp.take silently clamp indices
+    n = streamer.n_samples if streamer is not None else inputs.shape[0]
     assert n > 0, "dataset is empty"
 
     encoder_only = bundle.config.encoder_only
@@ -212,6 +215,10 @@ def run_training(
                 encoder_only=encoder_only)
         if streamer is not None:
             fresh_in, fresh_out = streamer.next_epoch()
+            if fresh_in.shape[0] != n or fresh_out.shape[0] != n:
+                raise ValueError(
+                    f"streamer generation size {fresh_in.shape[0]} != compiled "
+                    f"n_samples {n}; generations must keep a constant size")
             inputs = jnp.asarray(fresh_in)
             outputs = jnp.asarray(fresh_out)
         if profile_dir and ep == initial_epoch:
