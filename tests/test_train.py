@@ -214,6 +214,65 @@ def test_run_training_with_streamer(tmp_path, monkeypatch, rng):
     assert bundle.state is not None
 
 
+def test_run_training_with_audio_streamer(tmp_path, monkeypatch, rng):
+    """Audio-modality streaming: fresh synth+MSO generations feed training
+    (VERDICT r1: only the symbolic mode was exercised)."""
+    from transformergrooveinfilling_tpu.data.pipeline import StreamingAugmenter
+    from transformergrooveinfilling_tpu.data.synthetic import (
+        synthetic_gmd_sequences)
+    from transformergrooveinfilling_tpu.train.config import HyperParams
+    from transformergrooveinfilling_tpu.train.driver import run_training
+
+    monkeypatch.chdir(tmp_path)
+    seqs = synthetic_gmd_sequences(6, seed=52)
+    base = np.stack([s.hvo for s in seqs]).astype(np.float32)
+
+    class ArrayDataset:
+        pass
+
+    hp = HyperParams.from_dict({
+        "experiment": "InfillingRandom", "encoder_only": 1,
+        "optimizer_algorithm": "sgd", "d_model": 16, "n_heads": 2,
+        "dropout": 0.1, "num_encoder_decoder_layers": 1,
+        "hit_loss_penalty": 0.5, "batch_size": 8, "dim_feedforward": 16,
+        "learning_rate": 0.05, "epochs": 2})
+    with StreamingAugmenter(base, aug_per_item=2, mode="audio",
+                            seed=3) as streamer:
+        ds = ArrayDataset()
+        x0, y0 = streamer.next_epoch()
+        assert x0.shape == (12, 32, 16)  # MSO inputs, not grids
+        ds.processed_inputs, ds.processed_outputs = x0, y0
+        bundle = run_training(hp, ds, {}, streamer=streamer, log_media=False,
+                              ckpt_dir=str(tmp_path / "ck"))
+    assert bundle.state is not None
+
+
+def test_streamer_size_mismatch_raises(tmp_path, rng):
+    from transformergrooveinfilling_tpu.train.config import HyperParams
+    from transformergrooveinfilling_tpu.train.driver import run_training
+
+    class BadStreamer:
+        n_samples = 16
+
+        def next_epoch(self):
+            z = np.zeros((12, 32, 27), np.float32)  # != n_samples
+            return z, z
+
+    class ArrayDataset:
+        processed_inputs = np.zeros((16, 32, 27), np.float32)
+        processed_outputs = np.zeros((16, 32, 27), np.float32)
+
+    hp = HyperParams.from_dict({
+        "experiment": "InfillingClosedHH_Symbolic", "encoder_only": 1,
+        "optimizer_algorithm": "sgd", "d_model": 16, "n_heads": 2,
+        "dropout": 0.0, "num_encoder_decoder_layers": 1,
+        "hit_loss_penalty": 0.5, "batch_size": 8, "dim_feedforward": 16,
+        "learning_rate": 0.05, "epochs": 1})
+    with pytest.raises(ValueError, match="generation size"):
+        run_training(hp, ArrayDataset(), {}, streamer=BadStreamer(),
+                     log_media=False, ckpt_dir=str(tmp_path / "ck"))
+
+
 def test_remat_matches_plain(rng):
     """Rematerialized encoder layers give identical losses and gradients."""
     import dataclasses

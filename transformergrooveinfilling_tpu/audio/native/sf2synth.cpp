@@ -16,6 +16,8 @@
 #include <cstdint>
 #include <cstring>
 #include <algorithm>
+#include <thread>
+#include <vector>
 
 extern "C" {
 
@@ -43,20 +45,43 @@ void tgi_mix_events(float* buf, int64_t buf_len,
 }
 
 // Batched variant: `buf` is (n_items, buf_len) row-major; `event_offsets`
-// (n_items+1) delimits each item's slice of the flat event arrays.
+// (n_items+1) delimits each item's slice of the flat event arrays. Items are
+// independent (disjoint output rows), so `n_threads > 1` splits the batch
+// across std::threads; 0/1 runs inline. Per-item soundfonts are expressed by
+// concatenating their sample tables and pre-offsetting event voice indices
+// into the combined table (done on the Python side), so one call covers a
+// mixed-soundfont batch.
 void tgi_mix_batch(float* buf, int64_t n_items, int64_t buf_len,
                    const float* const* samples, const int64_t* sample_lens,
                    int64_t n_voices,
                    const int32_t* voices, const int64_t* onsets,
-                   const float* vels, const int64_t* event_offsets) {
-    for (int64_t item = 0; item < n_items; ++item) {
-        const int64_t start = event_offsets[item];
-        const int64_t end = event_offsets[item + 1];
-        tgi_mix_events(buf + item * buf_len, buf_len,
-                       samples, sample_lens, n_voices,
-                       voices + start, onsets + start, vels + start,
-                       end - start);
+                   const float* vels, const int64_t* event_offsets,
+                   int32_t n_threads) {
+    auto run_range = [&](int64_t lo, int64_t hi) {
+        for (int64_t item = lo; item < hi; ++item) {
+            const int64_t start = event_offsets[item];
+            const int64_t end = event_offsets[item + 1];
+            tgi_mix_events(buf + item * buf_len, buf_len,
+                           samples, sample_lens, n_voices,
+                           voices + start, onsets + start, vels + start,
+                           end - start);
+        }
+    };
+    if (n_threads <= 1 || n_items <= 1) {
+        run_range(0, n_items);
+        return;
     }
+    const int64_t t = std::min<int64_t>(n_threads, n_items);
+    std::vector<std::thread> pool;
+    pool.reserve(t);
+    const int64_t per = (n_items + t - 1) / t;
+    for (int64_t i = 0; i < t; ++i) {
+        const int64_t lo = i * per;
+        const int64_t hi = std::min(n_items, lo + per);
+        if (lo >= hi) break;
+        pool.emplace_back(run_range, lo, hi);
+    }
+    for (auto& th : pool) th.join();
 }
 
 // Linear-interpolation resampling: `ratio` = src samples advanced per output

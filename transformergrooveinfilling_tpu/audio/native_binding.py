@@ -27,7 +27,7 @@ def _build() -> str:
     ):
         subprocess.run(
             ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-Wall",
-             "-o", _SO_PATH, src],
+             "-pthread", "-o", _SO_PATH, src],
             check=True, capture_output=True,
         )
     return _SO_PATH
@@ -73,6 +73,45 @@ def mix_events_native(buf: np.ndarray, table, voices: np.ndarray,
         onsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         vels.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         ctypes.c_int64(len(voices)),
+    )
+    del arrs  # keep alive until after the call
+
+
+def mix_batch_native(bufs: np.ndarray, table, voices: np.ndarray,
+                     onsets: np.ndarray, vels: np.ndarray,
+                     event_offsets: np.ndarray, n_threads: int = 0):
+    """Mix a whole batch in one native call.
+
+    ``bufs``: ``(n_items, buf_len)`` C-contiguous float32, mixed in place.
+    ``table``: the combined per-voice sample list (callers concatenate multiple
+    soundfonts' tables and pre-offset ``voices`` into it, so one call covers a
+    mixed-soundfont batch). ``event_offsets``: ``(n_items+1,)`` int64 slice
+    bounds into the flat event arrays (events grouped by item, in item order).
+    ``n_threads`` 0 → one thread per available CPU (items are independent).
+    """
+    lib = get_lib()
+    assert bufs.dtype == np.float32 and bufs.flags.c_contiguous
+    assert bufs.ndim == 2
+    if n_threads <= 0:
+        n_threads = os.cpu_count() or 1
+    arrs, ptrs, lens = _sample_table_ptrs(table)
+    voices = np.ascontiguousarray(voices, np.int32)
+    onsets = np.ascontiguousarray(onsets, np.int64)
+    vels = np.ascontiguousarray(vels, np.float32)
+    event_offsets = np.ascontiguousarray(event_offsets, np.int64)
+    assert event_offsets.shape == (bufs.shape[0] + 1,)
+    lib.tgi_mix_batch(
+        bufs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(bufs.shape[0]),
+        ctypes.c_int64(bufs.shape[1]),
+        ptrs,
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(len(table)),
+        voices.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        onsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        vels.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        event_offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int32(n_threads),
     )
     del arrs  # keep alive until after the call
 

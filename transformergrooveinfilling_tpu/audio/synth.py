@@ -59,29 +59,45 @@ def synthesize_hvo_batch(hvos: np.ndarray, qpms, sf_paths, sr: int = 44100,
     sps = steps_per_second(qpms)  # (M,) steps/sec
     loop_len = t / sps            # seconds
 
-    tables = [_sample_table(sf, sr) for sf in sf_paths]
-    max_sample = max((len(s) for table in tables for s in table), default=0)
+    # sample tables are lru-cached per (soundfont, sr); a batch with K distinct
+    # soundfonts concatenates their tables once, and events address the union
+    # via a per-item base offset — so the whole batch is ONE native mix call
+    unique_sfs = list(dict.fromkeys(sf_paths))
+    tables = {sf: _sample_table(sf, sr) for sf in unique_sfs}
+    base = {}
+    combined: list = []
+    for sf in unique_sfs:
+        base[sf] = len(combined)
+        combined.extend(tables[sf])
+    max_sample = max((len(s) for s in combined), default=0)
     if fixed_length is None:
         fixed_length = int(np.ceil(loop_len.max() * sr)) + max(
             int(_TAIL_SECONDS * sr), max_sample)
 
     out = np.zeros((m, fixed_length), dtype=np.float32)
-    try:
-        from .native_binding import mix_events_native as _mix
-    except Exception:
-        _mix = _mix_events_numpy
 
-    for i in range(m):
-        h = hvos[i, :, :n_voices]
-        v = hvos[i, :, n_voices:2 * n_voices]
-        o = hvos[i, :, 2 * n_voices:]
-        steps, voices = np.nonzero(h > 0)
-        if steps.size == 0:
-            continue
-        onsets = ((steps + o[steps, voices]) / sps[i] * sr)
-        onsets = np.clip(onsets, 0, fixed_length - 1).astype(np.int64)
-        vels = v[steps, voices].astype(np.float32)
-        _mix(out[i], tables[i], voices.astype(np.int32), onsets, vels)
+    # vectorized event extraction over the whole batch: np.nonzero is row-major,
+    # so events come out already grouped by item in item order
+    items, steps, voices = np.nonzero(hvos[:, :, :n_voices] > 0)
+    if items.size:
+        offs = hvos[items, steps, 2 * n_voices + voices]
+        vels = hvos[items, steps, n_voices + voices].astype(np.float32)
+        onsets = np.clip((steps + offs) / sps[items] * sr,
+                         0, fixed_length - 1).astype(np.int64)
+        voice_idx = (voices + np.asarray([base[sf] for sf in sf_paths],
+                                         np.int64)[items]).astype(np.int32)
+        event_offsets = np.zeros(m + 1, np.int64)
+        np.cumsum(np.bincount(items, minlength=m), out=event_offsets[1:])
+        try:
+            from .native_binding import mix_batch_native
+
+            mix_batch_native(out, combined, voice_idx, onsets, vels,
+                             event_offsets)
+        except Exception:
+            for i in range(m):
+                lo, hi = event_offsets[i], event_offsets[i + 1]
+                _mix_events_numpy(out[i], combined, voice_idx[lo:hi],
+                                  onsets[lo:hi], vels[lo:hi])
 
     # prevent clipping without changing relative dynamics
     peak = np.max(np.abs(out), initial=1e-9)

@@ -78,9 +78,18 @@ class StreamingAugmenter:
 
             sfs = [self.soundfonts[i] for i in
                    rng.integers(0, len(self.soundfonts), n)]
-            inputs = mso_batch_from_hvo(
-                kept, sfs, qpms,
-                params=self.mso_params or MSOParams())
+            params = self.mso_params or MSOParams()
+            # build in slabs and poll the stop flag between them, so close()
+            # never has to kill a thread mid-device-call (the front end itself
+            # chunks further and pipelines device dispatch internally)
+            slab = 2048
+            inputs = np.zeros((n, kept.shape[1], params.n_bands), np.float32)
+            for s in range(0, n, slab):
+                if self._stop.is_set():
+                    break
+                e = min(s + slab, n)
+                inputs[s:e] = mso_batch_from_hvo(
+                    kept[s:e], sfs[s:e], qpms[s:e], params=params)
         return inputs.astype(np.float32), removed.astype(np.float32)
 
     def _producer(self):
@@ -108,7 +117,9 @@ class StreamingAugmenter:
             self._queue.get_nowait()
         except queue.Empty:
             pass
-        self._thread.join(timeout=5.0)
+        # the producer polls the stop flag between build slabs and put
+        # attempts, so this join completes within one slab's build time
+        self._thread.join(timeout=60.0)
 
     def __enter__(self):
         return self

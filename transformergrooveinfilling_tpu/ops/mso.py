@@ -92,6 +92,41 @@ def stft_magnitude(y: jnp.ndarray, params: MSOParams) -> jnp.ndarray:
     return jnp.abs(spec).astype(jnp.float32)
 
 
+def stft_magnitude_conv(y: jnp.ndarray, params: MSOParams) -> jnp.ndarray:
+    """Magnitude STFT as one strided convolution — the TPU-native framing.
+
+    The gather that materializes (M, F, n_fft) windowed frames is the real
+    cost of the XLA rFFT path on TPU (the DFT itself is tiny at these sizes).
+    Folding the Hann window and the real/imag DFT bases into a conv kernel
+    turns framing + transform into a single MXU op with no index tensor:
+
+        (M, 1, L) ⊛ (2·(n_fft/2+1) out-ch, 1, n_fft) stride hop → (M, 2K, F)
+
+    HIGHEST precision: the DFT sums n_fft near-cancelling products, which the
+    MXU's single-pass bf16 accumulation visibly degrades. Matches
+    :func:`stft_magnitude` to ~1e-3 relative (pinned in tests).
+    """
+    assert params.win_length == params.n_fft, "conv path folds window into DFT"
+    pad = params.n_fft // 2
+    y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(pad, pad)], mode="reflect")
+    n_bins = params.n_fft // 2 + 1
+    k = np.arange(n_bins)
+    n = np.arange(params.n_fft)
+    ang = 2.0 * np.pi * np.outer(n, k) / params.n_fft
+    win = np.asarray(0.5 - 0.5 * np.cos(2 * np.pi * n / params.win_length),
+                     np.float32)[:, None]
+    kern = np.concatenate([np.cos(ang) * win, -np.sin(ang) * win],
+                          axis=1).astype(np.float32)  # (n_fft, 2K)
+    out = jax.lax.conv_general_dilated(
+        y[..., None, :], jnp.asarray(kern.T)[:, None, :],
+        window_strides=(params.hop_length,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=jax.lax.Precision.HIGHEST)  # (M, 2K, F)
+    re, im = out[..., :n_bins, :], out[..., n_bins:, :]
+    mag = jnp.sqrt(re * re + im * im)
+    return jnp.swapaxes(mag, -1, -2).astype(jnp.float32)  # (M, F, K)
+
+
 def onset_strength_bands(mag: jnp.ndarray, fb: jnp.ndarray,
                          params: MSOParams) -> jnp.ndarray:
     """Log-compressed band energies → adaptive-threshold spectral flux
@@ -146,27 +181,39 @@ def _windowed_frames(y: jnp.ndarray, params: MSOParams) -> jnp.ndarray:
     return frames
 
 
-@partial(jax.jit, static_argnames=("n_steps", "params", "use_pallas"))
+@partial(jax.jit, static_argnames=("n_steps", "params", "use_pallas", "method"))
 def mso_batch(y: jnp.ndarray, steps_per_sec: jnp.ndarray, n_steps: int,
-              params: MSOParams, use_pallas: bool = False) -> jnp.ndarray:
+              params: MSOParams, use_pallas: bool | None = None,
+              method: str | None = None) -> jnp.ndarray:
     """Batched waveforms ``(M, L)`` (+ per-item grid rate) → ``(M, T, 16)``.
 
-    ``use_pallas`` routes the |DFT| + band projection through the fused MXU
-    kernel (ops/mso_pallas.py); default path is the XLA rFFT.
+    ``method``: "conv" (framing+DFT as one strided MXU convolution — TPU
+    default), "fft" (XLA rFFT over gathered frames — CPU default), or
+    "pallas" (fused DFT+band kernel, ops/mso_pallas.py). ``use_pallas`` is the
+    legacy switch: True → "pallas", False → "fft".
     """
+    if method is None:
+        if use_pallas is True:
+            method = "pallas"
+        elif use_pallas is False:
+            method = "fft"
+        else:
+            method = "conv" if jax.default_backend() == "tpu" else "fft"
     peak = jnp.max(jnp.abs(y), axis=-1, keepdims=True)
     y = y / jnp.maximum(peak, 1e-9)
     fb = jnp.asarray(log_frequency_filterbank(params))
-    if use_pallas:
+    if method == "pallas":
         from .mso_pallas import band_energies_pallas
 
         frames = _windowed_frames(y, params)
         m, f = frames.shape[0], frames.shape[1]
-        energies = band_energies_pallas(
+        bands = band_energies_pallas(
             frames.reshape(m * f, params.n_fft), fb.T,
             interpret=jax.default_backend() == "cpu",
         ).reshape(m, f, params.n_bands)
-        bands = energies
+    elif method == "conv":
+        mag = stft_magnitude_conv(y, params)
+        bands = jnp.einsum("...fk,bk->...fb", mag, fb)
     else:
         mag = stft_magnitude(y, params)
         bands = jnp.einsum("...fk,bk->...fb", mag, fb)
@@ -182,15 +229,45 @@ def mso_from_audio(y, n_steps: int = 32, qpm: float = 120.0,
     return np.asarray(out[0])
 
 
+def mso_waveform_length(n_steps: int, min_sps: float,
+                        params: MSOParams) -> int:
+    """Shortest waveform whose MSO equals the ring-out-padded render's.
+
+    The grid pool only reads frames whose rounded step index is < ``n_steps``
+    (last frame time ≈ (n_steps-0.5)/sps), and the adaptive-threshold flux
+    looks ``mean_filter_size/2`` frames ahead; everything past that margin is
+    mixed, transferred, and transformed for nothing. Cutting it saves ~30 % of
+    host→device bytes and STFT FLOPs on the audio hot path.
+    """
+    grid_frames = int(np.ceil(
+        (n_steps - 0.5) / min_sps * params.sr / params.hop_length))
+    n_frames = grid_frames + params.mean_filter_size + 2
+    return (n_frames - 1) * params.hop_length + 1
+
+
 def mso_batch_from_hvo(hvos: np.ndarray, soundfonts, qpms,
                        params: MSOParams = MSOParams(),
-                       chunk_size: int = 64) -> np.ndarray:
-    """Synthesize (host) + MSO (device) for a stacked HVO batch ``(M, T, 3V)``.
+                       chunk_size: int = 64,
+                       device_synth: bool | None = None) -> np.ndarray:
+    """Synthesize + MSO for a stacked HVO batch ``(M, T, 3V)``.
 
     The audio-modality dataset hot path (reference dataset.py:256's dominant
-    cost, SURVEY.md §3.2): chunked so arbitrarily large corpora stream through
-    bounded device memory.
+    cost, SURVEY.md §3.2). Two routes:
+
+    - ``device_synth`` (default on TPU): the whole front end runs on the
+      accelerator (ops/device_synth.py) — only grids cross the link.
+    - host route (default on CPU): native C++ batch mixer + chunked device
+      DSP, software-pipelined — the DSP for chunk i is dispatched
+      asynchronously, the host mixes chunk i+1 while it runs, and results are
+      materialized one chunk behind.
     """
+    if device_synth is None:
+        device_synth = jax.default_backend() not in ("cpu",)
+    if device_synth:
+        from .device_synth import mso_batch_from_hvo_device
+
+        return mso_batch_from_hvo_device(hvos, soundfonts, qpms,
+                                         params=params, chunk_size=chunk_size)
     from ..audio.synth import synthesize_hvo_batch
 
     hvos = np.asarray(hvos, np.float32)
@@ -202,16 +279,20 @@ def mso_batch_from_hvo(hvos: np.ndarray, soundfonts, qpms,
 
     # one fixed waveform length for the whole corpus → one XLA compilation
     min_sps = float((qpms.min() / 60.0) * 4.0)
-    fixed_length = int(np.ceil(t / min_sps * params.sr)) + 2 * params.sr
+    fixed_length = mso_waveform_length(t, min_sps, params)
 
     out = np.zeros((m, t, params.n_bands), np.float32)
+    pending: tuple | None = None  # (slice, in-flight device array)
     for start in range(0, m, chunk_size):
         end = min(start + chunk_size, m)
         waves = synthesize_hvo_batch(
             hvos[start:end], qpms[start:end], sfs[start:end], sr=params.sr,
             fixed_length=fixed_length)
         sps = (qpms[start:end] / 60.0) * 4.0
-        out[start:end] = np.asarray(
-            mso_batch(jnp.asarray(waves), jnp.asarray(sps, jnp.float32), t,
-                      params))
+        dev = mso_batch(jnp.asarray(waves), jnp.asarray(sps, jnp.float32), t,
+                        params)  # async dispatch
+        if pending is not None:
+            out[pending[0]] = np.asarray(pending[1])
+        pending = (slice(start, end), dev)
+    out[pending[0]] = np.asarray(pending[1])
     return out
