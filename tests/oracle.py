@@ -100,6 +100,66 @@ class TorchGrooveTransformerEncoder(nn.Module):
         return [h, v, o]
 
 
+class DecoderWrapper(nn.Module):
+    def __init__(self, d_model, n_heads, dim_ff, dropout, n_layers):
+        super().__init__()
+        layer = nn.TransformerDecoderLayer(
+            d_model,
+            n_heads,
+            dim_feedforward=dim_ff,
+            dropout=dropout,
+            activation="relu",
+            batch_first=True,
+            norm_first=False,  # post-LN, torch 1.10 defaults
+        )
+        self.Decoder = nn.TransformerDecoder(
+            layer, n_layers, norm=nn.LayerNorm(d_model)
+        )
+
+    def forward(self, x, memory):
+        # non-autoregressive infilling: no causal tgt mask (the grid length is
+        # fixed and the decoder sees the whole teacher-forced target)
+        return self.Decoder(x, memory)
+
+
+class TorchGrooveTransformer(nn.Module):
+    """Encoder-decoder oracle for the reference's ``encoder_only=0`` family
+    (/root/reference/train.py:125-127). No reference decoder checkpoint
+    exists, so this pins the *adopted* semantics (post-LN torch decoder
+    layers, packed-kv cross-attention, zero-row shift-right teacher forcing)
+    against torch's own ``nn.TransformerDecoder``."""
+
+    def __init__(self, embedding_size_src, embedding_size_tgt, d_model,
+                 n_heads, dim_ff, dropout, n_layers_enc, n_layers_dec,
+                 max_len):
+        super().__init__()
+        self.InputLayerEncoder = InputLayerEncoder(
+            embedding_size_src, d_model, dropout, max_len
+        )
+        self.Encoder = EncoderWrapper(
+            d_model, n_heads, dim_ff, dropout, n_layers_enc
+        )
+        self.InputLayerDecoder = InputLayerEncoder(
+            embedding_size_tgt, d_model, dropout, max_len
+        )
+        self.Decoder = DecoderWrapper(
+            d_model, n_heads, dim_ff, dropout, n_layers_dec
+        )
+        self.OutputLayer = OutputLayer(embedding_size_tgt, d_model)
+
+    def forward(self, src, tgt=None):
+        memory = self.Encoder(self.InputLayerEncoder(src))
+        if tgt is None:
+            tgt = torch.zeros(
+                src.shape[0], src.shape[1], self.OutputLayer.embedding_size,
+                dtype=src.dtype)
+        tgt_in = torch.cat(
+            [torch.zeros_like(tgt[:, :1, :]), tgt[:, :-1, :]], dim=1
+        )  # zero-row shift-right teacher forcing
+        y = self.Decoder(self.InputLayerDecoder(tgt_in), memory)
+        return self.OutputLayer(y)
+
+
 def torch_calculate_loss(prediction, y, hit_loss_penalty):
     """Loss oracle: BCE-with-logits + 2×MSE, penalty-masked, sum-over-voices then
     mean (the reconstruction documented in models/losses.py)."""

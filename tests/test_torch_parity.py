@@ -21,7 +21,7 @@ from transformergrooveinfilling_tpu.models import (
     sinusoidal_positional_encoding,
     torch_compat,
 )
-from oracle import TorchGrooveTransformerEncoder
+from oracle import TorchGrooveTransformer, TorchGrooveTransformerEncoder
 
 # the demo checkpoint's config = configs/InfillingClosedHH_testing_training.yaml
 DEMO_CONFIG = GrooveTransformerConfig(
@@ -259,3 +259,159 @@ def test_loss_curve_parity(rng):
 
     np.testing.assert_allclose(jax_curve, torch_curve, rtol=2e-4)
     assert jax_curve[-1] < jax_curve[0]  # it actually learned
+
+# -- encoder-decoder family (encoder_only=0, reference train.py:125-127) ------
+# No reference decoder checkpoint exists; these tests pin the adopted decoder
+# semantics (post-LN torch layers, packed-kv cross-attention, zero-row
+# shift-right teacher forcing) against torch's own nn.TransformerDecoder so
+# nothing about the family is merely [inferred] anymore.
+
+DEC_CONFIG = GrooveTransformerConfig(
+    d_model=32, n_heads=4, dim_feedforward=16, dropout=0.0,
+    num_encoder_layers=2, num_decoder_layers=2, embedding_size_src=16)
+
+
+def _dec_oracle(cfg=DEC_CONFIG):
+    m = TorchGrooveTransformer(
+        cfg.embedding_size_src, cfg.embedding_size_tgt, cfg.d_model,
+        cfg.n_heads, cfg.dim_feedforward, cfg.dropout,
+        cfg.num_encoder_layers, cfg.num_decoder_layers, cfg.max_len)
+    m.eval()
+    return m
+
+
+def _dec_data(rng, n=4, src_width=16):
+    x = rng.standard_normal((n, 32, src_width)).astype(np.float32)
+    h = (rng.random((n, 32, 9)) < 0.3).astype(np.float32)
+    y = np.concatenate([h, h * 0.6, h * 0.1], axis=2).astype(np.float32)
+    return x, y
+
+
+def test_decoder_forward_parity(rng):
+    oracle = _dec_oracle()
+    sd = {k: v.numpy() for k, v in oracle.state_dict().items()}
+    params = torch_compat.state_dict_to_params(sd, DEC_CONFIG)
+    model = build_model(DEC_CONFIG)
+    assert type(model).__name__ == "GrooveTransformer"
+
+    x, y = _dec_data(rng)
+    with torch.no_grad():
+        th_h, th_v, th_o = oracle(torch.from_numpy(x), torch.from_numpy(y))
+    jx_h, jx_v, jx_o = model.apply({"params": params}, jnp.asarray(x),
+                                   jnp.asarray(y), deterministic=True)
+    np.testing.assert_allclose(np.asarray(jx_h), th_h.numpy(), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(jx_v), th_v.numpy(), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(jx_o), th_o.numpy(), atol=3e-5)
+
+
+def test_decoder_predict_parity(rng):
+    """Inference path: tgt=None feeds an all-zeros teacher-forced grid in both
+    stacks (the reference predict contract passes inputs only)."""
+    oracle = _dec_oracle()
+    sd = {k: v.numpy() for k, v in oracle.state_dict().items()}
+    params = torch_compat.state_dict_to_params(sd, DEC_CONFIG)
+    model = build_model(DEC_CONFIG)
+    x, _ = _dec_data(rng)
+    with torch.no_grad():
+        th_h, th_v, th_o = oracle(torch.from_numpy(x))
+    jx = predict(model, params, jnp.asarray(x), use_thres=False)
+    np.testing.assert_allclose(
+        np.asarray(jx[0]), torch.sigmoid(th_h).numpy(), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(jx[1]), th_v.numpy(), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(jx[2]), th_o.numpy(), atol=3e-5)
+
+
+def test_decoder_state_dict_roundtrip():
+    oracle = _dec_oracle()
+    sd = {k: v.numpy() for k, v in oracle.state_dict().items()}
+    params = torch_compat.state_dict_to_params(sd, DEC_CONFIG)
+    back = torch_compat.params_to_state_dict(params, DEC_CONFIG)
+    for k, v in sd.items():
+        np.testing.assert_allclose(back[k], v, atol=1e-6, err_msg=k)
+
+
+def test_decoder_sgd_training_parity(rng):
+    """Three teacher-forced SGD steps land on identical parameters."""
+    import jax
+    from transformergrooveinfilling_tpu.train.loop import (
+        TrainState, make_epoch_fn, make_optimizer)
+    from oracle import torch_calculate_loss
+
+    oracle = _dec_oracle()
+    oracle.train()
+    sd = {k: v.numpy() for k, v in oracle.state_dict().items()}
+    params = torch_compat.state_dict_to_params(sd, DEC_CONFIG)
+
+    n, lr, hlp = 8, 0.05, 0.5
+    x, y = _dec_data(rng, n=n)
+    opt = torch.optim.SGD(oracle.parameters(), lr=lr)
+    xt, yt = torch.from_numpy(x), torch.from_numpy(y)
+    for _ in range(3):
+        opt.zero_grad()
+        loss, *_ = torch_calculate_loss(oracle(xt, yt), yt, hlp)
+        loss.backward()
+        opt.step()
+
+    model = build_model(DEC_CONFIG)
+    tx = make_optimizer("sgd", lr)
+    pj = jax.tree.map(jnp.asarray, params)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=pj,
+                       opt_state=tx.init(pj))
+    epoch_fn = make_epoch_fn(model, tx, hlp, batch_size=n, n_samples=n,
+                             donate=False, encoder_only=False)
+    for i in range(3):
+        state, _ = epoch_fn(state, jnp.asarray(x), jnp.asarray(y),
+                            jax.random.PRNGKey(i))
+
+    sd_after = {k: v.detach().numpy() for k, v in oracle.state_dict().items()}
+    params_after = torch_compat.state_dict_to_params(sd_after, DEC_CONFIG)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5),
+        jax.device_get(state.params), params_after)
+
+
+def test_decoder_loss_curve_parity(rng):
+    """10-epoch teacher-forced training curves coincide (rtol 2e-4), matching
+    the encoder family's behavioral-parity bar."""
+    import jax
+    from transformergrooveinfilling_tpu.train.loop import (
+        TrainState, make_epoch_fn, make_optimizer)
+    from oracle import torch_calculate_loss
+
+    oracle = _dec_oracle()
+    oracle.train()
+    sd = {k: v.numpy() for k, v in oracle.state_dict().items()}
+    params = torch_compat.state_dict_to_params(sd, DEC_CONFIG)
+
+    n, b, lr, hlp, epochs = 16, 8, 0.094, 0.47, 10
+    x, y = _dec_data(rng, n=n)
+
+    opt = torch.optim.SGD(oracle.parameters(), lr=lr)
+    torch_curve = []
+    for _ in range(epochs):
+        losses = []
+        for i in range(0, n, b):
+            xb, yb = torch.from_numpy(x[i:i + b]), torch.from_numpy(y[i:i + b])
+            opt.zero_grad()
+            loss, *_ = torch_calculate_loss(oracle(xb, yb), yb, hlp)
+            loss.backward()
+            opt.step()
+            losses.append(float(loss.detach()))
+        torch_curve.append(np.mean(losses))
+
+    model = build_model(DEC_CONFIG)
+    tx = make_optimizer("sgd", lr)
+    pj = jax.tree.map(jnp.asarray, params)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=pj,
+                       opt_state=tx.init(pj))
+    epoch_fn = make_epoch_fn(model, tx, hlp, b, n, donate=False,
+                             shuffle=False, encoder_only=False)
+    jax_curve = []
+    for e in range(epochs):
+        state, metrics = epoch_fn(state, jnp.asarray(x), jnp.asarray(y),
+                                  jax.random.PRNGKey(e))
+        jax_curve.append(float(metrics["loss"]))
+
+    np.testing.assert_allclose(jax_curve, torch_curve, rtol=2e-4)
+    assert jax_curve[-1] < jax_curve[0]

@@ -105,6 +105,78 @@ def state_dict_to_params(state_dict, config: GrooveTransformerConfig) -> dict:
             "bias": sd["OutputLayer.Linear.bias"],
         }
     }
+
+    if config.num_decoder_layers > 0:
+        # encoder-decoder family (reference train.py:125-127): torch
+        # TransformerDecoderLayer keys → decoder_layer_{i}. Cross-attention's
+        # in_proj rows [q; k; v] split into the flax q (first d rows) and
+        # packed kv (remaining 2d rows) projections.
+        d = config.d_model
+        params["input_tgt"] = {
+            "embed": {
+                "kernel": sd["InputLayerDecoder.Linear.weight"].T,
+                "bias": sd["InputLayerDecoder.Linear.bias"],
+            }
+        }
+        dec_ids = sorted(
+            {
+                int(m.group(1))
+                for k in sd
+                if (m := re.match(r"Decoder\.Decoder\.layers\.(\d+)\.", k))
+            }
+        )
+        assert len(dec_ids) == config.num_decoder_layers, (
+            f"checkpoint has {len(dec_ids)} decoder layers, "
+            f"config expects {config.num_decoder_layers}"
+        )
+        for i in dec_ids:
+            p = f"Decoder.Decoder.layers.{i}."
+            in_proj_w = sd[p + "multihead_attn.in_proj_weight"]
+            in_proj_b = sd[p + "multihead_attn.in_proj_bias"]
+            params[f"decoder_layer_{i}"] = {
+                "self_attn": {
+                    "qkv": {
+                        "kernel": sd[p + "self_attn.in_proj_weight"].T,
+                        "bias": sd[p + "self_attn.in_proj_bias"],
+                    },
+                    "out": {
+                        "kernel": sd[p + "self_attn.out_proj.weight"].T,
+                        "bias": sd[p + "self_attn.out_proj.bias"],
+                    },
+                },
+                "cross_attn": {
+                    "q": {"kernel": in_proj_w[:d].T, "bias": in_proj_b[:d]},
+                    "kv": {"kernel": in_proj_w[d:].T, "bias": in_proj_b[d:]},
+                    "out": {
+                        "kernel": sd[p + "multihead_attn.out_proj.weight"].T,
+                        "bias": sd[p + "multihead_attn.out_proj.bias"],
+                    },
+                },
+                "linear1": {
+                    "kernel": sd[p + "linear1.weight"].T,
+                    "bias": sd[p + "linear1.bias"],
+                },
+                "linear2": {
+                    "kernel": sd[p + "linear2.weight"].T,
+                    "bias": sd[p + "linear2.bias"],
+                },
+                "norm1": {
+                    "scale": sd[p + "norm1.weight"],
+                    "bias": sd[p + "norm1.bias"],
+                },
+                "norm2": {
+                    "scale": sd[p + "norm2.weight"],
+                    "bias": sd[p + "norm2.bias"],
+                },
+                "norm3": {
+                    "scale": sd[p + "norm3.weight"],
+                    "bias": sd[p + "norm3.bias"],
+                },
+            }
+        params["decoder_norm"] = {
+            "scale": sd["Decoder.Decoder.norm.weight"],
+            "bias": sd["Decoder.Decoder.norm.bias"],
+        }
     return params
 
 
@@ -139,6 +211,41 @@ def params_to_state_dict(params, config: GrooveTransformerConfig) -> dict:
     sd["Encoder.Encoder.norm.bias"] = _t(p["encoder_norm"]["bias"])
     sd["OutputLayer.Linear.weight"] = _t(p["output"]["proj"]["kernel"]).T
     sd["OutputLayer.Linear.bias"] = _t(p["output"]["proj"]["bias"])
+
+    if config.num_decoder_layers > 0:
+        sd["InputLayerDecoder.Linear.weight"] = _t(
+            p["input_tgt"]["embed"]["kernel"]).T
+        sd["InputLayerDecoder.Linear.bias"] = _t(p["input_tgt"]["embed"]["bias"])
+        sd["InputLayerDecoder.PositionalEncoding.pe"] = np.asarray(
+            sinusoidal_positional_encoding(config.max_len, config.d_model))
+        for i in range(config.num_decoder_layers):
+            lp = p[f"decoder_layer_{i}"]
+            pre = f"Decoder.Decoder.layers.{i}."
+            sd[pre + "self_attn.in_proj_weight"] = _t(
+                lp["self_attn"]["qkv"]["kernel"]).T
+            sd[pre + "self_attn.in_proj_bias"] = _t(lp["self_attn"]["qkv"]["bias"])
+            sd[pre + "self_attn.out_proj.weight"] = _t(
+                lp["self_attn"]["out"]["kernel"]).T
+            sd[pre + "self_attn.out_proj.bias"] = _t(lp["self_attn"]["out"]["bias"])
+            sd[pre + "multihead_attn.in_proj_weight"] = np.concatenate(
+                [_t(lp["cross_attn"]["q"]["kernel"]).T,
+                 _t(lp["cross_attn"]["kv"]["kernel"]).T], axis=0)
+            sd[pre + "multihead_attn.in_proj_bias"] = np.concatenate(
+                [_t(lp["cross_attn"]["q"]["bias"]),
+                 _t(lp["cross_attn"]["kv"]["bias"])], axis=0)
+            sd[pre + "multihead_attn.out_proj.weight"] = _t(
+                lp["cross_attn"]["out"]["kernel"]).T
+            sd[pre + "multihead_attn.out_proj.bias"] = _t(
+                lp["cross_attn"]["out"]["bias"])
+            sd[pre + "linear1.weight"] = _t(lp["linear1"]["kernel"]).T
+            sd[pre + "linear1.bias"] = _t(lp["linear1"]["bias"])
+            sd[pre + "linear2.weight"] = _t(lp["linear2"]["kernel"]).T
+            sd[pre + "linear2.bias"] = _t(lp["linear2"]["bias"])
+            for n in ("norm1", "norm2", "norm3"):
+                sd[pre + n + ".weight"] = _t(lp[n]["scale"])
+                sd[pre + n + ".bias"] = _t(lp[n]["bias"])
+        sd["Decoder.Decoder.norm.weight"] = _t(p["decoder_norm"]["scale"])
+        sd["Decoder.Decoder.norm.bias"] = _t(p["decoder_norm"]["bias"])
     return sd
 
 

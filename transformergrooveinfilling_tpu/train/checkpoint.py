@@ -189,6 +189,18 @@ def restore(load_model: dict, config: GrooveTransformerConfig):
     if path.endswith(".Model"):
         params, epoch, _loss = torch_compat.load_legacy_checkpoint(path, config)
         return params, None, epoch + 1
+    saved = load_checkpoint_config(path)
+    arch_fields = ("d_model", "n_heads", "dim_feedforward",
+                   "num_encoder_layers", "num_decoder_layers", "max_len",
+                   "embedding_size_src", "embedding_size_tgt")
+    mismatch = [f for f in arch_fields
+                if getattr(saved, f) != getattr(config, f)]
+    if mismatch:
+        raise ValueError(
+            f"checkpoint {path} was trained with a different architecture: "
+            + ", ".join(f"{f}={getattr(saved, f)} (requested "
+                        f"{getattr(config, f)})" for f in mismatch)
+            + "; fix the model params or use load_checkpoint_config()")
     params, opt_state, epoch, _loss = load_checkpoint(path)
     return params, opt_state, epoch + 1
 

@@ -90,11 +90,20 @@ def initialize_model(params: dict) -> tuple[ModelBundle, Any, int]:
         restored_params, opt_state, initial_epoch = ckpt.restore(load_model, config)
         params_tree = jax.tree.map(
             jnp.asarray, serialization.from_state_dict(state.params, restored_params))
+        try:
+            restored_opt = (
+                serialization.from_state_dict(tx.init(params_tree), opt_state)
+                if opt_state is not None else tx.init(params_tree))
+        except ValueError as e:
+            raise ValueError(
+                f"checkpoint optimizer state does not match "
+                f"optimizer={m.get('optimizer', 'sgd')!r} — it was saved by a "
+                f"different optimizer; set params['model']['optimizer'] to the "
+                f"one used at save time") from e
         state = TrainState(
             step=state.step,
             params=params_tree,
-            opt_state=(serialization.from_state_dict(tx.init(params_tree), opt_state)
-                       if opt_state is not None else tx.init(params_tree)),
+            opt_state=restored_opt,
         )
     bundle = ModelBundle(
         model=model, config=config, tx=tx, state=state,

@@ -79,10 +79,16 @@ params["load_model"] = {"location": "local", "dir": ckpt_dir}
 bundle, _opt, initial_epoch = initialize_model(params)
 print(f"    resumed at epoch {initial_epoch}")
 
-# this repo ships its own demo checkpoints (native + torch formats):
+# this repo ships its own demo checkpoints (native + torch formats); the
+# model params must match the checkpoint's architecture (Adam, ff=512 — the
+# retrained symbolic demo), exactly as the reference requires its params dict
+# to match a restored .Model
 own_demo = os.path.join(os.path.dirname(os.path.abspath(__file__)), "demo")
 if os.path.isdir(own_demo):
     params_demo = dict(params)
+    params_demo["model"] = dict(params["model"], optimizer="adam",
+                                dim_feedforward=512, dropout=0.1)
+    params_demo["training"] = dict(params["training"], learning_rate=3e-4)
     params_demo["load_model"] = {"location": "local", "dir": own_demo}
     demo_bundle, _o, ep = initialize_model(params_demo)
     print(f"    in-repo demo checkpoint resumed at epoch {ep}")
