@@ -217,3 +217,49 @@ def test_media_html_well_formed(evaluator):
     c = Checker()
     c.feed(html_doc)
     assert c.svg >= 1
+
+
+def test_proportional_budget_unit():
+    from transformergrooveinfilling_tpu.eval.evaluator import (
+        proportional_budget)
+
+    # under budget: everything kept
+    assert proportional_budget([5, 3, 2], 100) == [5, 3, 2]
+    # over budget: proportional, all subsets survive
+    q = proportional_budget([80, 10, 10], 20)
+    assert sum(q) == 20 and all(x >= 1 for x in q)
+    assert q[0] > q[1] and q[0] > q[2]
+    # hard skew: one giant subset must not starve the tail
+    q = proportional_budget([1000, 1, 1, 1], 10)
+    assert sum(q) == 10 and q[1] == q[2] == q[3] == 1
+    # budget smaller than subset count: still sums to budget
+    q = proportional_budget([5, 5, 5, 5], 2)
+    assert sum(q) == 2
+    # quotas never exceed subset sizes
+    q = proportional_budget([2, 100], 50)
+    assert q[0] <= 2 and sum(q) == 50
+
+
+def test_budget_preserves_all_styles(tmp_path):
+    """VERDICT r1 #4: with a corpus where the first style alone exceeds
+    n_samples_to_use, every style must keep eval coverage (the greedy
+    truncation zeroed late styles silently)."""
+    from transformergrooveinfilling_tpu.data.synthetic import STYLES
+
+    skew = synthetic_gmd_sequences(36, seed=21, styles=["hiphop"])
+    tail = synthetic_gmd_sequences(22, seed=22, styles=STYLES)
+    corpus = skew + tail
+    ds = GrooveMidiDatasetInfillingSymbolic(
+        data=corpus, dataset_name="BudgetDS", split="test",
+        save_dataset_path=str(tmp_path), voices_params={
+            "voice_idx": [2], "min_n_voices_to_remove": 1,
+            "max_n_voices_to_remove": 1, "prob": [1], "k": 5},
+        max_aug_items=1, seed=3, save=False)
+    ev = InfillingEvaluator(
+        _identifier="Test_Set", n_samples_to_use=24,
+        n_samples_to_synthesize_visualize_per_subset=1,
+        dataset=ds, sequences=corpus, horizontal=True)
+    assert set(ev._gt_tags) == set(STYLES)  # all 11 styles survive
+    sizes = {t: len(s) for t, s in zip(ev._gt_tags, ev._gt_subsets)}
+    assert sum(sizes.values()) <= 24
+    assert sizes["hiphop"] > 1  # proportionally larger, not starved either

@@ -44,6 +44,37 @@ def style_filters(styles=EVAL_STYLES):
     ]
 
 
+def proportional_budget(sizes: list, budget: int) -> list:
+    """Apportion ``budget`` eval slots across style subsets proportionally
+    (largest-remainder), guaranteeing every non-empty subset >= 1 slot while
+    the budget allows. Deterministic; returns one quota per input size."""
+    k = len(sizes)
+    total = sum(sizes)
+    if total <= budget:
+        return list(sizes)
+    shares = [budget * s / total for s in sizes]
+    quotas = [min(sizes[i], int(shares[i])) for i in range(k)]
+    if budget >= sum(1 for s in sizes if s > 0):
+        for i in range(k):
+            if sizes[i] > 0:
+                quotas[i] = max(quotas[i], 1)
+    while sum(quotas) > budget:  # trim overshoot from the largest quota
+        i = max(range(k), key=lambda j: quotas[j])
+        quotas[i] -= 1
+    # hand leftover slots out by largest fractional remainder, capped by size
+    rem = sorted(range(k), key=lambda i: shares[i] - int(shares[i]),
+                 reverse=True)
+    for _ in range(k + 1):
+        if sum(quotas) >= budget:
+            break
+        for i in rem:
+            if sum(quotas) >= budget:
+                break
+            if quotas[i] < sizes[i]:
+                quotas[i] += 1
+    return quotas
+
+
 class HVOSeqSubsetInfillingEvaluator:
     """Per-subset media/bookkeeping evaluator (reference evaluator.py:248-499).
 
@@ -241,16 +272,20 @@ class InfillingEvaluator:
             list_of_filter_dicts_for_subsets=style_filters(),
             sequences=sequences,
         ).create_subsets()
-        # keep only non-empty subsets; cap total at n_samples_to_use
+        # keep only non-empty subsets; cap total at n_samples_to_use with
+        # PROPORTIONAL per-style quotas (reference evaluator.py:27's budget).
+        # Round 1 truncated greedily in style order, which silently zeroed
+        # late styles (punk, rock) on corpora where early styles exhaust the
+        # budget — every surviving style must keep eval coverage.
+        non_empty = [(tag, sub) for tag, sub in zip(tags, subsets) if sub]
+        quotas = proportional_budget([len(s) for _, s in non_empty],
+                                     n_samples_to_use)
         self._gt_tags, self._gt_subsets = [], []
-        budget = n_samples_to_use
-        for tag, sub in zip(tags, subsets):
-            if not sub or budget <= 0:
+        for (tag, sub), q in zip(non_empty, quotas):
+            if q <= 0:
                 continue
-            take = sub[: min(len(sub), budget)]
-            budget -= len(take)
             self._gt_tags.append(tag)
-            self._gt_subsets.append(take)
+            self._gt_subsets.append(sub[:q])
 
         # 2. flatten
         self._gmd_gt_hvo_sequences = []
