@@ -169,13 +169,53 @@ def run_training(
             step=jax.device_put(bundle.state.step, replicated(plan)),
             params=sharded, opt_state=opt_state)
 
-    inputs = jnp.asarray(np.asarray(dataset.processed_inputs, np.float32))
-    outputs = jnp.asarray(np.asarray(dataset.processed_outputs, np.float32))
+    inputs_np = np.asarray(dataset.processed_inputs, np.float32)
+    outputs_np = np.asarray(dataset.processed_outputs, np.float32)
     # the compiled epoch bakes n_samples into its permutation/weights; when a
     # streamer supplies the arrays, its fan-out (not the seed dataset's size)
     # is the truth — a mismatch would make jnp.take silently clamp indices
-    n = streamer.n_samples if streamer is not None else inputs.shape[0]
+    n = streamer.n_samples if streamer is not None else inputs_np.shape[0]
     assert n > 0, "dataset is empty"
+
+    n_proc = jax.process_count()
+    if n_proc > 1:
+        # multi-host: each process contributes only its slice of the batch
+        # axis; the global array is assembled from process-local shards (no
+        # full-array replication on any device). SURVEY.md §5.8.
+        assert streamer is None, \
+            "streaming augmentation is single-process; shard the corpus instead"
+        if n % n_proc:
+            n -= n % n_proc  # equal shards; drop the remainder explicitly
+            print(f"multi-host: trimming dataset to {n} samples "
+                  f"({n_proc} equal process shards)")
+        from ..parallel.mesh import data_sharding
+        from ..parallel.multihost import local_batch_slice
+
+        sl = local_batch_slice(n)
+        inputs = jax.make_array_from_process_local_data(
+            data_sharding(plan, inputs_np.ndim), inputs_np[sl])
+        outputs = jax.make_array_from_process_local_data(
+            data_sharding(plan, outputs_np.ndim), outputs_np[sl])
+    else:
+        inputs = jnp.asarray(inputs_np)
+        outputs = jnp.asarray(outputs_np)
+    del inputs_np, outputs_np
+
+    if n_proc > 1:
+        # model/optimizer state becomes a global, fully-replicated array tree
+        # (identical on every process) so the pjit-ted epoch can consume it
+        from ..parallel.mesh import replicated as _replicated
+
+        rep = _replicated(plan)
+
+        def to_global(tree):
+            return jax.tree.map(
+                lambda a: jax.make_array_from_process_local_data(
+                    rep, np.asarray(a)), tree)
+
+        bundle.state = TrainState(step=to_global(bundle.state.step),
+                                  params=to_global(bundle.state.params),
+                                  opt_state=to_global(bundle.state.opt_state))
 
     encoder_only = bundle.config.encoder_only
     epoch_block = max(1, min(epoch_block, hp.epochs - initial_epoch or 1))
@@ -192,11 +232,18 @@ def run_training(
         secondary_step_partial=10, secondary_step_all=20,
         only_final=only_final_eval)
 
-    held_out = {
-        name: (jnp.asarray(np.asarray(ev.processed_inputs, np.float32)),
-               jnp.asarray(np.asarray(ev.processed_gt, np.float32)))
-        for name, ev in evaluators.items()
-    }
+    if n_proc > 1:
+        held_out = {
+            name: (to_global(np.asarray(ev.processed_inputs, np.float32)),
+                   to_global(np.asarray(ev.processed_gt, np.float32)))
+            for name, ev in evaluators.items()
+        }
+    else:
+        held_out = {
+            name: (jnp.asarray(np.asarray(ev.processed_inputs, np.float32)),
+                   jnp.asarray(np.asarray(ev.processed_gt, np.float32)))
+            for name, ev in evaluators.items()
+        }
 
     run = xlog.run
     run_id = run.id if run is not None else time.strftime("%H%M%S")
