@@ -149,17 +149,35 @@ def find_latest(ckpt_dir: str, file_pattern: str = CKPT_PATTERN):
 
 
 def restore(load_model: dict, config: GrooveTransformerConfig):
-    """Reference restore contract (tutorial.py:36-68): returns
+    """Reference restore contract (tutorial.py:36-68 and :98-105): returns
     ``(params, opt_state_or_None, initial_epoch)``.
 
-    ``location`` must be "local" ("wandb" restore requires network access and is
-    rejected with a clear error in this offline build).
+    ``location="local"`` restores from a directory. ``location="wandb"``
+    restores from a **pre-downloaded wandb run directory** (``dir`` pointing
+    at the run root or its ``files/`` subdir — the layout ``wandb sync`` /
+    the wandb API produce); fetching from the wandb service itself needs
+    network access and raises a clear error instead.
     """
-    if load_model.get("location", "local") != "local":
-        raise NotImplementedError(
-            "wandb checkpoint restore needs network access; download the file "
-            "and use location='local'"
-        )
+    location = load_model.get("location", "local")
+    if location == "wandb":
+        run_dir = load_model.get("dir")
+        candidates = ([os.path.join(run_dir, "files"), run_dir]
+                      if run_dir else [])
+        ckpt_dir = next(
+            (d for d in candidates
+             if d and os.path.isdir(d) and any(
+                 f.endswith((".ckpt", ".Model")) for f in os.listdir(d))),
+            None)
+        if ckpt_dir is None:
+            raise NotImplementedError(
+                "wandb restore without a pre-downloaded run directory needs "
+                "network access; download the run's files (wandb sync / the "
+                "wandb API) and point load_model['dir'] at them, or use "
+                "location='local'")
+        load_model = dict(load_model, dir=ckpt_dir)
+    elif location != "local":
+        raise ValueError(f"unknown checkpoint location {location!r}; "
+                         "expected 'local' or 'wandb'")
     ckpt_dir = load_model["dir"]
     pattern = load_model.get("file_pattern", CKPT_PATTERN)
     if "epoch" in load_model and load_model["epoch"] is not None:
