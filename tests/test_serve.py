@@ -180,3 +180,40 @@ def test_infill_from_hvo_audio_model(rng):
         payload = json.loads(resp.read())
     assert np.asarray(payload["hvo"]).shape == (32, 27)
     httpd.shutdown()
+
+
+def test_coalescing_matches_direct(rng):
+    """Dynamic batching must be invisible: per-request results under
+    concurrency equal the non-coalesced path, errors propagate per-caller."""
+    import threading
+
+    model = build_model(CFG)
+    params = model.init(jax.random.PRNGKey(2), jnp.zeros((1, 32, 16)),
+                        deterministic=True)["params"]
+    direct = InfillServer(params, CFG, batch_sizes=(1, 8), use_pallas=False)
+    coal = InfillServer(params, CFG, batch_sizes=(1, 8), use_pallas=False,
+                        coalesce=True, coalesce_wait_ms=5.0)
+
+    xs = [rng.standard_normal((32, 16)).astype(np.float32) for _ in range(12)]
+    want = [direct.infill(x) for x in xs]
+    got = [None] * len(xs)
+    errs = []
+
+    def worker(i):
+        try:
+            got[i] = coal.infill(xs[i])
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,))
+               for i in range(len(xs))]
+    [t.start() for t in threads]
+    [t.join() for t in threads]
+    assert not errs
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(g, w, atol=1e-6)
+    assert coal.stats.count == len(xs)
+
+    # bad input raises in the submitting caller, not the dispatcher
+    with pytest.raises(ValueError):
+        coal.infill(np.zeros((5, 5), np.float32))

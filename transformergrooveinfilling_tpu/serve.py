@@ -57,11 +57,70 @@ class ServeStats:
             return float(np.percentile(self.latencies_ms, p))
 
 
+class _Coalescer:
+    """Dynamic request batching: concurrent callers' inputs merge into one
+    compiled call per dispatch window. Under N concurrent clients the device
+    sees ~N-sized batches instead of N serialized size-1 calls, so tail
+    latency stays one-batch-deep instead of N-deep."""
+
+    def __init__(self, server: "InfillServer", max_wait_ms: float = 2.0):
+        import queue
+
+        self._server = server
+        self._queue: "queue.Queue" = queue.Queue()
+        self._max_wait = max_wait_ms / 1000.0
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="infill-coalescer")
+        self._thread.start()
+
+    def submit(self, x: np.ndarray) -> np.ndarray:
+        done = threading.Event()
+        holder: dict = {}
+        self._queue.put((x, done, holder))
+        done.wait()
+        if "err" in holder:
+            raise holder["err"]
+        return holder["out"]
+
+    def _loop(self):
+        import queue
+
+        while True:
+            first = self._queue.get()
+            batch = [first]
+            count = first[0].shape[0]
+            cap = self._server.batch_sizes[-1]
+            deadline = time.perf_counter() + self._max_wait
+            while count < cap:
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self._queue.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                batch.append(nxt)
+                count += nxt[0].shape[0]
+            try:
+                out = self._server._predict_batched(
+                    np.concatenate([b[0] for b in batch], axis=0))
+                i = 0
+                for x, done, holder in batch:
+                    holder["out"] = out[i : i + x.shape[0]]
+                    i += x.shape[0]
+                    done.set()
+            except Exception as e:  # propagate to every waiter
+                for _x, done, holder in batch:
+                    holder["err"] = e
+                    done.set()
+
+
 class InfillServer:
     def __init__(self, params, config: GrooveTransformerConfig,
                  batch_sizes: Sequence[int] = (1, 8, 32),
                  use_thres: bool = True, thres: float = 0.5,
-                 use_pallas: bool | None = None):
+                 use_pallas: bool | None = None,
+                 coalesce: bool = False, coalesce_wait_ms: float = 2.0):
         if use_pallas is None:
             use_pallas = jax.default_backend() not in ("cpu",)
         self.config = dataclasses.replace(config, use_pallas_attention=use_pallas)
@@ -71,6 +130,8 @@ class InfillServer:
         self.use_thres = use_thres
         self.thres = thres
         self.stats = ServeStats()
+        self._coalescer = (_Coalescer(self, coalesce_wait_ms) if coalesce
+                           else None)
 
         def _predict(params, x):
             h_logits, v, o = self.model.apply({"params": params}, x,
@@ -97,6 +158,22 @@ class InfillServer:
                 return b
         return self.batch_sizes[-1]
 
+    def _predict_batched(self, x: np.ndarray) -> np.ndarray:
+        """Validated ``(N, T, E)`` → ``(N, T, 27)`` through the compiled
+        per-bucket programs (pad to bucket, chunk if over the largest)."""
+        n = x.shape[0]
+        out_parts = []
+        i = 0
+        while i < n:
+            b = self._bucket(n - i)
+            chunk = x[i : i + b]
+            if chunk.shape[0] < b:
+                chunk = np.pad(chunk, ((0, b - chunk.shape[0]), (0, 0), (0, 0)))
+            y = np.asarray(self._compiled[b](self.params, jnp.asarray(chunk)))
+            out_parts.append(y[: min(b, n - i)])
+            i += b
+        return np.concatenate(out_parts, axis=0)
+
     def infill(self, inputs: np.ndarray) -> np.ndarray:
         """``(N, T, E_src)`` (or a single ``(T, E_src)``) → ``(N, T, 27)``."""
         t0 = time.perf_counter()
@@ -109,18 +186,10 @@ class InfillServer:
             raise ValueError(
                 f"input must be (T={expected[0]}, E={expected[1]}) or "
                 f"(N, {expected[0]}, {expected[1]}); got {np.asarray(inputs).shape}")
-        n = x.shape[0]
-        out_parts = []
-        i = 0
-        while i < n:
-            b = self._bucket(n - i)
-            chunk = x[i : i + b]
-            if chunk.shape[0] < b:
-                chunk = np.pad(chunk, ((0, b - chunk.shape[0]), (0, 0), (0, 0)))
-            y = np.asarray(self._compiled[b](self.params, jnp.asarray(chunk)))
-            out_parts.append(y[: min(b, n - i)])
-            i += b
-        out = np.concatenate(out_parts, axis=0)
+        if self._coalescer is not None:
+            out = self._coalescer.submit(x)
+        else:
+            out = self._predict_batched(x)
         self.stats.record((time.perf_counter() - t0) * 1000.0)
         return out[0] if single else out
 
@@ -223,7 +292,14 @@ class InfillServer:
                 self.end_headers()
                 self.wfile.write(body)
 
-        httpd = ThreadingHTTPServer((host, port), Handler)
+        class Server(ThreadingHTTPServer):
+            # burst-tolerant accept backlog: coalescing releases whole
+            # batches of clients at once, which reconnect simultaneously —
+            # the stdlib default backlog of 5 resets the overflow
+            request_queue_size = 128
+            daemon_threads = True
+
+        httpd = Server((host, port), Handler)
         if block:
             httpd.serve_forever()
             return httpd
@@ -330,7 +406,14 @@ class MultiTaskServer:
                 except Exception as e:
                     self._reply(400, {"error": str(e)})
 
-        httpd = ThreadingHTTPServer((host, port), Handler)
+        class Server(ThreadingHTTPServer):
+            # burst-tolerant accept backlog: coalescing releases whole
+            # batches of clients at once, which reconnect simultaneously —
+            # the stdlib default backlog of 5 resets the overflow
+            request_queue_size = 128
+            daemon_threads = True
+
+        httpd = Server((host, port), Handler)
         if block:
             httpd.serve_forever()
             return httpd
@@ -361,6 +444,9 @@ def main(argv=None):
     p.add_argument("--batch-sizes", type=int, nargs="*", default=[1, 8, 32])
     p.add_argument("--thres", type=float, default=0.5)
     p.add_argument("--no-pallas", action="store_true")
+    p.add_argument("--coalesce", action="store_true",
+                   help="dynamic-batch concurrent requests into one device "
+                        "call per dispatch window")
     # legacy-.Model architecture flags
     p.add_argument("--d_model", type=int, default=32)
     p.add_argument("--n_heads", type=int, default=4)
@@ -392,7 +478,8 @@ def main(argv=None):
 
     server = InfillServer(params, config, batch_sizes=args.batch_sizes,
                           thres=args.thres,
-                          use_pallas=False if args.no_pallas else None)
+                          use_pallas=False if args.no_pallas else None,
+                          coalesce=args.coalesce)
     print(f"serving {path} ({config.d_model}d/{config.num_encoder_layers}L) "
           f"on http://{args.host}:{args.port}/infill")
     server.serve_http(host=args.host, port=args.port, block=True)
