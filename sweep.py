@@ -67,9 +67,10 @@ def main(argv=None):
     parser.add_argument("--epochs", type=int, default=None,
                         help="override epochs per trial (quick sweeps)")
     parser.add_argument("--batched", action="store_true",
-                        help="run all trials in ONE compiled program (vmap): "
-                             "architecture sampled once, learning_rate and "
-                             "hit_loss_penalty vary per trial; sgd only")
+                        help="vmap-batched trials: trials are grouped by "
+                             "architecture (every sampled parameter except "
+                             "learning_rate/hit_loss_penalty) and each group "
+                             "runs as ONE compiled program; sgd only")
     args = parser.parse_args(argv)
 
     with open(args.sweep) as f:
@@ -117,9 +118,20 @@ def main(argv=None):
     return 1
 
 
+_PER_TRIAL_KEYS = ("learning_rate", "hit_loss_penalty")
+
+
 def run_batched(sweep: dict, metric: str, goal: str, rng: random.Random,
                 args) -> int:
-    """All trials in one compiled program (train/vmap_sweep.py)."""
+    """vmap-batched trials, honoring architecture-varying sweeps.
+
+    The reference sweep YAMLs sample d_model/dim_feedforward/n_heads/layers
+    per trial (configs/*_sweep.yaml) — those can't share one compiled
+    program. Trials are therefore grouped by their full sampled config minus
+    the per-trial scalars (learning_rate, hit_loss_penalty); each group runs
+    as one vmap program (train/vmap_sweep.py), singleton groups included, so
+    the sampled search space is exactly the sequential mode's.
+    """
     import numpy as np
 
     from transformergrooveinfilling_tpu.data import load_processed_dataset
@@ -128,39 +140,68 @@ def run_batched(sweep: dict, metric: str, goal: str, rng: random.Random,
         HyperParams, derive_model_config)
     from transformergrooveinfilling_tpu.train.vmap_sweep import batched_sweep
 
-    base = sample_config(sweep, rng)  # architecture sampled once
-    base.pop("only_final_eval", None)
-    lrs, pens = [], []
+    trials = []
     for _ in range(args.count):
-        trial = sample_config(sweep, rng)
-        lrs.append(float(trial.get("learning_rate", 0.05)))
-        pens.append(float(trial.get("hit_loss_penalty", 1.0)))
-    if args.epochs is not None:
-        base["epochs"] = args.epochs
+        cfg = sample_config(sweep, rng)
+        cfg.pop("only_final_eval", None)
+        if args.epochs is not None:
+            cfg["epochs"] = args.epochs
+        trials.append(cfg)
 
-    hp = HyperParams.from_dict(base)
-    config = derive_model_config(hp)
-    model = build_model(config)
+    groups: dict = {}
+    for i, cfg in enumerate(trials):
+        key = tuple(sorted((k, v) for k, v in cfg.items()
+                           if k not in _PER_TRIAL_KEYS))
+        groups.setdefault(key, []).append(i)
 
     import yaml as _yaml
     with open(args.paths) as f:
         paths = _yaml.safe_load(f)
-    ds = load_processed_dataset(paths[hp.experiment]["datasets"]["train"],
-                                exp=hp.experiment)
-    print(f"batched sweep: {args.count} (lr, penalty) trials of "
-          f"d{hp.d_model}/ff{hp.dim_feedforward}/{hp.num_encoder_decoder_layers}L "
-          f"x {hp.epochs} epochs, one program")
-    _params, losses = batched_sweep(
-        model, config, np.asarray(ds.processed_inputs, np.float32),
-        np.asarray(ds.processed_outputs, np.float32), lrs, pens,
-        epochs=hp.epochs, batch_size=hp.batch_size, seed=args.seed)
-    losses = np.asarray(losses)
-    order = np.argsort(losses if goal == "minimize" else -losses)
+    ds_cache: dict = {}
+    losses_by_trial = [None] * len(trials)
+
+    print(f"batched sweep: {len(trials)} trials in {len(groups)} "
+          f"architecture group(s), one compiled program per group")
+    for gi, (key, idxs) in enumerate(groups.items()):
+        base = {k: v for k, v in trials[idxs[0]].items()
+                if k not in _PER_TRIAL_KEYS}
+        hp = HyperParams.from_dict(base)
+        if hp.optimizer_algorithm != "sgd":
+            raise SystemExit(
+                "--batched supports the sgd sweeps the reference ships; run "
+                "without --batched for other optimizers")
+        config = derive_model_config(hp)
+        model = build_model(config)
+        lrs = [float(trials[i].get("learning_rate", 0.05)) for i in idxs]
+        pens = [float(trials[i].get("hit_loss_penalty", 1.0)) for i in idxs]
+        if hp.experiment not in ds_cache:
+            ds_cache[hp.experiment] = load_processed_dataset(
+                paths[hp.experiment]["datasets"]["train"], exp=hp.experiment)
+        ds = ds_cache[hp.experiment]
+        print(f"--- group {gi}: {len(idxs)} trial(s) of "
+              f"d{hp.d_model}/ff{hp.dim_feedforward}/"
+              f"{hp.num_encoder_decoder_layers}L bs{hp.batch_size} "
+              f"x {hp.epochs} epochs")
+        _params, losses = batched_sweep(
+            model, config, np.asarray(ds.processed_inputs, np.float32),
+            np.asarray(ds.processed_outputs, np.float32), lrs, pens,
+            epochs=hp.epochs, batch_size=hp.batch_size,
+            seed=args.seed + gi)
+        for i, loss in zip(idxs, np.asarray(losses)):
+            losses_by_trial[i] = float(loss)
+
+    order = np.argsort([v if goal == "minimize" else -v
+                        for v in losses_by_trial])
     for i in order[:5]:
-        print(f"  loss {losses[i]:.4f}  lr {lrs[i]:.4f}  "
-              f"hit_loss_penalty {pens[i]:.3f}")
+        cfg = trials[i]
+        print(f"  loss {losses_by_trial[i]:.4f}  "
+              f"lr {cfg.get('learning_rate', 0.05):.4f}  "
+              f"hit_loss_penalty {cfg.get('hit_loss_penalty', 1.0):.3f}  "
+              f"d{cfg.get('d_model')}/ff{cfg.get('dim_feedforward')}/"
+              f"{cfg.get('num_encoder_decoder_layers')}L")
     print("note: raw loss is not comparable across hit_loss_penalty values "
-          "(the penalty scales the loss); prefer fixed-penalty batched sweeps")
+          "(the penalty scales the loss); prefer a fixed penalty or rank by "
+          "a penalty-independent metric")
     return 0
 
 

@@ -1,0 +1,68 @@
+"""sweep.py end to end on the reference's own sweep YAML, both modes.
+
+VERDICT r1 #8: --batched previously sampled the architecture once and varied
+only (lr, penalty), silently narrowing the reference's search space (the
+sweep YAMLs vary d_model/dim_feedforward/n_heads/layers per trial,
+/root/reference/configs/InfillingRandom_sweep.yaml). Now trials group by
+architecture and every group runs as one vmap program — these tests run the
+reference YAML verbatim through both modes.
+
+Seed 206 deterministically samples two small distinct architectures
+(d16/ff64/2h/7L/bs16 and d64/ff64/16h/7L/bs32) — CPU-compilable in test time.
+"""
+
+import os
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF_SWEEP = "/root/reference/configs/InfillingRandom_sweep.yaml"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(REF_SWEEP), reason="reference sweep yaml unavailable")
+
+
+@pytest.fixture()
+def in_repo(monkeypatch):
+    monkeypatch.chdir(REPO)
+    monkeypatch.syspath_prepend(REPO)
+
+
+def test_batched_sweep_groups_architectures(in_repo, capsys):
+    import sweep as sweep_cli
+
+    rc = sweep_cli.main(["--sweep", REF_SWEEP, "--count", "2", "--seed",
+                         "206", "--epochs", "1", "--batched"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    # two sampled trials with different architectures → two vmap groups
+    assert "2 trials in 2 architecture group(s)" in out
+    assert "d16/ff64/7L bs16" in out
+    assert "d64/ff64/7L bs32" in out
+    assert out.count("loss ") >= 2  # both trials ranked
+
+
+def test_sequential_sweep_reference_yaml(in_repo, capsys, monkeypatch):
+    import sweep as sweep_cli
+
+    rc = sweep_cli.main(["--sweep", REF_SWEEP, "--count", "1", "--seed",
+                         "206", "--epochs", "1"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "best loss = " in out
+
+
+def test_batched_rejects_non_sgd(in_repo, tmp_path):
+    import yaml
+
+    import sweep as sweep_cli
+
+    with open(REF_SWEEP) as f:
+        spec = yaml.safe_load(f)
+    spec["parameters"]["optimizer_algorithm"] = {"value": "adam"}
+    path = tmp_path / "adam_sweep.yaml"
+    path.write_text(yaml.safe_dump(spec))
+    with pytest.raises(SystemExit, match="sgd"):
+        sweep_cli.main(["--sweep", str(path), "--count", "1", "--seed", "206",
+                        "--epochs", "1", "--batched"])
