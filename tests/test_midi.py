@@ -148,3 +148,79 @@ def test_process_dataset_entry_from_gmd_tree(tmp_path, monkeypatch):
     ds = load_processed_dataset(out_dir, exp="InfillingClosedHH_Symbolic")
     assert len(ds) > 0
     assert ds.processed_inputs.shape[1:] == (32, 27)
+
+
+def _track(events):
+    """Build a one-track SMF from absolute-tick (tick, payload) events."""
+    import struct as _struct
+
+    from transformergrooveinfilling_tpu.data.midi import _varlen
+
+    events = sorted(events, key=lambda e: e[0])
+    track = b""
+    prev = 0
+    for tick, payload in events:
+        track += _varlen(tick - prev) + payload
+        prev = tick
+    track += _varlen(0) + b"\xff\x2f\x00"
+    return (b"MThd" + _struct.pack(">IHHH", 6, 0, 1, 480)
+            + b"MTrk" + _struct.pack(">I", len(track)) + track)
+
+
+def _tempo(us):
+    return b"\xff\x51\x03" + int(us).to_bytes(3, "big")
+
+
+def _tsig(num, den_pow):
+    return bytes([0xFF, 0x58, 0x04, num, den_pow, 24, 8])
+
+
+def _kick(vel=100):
+    return bytes([0x99, 36, vel])
+
+
+def test_mid_file_tempo_change_segments_loops():
+    """A tempo change mid-file must split the stream: loops before carry the
+    old qpm, loops after the new one, with grid positions re-origined at the
+    change (VERDICT r1: tempi[0] silently mis-tagged everything)."""
+    tps = 120  # ticks per 16th at division 480
+    events = [(0, _tempo(500000)), (0, _tsig(4, 2))]
+    events += [(s * tps, _kick()) for s in range(0, 32, 4)]
+    events += [(32 * tps, _tempo(400000))]  # -> 150 qpm
+    events += [((32 + s) * tps, _kick()) for s in range(0, 32, 4)]
+
+    seqs = midi_to_hvo_sequences(_track(events))
+    qpms = [s.tempos[0].qpm for s in seqs]
+    assert qpms == [120.0, 150.0]
+    # both segments grid identically after re-origination
+    np.testing.assert_array_equal(seqs[0].hits, seqs[1].hits)
+    assert seqs[0].hits[0, 0] == 1 and seqs[0].hits.sum() == 8
+    assert seqs[0].metadata.bpm == 120.0 and seqs[1].metadata.bpm == 150.0
+
+
+def test_mid_file_meter_change_regrids_bars():
+    """A 4/4 -> 3/4 change shortens the loop to 24 steps for the second
+    segment; each segment carries its own signature."""
+    tps = 120
+    events = [(0, _tempo(500000)), (0, _tsig(4, 2))]
+    events += [(s * tps, _kick()) for s in range(0, 32, 8)]
+    events += [(32 * tps, _tsig(3, 2))]
+    events += [((32 + s) * tps, _kick()) for s in range(0, 24, 8)]
+
+    seqs = midi_to_hvo_sequences(_track(events))
+    assert [s.time_signatures[0].numerator for s in seqs] == [4, 3]
+    assert seqs[0].hvo.shape[0] == 32
+    assert seqs[1].hvo.shape[0] == 24
+    assert seqs[1].hits[0, 0] == 1
+
+
+def test_constant_tempo_unaffected_by_segmentation():
+    """Single-segment files keep round-1 behavior exactly (loop ids, grid)."""
+    tps = 120
+    events = [(0, _tempo(500000)), (0, _tsig(4, 2))]
+    events += [(s * tps, _kick()) for s in range(0, 64, 4)]
+    seqs = midi_to_hvo_sequences(_track(events))
+    assert len(seqs) == 2  # 64 steps -> two 32-step loops
+    assert all(s.tempos[0].qpm == 120.0 for s in seqs)
+    assert seqs[0].metadata.loop_id.endswith("_0")  # no _seg tag
+    assert "_seg" not in seqs[0].metadata.loop_id
