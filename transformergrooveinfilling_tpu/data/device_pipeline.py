@@ -1,0 +1,100 @@
+"""Augmentation fused into the compiled training program.
+
+data/pipeline.py's StreamingAugmenter builds generations on the host and
+swaps arrays per block — preprocessing overlapped with training. This module
+goes one step further, the fully TPU-native design: the random masking (and,
+for the audio modality, the synthesis + MSO front end) runs *inside* the
+jitted epoch as ``augment`` hooks (train/loop.py::make_epoch_fn). The clean
+base grids live on device once; every epoch (or block) trains on a fresh
+masking/render with zero host work and zero host↔device transfer.
+
+Semantics mirror the reference's random-masking dataset
+(/root/reference/dataset.py:464-555 / hvo_seq.remove_random_events): one
+per-item removal threshold drawn from ``thres_range``, hits removed i.i.d.
+below it, inputs = kept part (or its MSO), targets = removed part.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..hvo import N_VOICES
+
+
+def random_mask_on_device(key, base, thres_range=(0.4, 0.6),
+                          n_voices: int = N_VOICES):
+    """``(M, T, 3V)`` clean grids → (kept, removed), fresh per call."""
+    k_thres, k_mask = jax.random.split(key)
+    m = base.shape[0]
+    thres = jax.random.uniform(k_thres, (m, 1, 1), minval=thres_range[0],
+                               maxval=thres_range[1])
+    h = base[:, :, :n_voices]
+    remove = (jax.random.uniform(k_mask, h.shape) < thres) & (h > 0)
+    remove3 = jnp.concatenate([remove] * 3, axis=2)
+    kept = jnp.where(remove3, 0.0, base)
+    removed = jnp.where(remove3, base, 0.0)
+    return kept, removed
+
+
+def make_on_device_augment(qpms=None, mode: str = "symbolic",
+                           thres_range=(0.4, 0.6), soundfonts=None,
+                           mso_params=None, chunk: int = 64,
+                           seed: int = 0):
+    """Build a jittable ``(key, base_in, base_out) -> (inputs, outputs)`` hook.
+
+    ``mode="symbolic"``: inputs are the kept grids. ``mode="audio"``: the
+    kept grids render through the on-device synthesizer and MSO DSP
+    (ops/device_synth.py), mapped in ``chunk``-item slices via ``lax.map``
+    (the Pallas synth kernel's SMEM event budget caps one call at 64 items) —
+    the base count must be a multiple of ``chunk``. Per-item soundfonts are
+    assigned once (seeded) and stay fixed across epochs; the masking is what
+    regenerates. Pass the epoch fn the clean grids as BOTH inputs and
+    outputs.
+    """
+    assert mode in ("symbolic", "audio")
+    if mode == "symbolic":
+        def augment(key, base_in, base_out):
+            del base_out  # both args are the same clean grids
+            return random_mask_on_device(key, base_in, thres_range)
+
+        return augment
+
+    from ..ops.device_synth import pack_tables, synthesize_on_device
+    from ..ops.mso import MSOParams, mso_batch, mso_waveform_length
+
+    params = mso_params or MSOParams()
+    sfs = list(soundfonts) if soundfonts else [None]
+    table, base_map = pack_tables(sfs, params.sr)
+    qpms = np.asarray(qpms if qpms is not None else [120.0], np.float64)
+
+    def augment(key, base_in, base_out):
+        del base_out
+        m, t = base_in.shape[0], base_in.shape[1]
+        assert m % chunk == 0, (
+            f"audio on-device augmentation needs the base count ({m}) to be "
+            f"a multiple of chunk ({chunk}); repeat or trim the corpus")
+        q = np.broadcast_to(qpms, (m,))
+        sps = jnp.asarray((q / 60.0) * 4.0, jnp.float32)
+        length = mso_waveform_length(t, float((q.min() / 60.0) * 4.0), params)
+        rng = np.random.default_rng(seed)
+        sf_rows = jnp.asarray(
+            [base_map[sfs[i]] for i in rng.integers(0, len(sfs), m)],
+            jnp.int32)
+
+        kept, removed = random_mask_on_device(key, base_in, thres_range)
+
+        def chunk_fn(args):
+            grids, sps_c, rows_c = args
+            waves = synthesize_on_device(grids, sps_c, table, rows_c, length)
+            return mso_batch(waves, sps_c, t, params)
+
+        n_chunks = m // chunk
+        mso = jax.lax.map(chunk_fn, (
+            kept.reshape(n_chunks, chunk, t, base_in.shape[2]),
+            sps.reshape(n_chunks, chunk),
+            sf_rows.reshape(n_chunks, chunk)))
+        return mso.reshape(m, t, params.n_bands), removed
+
+    return augment

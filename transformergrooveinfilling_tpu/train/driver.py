@@ -128,6 +128,8 @@ def run_training(
     log_media: bool = True,
     epoch_block: int = 1,
     streamer=None,
+    on_device_augment=None,
+    augment_per_epoch: bool = True,
 ) -> ModelBundle:
     """Full training run: the reference epoch loop, compiled.
 
@@ -139,6 +141,12 @@ def run_training(
     ``streamer``: optional data.pipeline.StreamingAugmenter — fresh augmented
     arrays are swapped in per block, regenerated on the host while the device
     trains (overlapped preprocessing). Shapes stay constant → no recompiles.
+    ``on_device_augment``: optional jittable hook from
+    data/device_pipeline.py::make_on_device_augment — augmentation (masking,
+    and for audio the synth+MSO front end) runs INSIDE the compiled epoch;
+    pass the clean base grids as the dataset's processed_inputs/outputs.
+    Mutually exclusive with ``streamer``. ``augment_per_epoch=False``
+    regenerates once per epoch_block instead (cheaper for the audio mode).
     """
     from ..eval.evaluator import log_eval
 
@@ -217,12 +225,15 @@ def run_training(
                                   params=to_global(bundle.state.params),
                                   opt_state=to_global(bundle.state.opt_state))
 
+    assert streamer is None or on_device_augment is None, \
+        "streamer and on_device_augment are mutually exclusive"
     encoder_only = bundle.config.encoder_only
     epoch_block = max(1, min(epoch_block, hp.epochs - initial_epoch or 1))
     epoch_fn = make_epoch_fn(
         bundle.model, bundle.tx, hp.hit_loss_penalty, hp.batch_size, n,
         plan=plan, donate=True, n_epochs=epoch_block,
-        encoder_only=encoder_only)
+        encoder_only=encoder_only, augment=on_device_augment,
+        augment_per_epoch=augment_per_epoch)
     eval_loss_fn = make_eval_loss_fn(bundle.model, hp.hit_loss_penalty,
                                      encoder_only=encoder_only)
 
@@ -268,7 +279,8 @@ def run_training(
             run_fn = make_epoch_fn(
                 bundle.model, bundle.tx, hp.hit_loss_penalty, hp.batch_size,
                 n, plan=plan, donate=True, n_epochs=block,
-                encoder_only=encoder_only)
+                encoder_only=encoder_only, augment=on_device_augment,
+                augment_per_epoch=augment_per_epoch)
         if streamer is not None:
             fresh_in, fresh_out = streamer.next_epoch()
             if fresh_in.shape[0] != n or fresh_out.shape[0] != n:

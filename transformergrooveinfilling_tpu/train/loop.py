@@ -98,6 +98,8 @@ def make_epoch_fn(
     n_epochs: int = 1,
     shuffle: bool = True,
     encoder_only: bool = True,
+    augment=None,
+    augment_per_epoch: bool = True,
 ):
     """Compile a whole-epoch function ``(state, inputs, outputs, key) ->
     (state, metrics)``.
@@ -107,6 +109,13 @@ def make_epoch_fn(
     over steps weighted by live-sample counts, so the epoch-mean loss equals the
     reference's sample-weighted mean. ``n_epochs > 1`` wraps an outer scan so
     one dispatch trains many epochs (metrics returned for the last epoch).
+
+    ``augment``: optional jittable ``(key, inputs, outputs) -> (inputs,
+    outputs)`` run INSIDE the compiled program — the fully on-device
+    streaming-augmentation path (data/device_pipeline.py): callers pass the
+    clean base grids as inputs/outputs and every epoch (or block, with
+    ``augment_per_epoch=False``) trains on a fresh masking/render without any
+    host or transfer involvement.
     """
     step_fn = make_train_step(model, tx, hit_loss_penalty,
                               encoder_only=encoder_only)
@@ -114,6 +123,9 @@ def make_epoch_fn(
     padded = n_batches * batch_size
 
     def epoch(state: TrainState, inputs, outputs, key):
+        if augment is not None and augment_per_epoch:
+            aug_key, key = jax.random.split(key)
+            inputs, outputs = augment(aug_key, inputs, outputs)
         perm_key, dropout_key = jax.random.split(key)
         perm = (jax.random.permutation(perm_key, n_samples) if shuffle
                 else jnp.arange(n_samples))  # sequential: parity tests
@@ -157,6 +169,10 @@ def make_epoch_fn(
         # (significant when the host↔device link has high latency) and lets
         # the compiler pipeline across epoch boundaries
         def multi(state, inputs, outputs, key):
+            if augment is not None and not augment_per_epoch:
+                aug_key, key = jax.random.split(key)
+                inputs, outputs = augment(aug_key, inputs, outputs)
+
             def body(carry, epoch_key):
                 state, metrics = epoch(carry, inputs, outputs, epoch_key)
                 return state, metrics
