@@ -149,3 +149,32 @@ def test_encoder_decoder_trains_end_to_end(rng):
     eval_fn = make_eval_loss_fn(model, 0.5, encoder_only=False)
     out = eval_fn(state.params, x, y)
     assert np.isfinite(float(out["loss"]))
+
+
+def test_encoder_decoder_cli_end_to_end(tmp_path, monkeypatch):
+    """The reference supports encoder_only=0 full encoder-decoder training
+    (train.py:125-127); the whole CLI path must run it: config load → model
+    build (decoder layers) → teacher-forced training → eval logging."""
+    import os
+    import shutil
+
+    import yaml
+
+    import train as train_cli
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo,
+              "configs/InfillingClosedHH_Symbolic_testing_training.yaml")) as f:
+        cfg = yaml.safe_load(f)
+    cfg["encoder_only"] = 0
+    cfg["num_encoder_decoder_layers"] = 1  # keep the CPU run quick
+    cfg["d_model"] = 16
+    cfg["n_heads"] = 2
+    path = tmp_path / "encdec.yaml"
+    path.write_text(yaml.safe_dump(cfg))
+
+    monkeypatch.chdir(repo)
+    rc = train_cli.main(["--config", str(path), "--wandb", "False",
+                         "--dump_eval", "False", "--eval_test", "False",
+                         "--only_final_eval", "True"])
+    assert rc in (0, None)

@@ -110,3 +110,29 @@ def test_waveform_length_covers_grid_and_flux_margin():
     n_frames = 1 + (L + 2 * (p.n_fft // 2) - p.win_length) // p.hop_length
     assert n_frames >= grid_frames + p.mean_filter_size
     assert L < int(np.ceil(32 / 8.0 * p.sr)) + 2 * p.sr  # strictly cheaper
+
+
+def test_device_route_with_sf2_and_mixed_kits(tmp_path):
+    """Per-item soundfonts through the on-device path: a written .sf2 kit and
+    the procedural kit in one batch, each item hitting its own table rows —
+    must match the host mixer route item for item."""
+    from transformergrooveinfilling_tpu.audio.drumkit import default_kit
+    from transformergrooveinfilling_tpu.audio.sf2 import write_minimal_sf2
+    from transformergrooveinfilling_tpu.hvo.mapping import VOICE_TO_MIDI_NOTE
+
+    sr = 44100
+    kit = default_kit(sr)
+    # a deliberately different-sounding kit: halved amplitude
+    samples = {key: 0.5 * kit[v] for v, key in enumerate(VOICE_TO_MIDI_NOTE)}
+    sf_path = str(tmp_path / "half.sf2")
+    write_minimal_sf2(sf_path, samples, sr=sr)
+
+    hvos = _corpus(4)
+    qpms = np.full((4,), 120.0)
+    sfs = [None, sf_path, None, sf_path]
+    dev = mso_batch_from_hvo(hvos, sfs, qpms, device_synth=True)
+    host = mso_batch_from_hvo(hvos, sfs, qpms, device_synth=False)
+    scale = np.max(np.abs(host)) + 1e-9
+    np.testing.assert_allclose(dev, host, atol=6e-3 * scale)
+    # the two kits genuinely differ (different rows were used)
+    assert not np.allclose(dev[0], dev[1], atol=1e-3)

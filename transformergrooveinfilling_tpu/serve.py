@@ -340,11 +340,13 @@ class MultiTaskServer:
     """
 
     def __init__(self, bundles: dict, batch_sizes=(1, 8, 32),
-                 use_pallas: bool | None = None):
+                 use_pallas: bool | None = None, coalesce: bool = False,
+                 coalesce_wait_ms: float = 2.0):
         """``bundles``: {experiment_name: (params, GrooveTransformerConfig)}."""
         self.servers = {
             name: InfillServer(params, config, batch_sizes=batch_sizes,
-                               use_pallas=use_pallas)
+                               use_pallas=use_pallas, coalesce=coalesce,
+                               coalesce_wait_ms=coalesce_wait_ms)
             for name, (params, config) in bundles.items()
         }
 
