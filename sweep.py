@@ -182,11 +182,18 @@ def run_batched(sweep: dict, metric: str, goal: str, rng: random.Random,
               f"d{hp.d_model}/ff{hp.dim_feedforward}/"
               f"{hp.num_encoder_decoder_layers}L bs{hp.batch_size} "
               f"x {hp.epochs} epochs")
-        _params, losses = batched_sweep(
-            model, config, np.asarray(ds.processed_inputs, np.float32),
-            np.asarray(ds.processed_outputs, np.float32), lrs, pens,
+        x = np.asarray(ds.processed_inputs, np.float32)
+        y = np.asarray(ds.processed_outputs, np.float32)
+        params, _last_batch_losses = batched_sweep(
+            model, config, x, y, lrs, pens,
             epochs=hp.epochs, batch_size=hp.batch_size,
             seed=args.seed + gi)
+        # rank on the deterministic full-dataset loss, not the last training
+        # batch (matches the sequential runner's logged-loss semantics)
+        from transformergrooveinfilling_tpu.train.vmap_sweep import (
+            stacked_eval_loss)
+        losses = stacked_eval_loss(model, params, x, y, pens,
+                                   encoder_only=config.encoder_only)
         for i, loss in zip(idxs, np.asarray(losses)):
             losses_by_trial[i] = float(loss)
 

@@ -58,3 +58,37 @@ def test_lr_zero_trial_keeps_init(rng):
     a1 = np.asarray(jax.tree_util.tree_leaves(params)[1][1])
     i1 = np.asarray(jax.tree_util.tree_leaves(init)[1][1])
     assert not np.allclose(a1, i1, atol=1e-7)
+
+
+def test_stacked_eval_loss_matches_per_trial():
+    """The vmapped full-dataset eval loss equals evaluating each stacked
+    trial's parameters individually."""
+    import jax
+    import jax.numpy as jnp
+
+    from transformergrooveinfilling_tpu.models import build_model
+    from transformergrooveinfilling_tpu.models.losses import calculate_loss
+    from transformergrooveinfilling_tpu.models.transformer import (
+        GrooveTransformerConfig)
+    from transformergrooveinfilling_tpu.train.vmap_sweep import (
+        init_stacked_params, stacked_eval_loss)
+
+    cfg = GrooveTransformerConfig(d_model=16, n_heads=2, dim_feedforward=16,
+                                  dropout=0.0, num_encoder_layers=1,
+                                  embedding_size_src=27)
+    model = build_model(cfg)
+    rng = np.random.default_rng(3)
+    h = (rng.random((6, 32, 9)) < 0.3).astype(np.float32)
+    y = np.concatenate([h, h * 0.5, h * 0.1], axis=2).astype(np.float32)
+    x = y.copy()
+    stacked = init_stacked_params(model, cfg, 3, jax.random.PRNGKey(0))
+    pens = np.asarray([0.3, 0.6, 1.0], np.float32)
+
+    batched = np.asarray(stacked_eval_loss(model, stacked, x, y, pens))
+    for k in range(3):
+        params_k = jax.tree.map(lambda a: a[k], stacked)
+        pred = model.apply({"params": params_k}, jnp.asarray(x),
+                           deterministic=True)
+        expect = float(calculate_loss(pred, jnp.asarray(y),
+                                      float(pens[k])).total_loss)
+        np.testing.assert_allclose(batched[k], expect, rtol=1e-5)

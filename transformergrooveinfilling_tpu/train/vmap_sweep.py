@@ -100,3 +100,22 @@ def batched_sweep(model, config, inputs, outputs, lrs, penalties,
                                encoder_only=config.encoder_only)
     return fn(stacked, lrs, penalties, jnp.asarray(inputs),
               jnp.asarray(outputs), jax.random.PRNGKey(seed + 1))
+
+
+def stacked_eval_loss(model, stacked_params, inputs, outputs, penalties,
+                      encoder_only: bool = True):
+    """Deterministic full-dataset loss per trial: one vmapped forward over
+    the K stacked parameter trees. This is the rankable number — the
+    last-training-batch loss depends on which samples landed in the final
+    batch, whereas this matches the sequential runner's logged loss
+    semantics (whole dataset, dropout off)."""
+    inputs = jnp.asarray(inputs)
+    outputs = jnp.asarray(outputs)
+    penalties = jnp.asarray(penalties, jnp.float32)
+
+    def one(params, penalty):
+        args = (inputs,) if encoder_only else (inputs, outputs)
+        pred = model.apply({"params": params}, *args, deterministic=True)
+        return calculate_loss(pred, outputs, penalty).total_loss
+
+    return jax.jit(jax.vmap(one))(stacked_params, penalties)
