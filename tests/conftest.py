@@ -40,6 +40,48 @@ def rng():
     return np.random.default_rng(0)
 
 
+REPO = str(pathlib.Path(__file__).resolve().parents[1])
+
+
+def ensure_dataset_artifacts(experiment: str, *, testing: bool = False,
+                             evaluators: bool = False) -> None:
+    """Build the gitignored dataset (and optionally evaluator) pickles for
+    ``experiment`` when a fresh checkout lacks them.
+
+    They are generated artifacts (reference README.md:64-78 ships them as a
+    data download; here the hermetic synthetic corpus regenerates them in
+    seconds), so tests that drive the CLI surface build them on demand instead
+    of assuming a previously-populated ``datasets/`` tree.
+    """
+    import yaml
+
+    name = experiment + ("_testing" if testing else "")
+    with open(os.path.join(REPO, "configs/paths.yaml")) as f:
+        paths = yaml.safe_load(f)[name]
+    ds_done = all(os.path.isdir(os.path.join(REPO, p))
+                  for p in paths["datasets"].values())
+    ev_done = (not evaluators) or all(
+        os.path.exists(os.path.join(REPO, p))
+        for p in paths.get("evaluators", {}).values())
+    if ds_done and ev_done:
+        return
+
+    cwd = os.getcwd()
+    os.chdir(REPO)
+    try:
+        argv = ["--experiments", experiment] + (["--testing"] if testing else [])
+        if not ds_done:
+            import process_dataset as pd_cli
+
+            pd_cli.main(argv)
+        if evaluators and not ev_done:
+            import process_evaluator as pe_cli
+
+            pe_cli.main(argv)
+    finally:
+        os.chdir(cwd)
+
+
 DEMO_CHECKPOINT = "/root/reference/demo/transformer_run_171tyqit_Epoch_1.Model"
 
 

@@ -162,7 +162,11 @@ def test_encoder_decoder_cli_end_to_end(tmp_path, monkeypatch):
 
     import train as train_cli
 
+    from tests.conftest import ensure_dataset_artifacts
+
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ensure_dataset_artifacts("InfillingClosedHH_Symbolic", testing=True,
+                             evaluators=True)
     with open(os.path.join(repo,
               "configs/InfillingClosedHH_Symbolic_testing_training.yaml")) as f:
         cfg = yaml.safe_load(f)

@@ -25,8 +25,13 @@ pytestmark = pytest.mark.skipif(
 
 @pytest.fixture()
 def in_repo(monkeypatch):
+    from tests.conftest import ensure_dataset_artifacts
+
     monkeypatch.chdir(REPO)
     monkeypatch.syspath_prepend(REPO)
+    # sweep trials drive train.py, which loads the gitignored InfillingRandom
+    # dataset pickles (configs/paths.yaml) — build them on a fresh checkout
+    ensure_dataset_artifacts("InfillingRandom")
 
 
 def test_batched_sweep_groups_architectures(in_repo, capsys):

@@ -121,6 +121,24 @@ def main(argv=None):
 
     xlog.init(config=hp_dict, project=hp_dict["experiment"], job_type="train",
               notes=args.notes, tags=args.tags)
+    try:
+        return _run(args, hp_dict, paths)
+    finally:
+        # always close the run: a failed trial must not leave the module-level
+        # logging singleton active for the next caller in this process
+        xlog.finish()
+
+
+def _run(args, hp_dict, paths):
+    from transformergrooveinfilling_tpu.data import load_processed_dataset
+    from transformergrooveinfilling_tpu.eval.evaluator import init_evaluator
+    from transformergrooveinfilling_tpu.parallel import make_mesh
+    from transformergrooveinfilling_tpu.train.config import (
+        HyperParams, embedding_size_src_for)
+    from transformergrooveinfilling_tpu.train.driver import (
+        initialize_model, run_training)
+    from transformergrooveinfilling_tpu.utils import logging as xlog
+
     cfg = xlog.config  # config round-trip: sweeps override through here
 
     params = {
@@ -184,7 +202,6 @@ def main(argv=None):
         export_legacy=bool(args.export_legacy) and args.export_legacy != "False",
         epoch_block=args.epoch_block,
     )
-    xlog.finish()
 
 
 if __name__ == "__main__":

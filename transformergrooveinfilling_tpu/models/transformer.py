@@ -55,6 +55,11 @@ class GrooveTransformerConfig:
     # fuse the two per-layer LN(x + dropout(y)) sites into the Pallas kernel
     # (ops/fused_ln.py; TPU training path — masks regenerated in backward)
     fused_dropout_ln: bool = False
+    # route every dropout site through ops/dropout.py::fast_dropout (one
+    # random byte per element instead of 32 bits; +6% whole-step throughput
+    # at the flagship config, docs/PERF.md). Unbiased; keep rate quantizes to
+    # 1/256 steps. Off = bit-exact flax nn.Dropout streams.
+    fast_dropout: bool = True
 
     @property
     def encoder_only(self) -> bool:
@@ -83,6 +88,24 @@ def sinusoidal_positional_encoding(max_len: int, d_model: int) -> jax.Array:
     return pe[None]
 
 
+class Dropout(nn.Module):
+    """``nn.Dropout``-shaped site that can route to the fast path
+    (ops/dropout.py: one random byte per element; docs/PERF.md)."""
+
+    rate: float
+    fast: bool = False
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool):
+        if deterministic or self.rate == 0.0:
+            return x
+        if self.fast:
+            from ..ops.dropout import fast_dropout
+
+            return fast_dropout(x, self.make_rng("dropout"), self.rate)
+        return nn.Dropout(self.rate)(x, deterministic=False)
+
+
 class SelfAttention(nn.Module):
     """Packed-QKV multi-head self-attention (torch ``nn.MultiheadAttention``
     semantics: scale 1/sqrt(head_dim), dropout on the attention weights)."""
@@ -91,6 +114,7 @@ class SelfAttention(nn.Module):
     n_heads: int
     dropout: float
     use_pallas: bool = False
+    fast_dropout: bool = False
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool, kv: Optional[jax.Array] = None):
@@ -124,7 +148,8 @@ class SelfAttention(nn.Module):
         else:
             scores = jnp.einsum("...qhd,...khd->...hqk", q, k) / math.sqrt(hd)
             w = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
-            w = nn.Dropout(self.dropout)(w, deterministic=deterministic)
+            w = Dropout(self.dropout, self.fast_dropout)(
+                w, deterministic=deterministic)
             out = jnp.einsum("...hqk,...khd->...qhd", w, v)
         out = out.reshape(out.shape[:-2] + (d,))
         return nn.Dense(d, name="out")(out)
@@ -142,6 +167,7 @@ class DropAddLayerNorm(nn.Module):
 
     rate: float
     use_fused: bool = False
+    fast_dropout: bool = False
 
     @nn.compact
     def __call__(self, x, y, deterministic: bool = True):
@@ -155,7 +181,7 @@ class DropAddLayerNorm(nn.Module):
                 self.make_rng("dropout"), (), 0, 2**31 - 1, dtype=jnp.int32)
             return dropout_add_layernorm(x, y, scale, bias, seed,
                                          float(self.rate))
-        y = nn.Dropout(self.rate)(y, deterministic=deterministic)
+        y = Dropout(self.rate, self.fast_dropout)(y, deterministic=deterministic)
         a = (x + y).astype(jnp.float32)
         mu = jnp.mean(a, axis=-1, keepdims=True)
         # one-pass variance (E[a²] − E[a]²): one reduction fewer per site
@@ -176,21 +202,25 @@ class EncoderLayer(nn.Module):
     dropout: float
     use_pallas: bool = False
     fused_dropout_ln: bool = False
+    fast_dropout: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         sa = SelfAttention(self.d_model, self.n_heads, self.dropout,
-                           use_pallas=self.use_pallas, name="self_attn")(
+                           use_pallas=self.use_pallas,
+                           fast_dropout=self.fast_dropout, name="self_attn")(
             x, deterministic=deterministic
         )
         x = DropAddLayerNorm(self.dropout, self.fused_dropout_ln,
+                             self.fast_dropout,
                              name="norm1")(x, sa, deterministic)
         ff = nn.Dense(self.dim_feedforward, name="linear1")(x)
-        ff = nn.Dropout(self.dropout)(
+        ff = Dropout(self.dropout, self.fast_dropout)(
             jax.nn.relu(ff), deterministic=deterministic
         )
         ff = nn.Dense(self.d_model, name="linear2")(ff)
         x = DropAddLayerNorm(self.dropout, self.fused_dropout_ln,
+                             self.fast_dropout,
                              name="norm2")(x, ff, deterministic)
         return x
 
@@ -207,26 +237,30 @@ class DecoderLayer(nn.Module):
     n_heads: int
     dim_feedforward: int
     dropout: float
+    fast_dropout: bool = False
 
     @nn.compact
     def __call__(self, x, memory, *, deterministic: bool):
-        sa = SelfAttention(self.d_model, self.n_heads, self.dropout, name="self_attn")(
+        drop = lambda: Dropout(self.dropout, self.fast_dropout)  # noqa: E731
+        sa = SelfAttention(self.d_model, self.n_heads, self.dropout,
+                           fast_dropout=self.fast_dropout, name="self_attn")(
             x, deterministic=deterministic
         )
         x = nn.LayerNorm(name="norm1")(
-            x + nn.Dropout(self.dropout)(sa, deterministic=deterministic)
+            x + drop()(sa, deterministic=deterministic)
         )
         ca = SelfAttention(
-            self.d_model, self.n_heads, self.dropout, name="cross_attn"
+            self.d_model, self.n_heads, self.dropout,
+            fast_dropout=self.fast_dropout, name="cross_attn"
         )(x, kv=memory, deterministic=deterministic)
         x = nn.LayerNorm(name="norm2")(
-            x + nn.Dropout(self.dropout)(ca, deterministic=deterministic)
+            x + drop()(ca, deterministic=deterministic)
         )
         ff = nn.Dense(self.dim_feedforward, name="linear1")(x)
-        ff = nn.Dropout(self.dropout)(jax.nn.relu(ff), deterministic=deterministic)
+        ff = drop()(jax.nn.relu(ff), deterministic=deterministic)
         ff = nn.Dense(self.d_model, name="linear2")(ff)
         x = nn.LayerNorm(name="norm3")(
-            x + nn.Dropout(self.dropout)(ff, deterministic=deterministic)
+            x + drop()(ff, deterministic=deterministic)
         )
         return x
 
@@ -239,6 +273,7 @@ class InputLayer(nn.Module):
     d_model: int
     dropout: float
     max_len: int
+    fast_dropout: bool = False
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool):
@@ -246,7 +281,8 @@ class InputLayer(nn.Module):
         x = jax.nn.relu(x)
         pe = sinusoidal_positional_encoding(self.max_len, self.d_model)
         x = x + pe[:, : x.shape[-2], :].astype(x.dtype)
-        return nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        return Dropout(self.dropout, self.fast_dropout)(
+            x, deterministic=deterministic)
 
 
 class OutputLayer(nn.Module):
@@ -277,7 +313,8 @@ class GrooveTransformerEncoder(nn.Module):
     def __call__(self, src, *, deterministic: bool = True):
         cfg = self.config
         x = src.astype(cfg.compute_dtype)
-        x = InputLayer(cfg.d_model, cfg.dropout, cfg.max_len, name="input")(
+        x = InputLayer(cfg.d_model, cfg.dropout, cfg.max_len,
+                       fast_dropout=cfg.fast_dropout, name="input")(
             x, deterministic=deterministic
         )
         # remat: recompute each layer's activations in the backward pass
@@ -292,6 +329,7 @@ class GrooveTransformerEncoder(nn.Module):
                 cfg.dropout,
                 use_pallas=cfg.use_pallas_attention,
                 fused_dropout_ln=cfg.fused_dropout_ln,
+                fast_dropout=cfg.fast_dropout,
                 name=f"encoder_layer_{i}",
             )(x, deterministic)
         x = nn.LayerNorm(name="encoder_norm")(x)
@@ -309,7 +347,8 @@ class GrooveTransformer(nn.Module):
     def __call__(self, src, tgt=None, *, deterministic: bool = True):
         cfg = self.config
         x = src.astype(cfg.compute_dtype)
-        x = InputLayer(cfg.d_model, cfg.dropout, cfg.max_len, name="input")(
+        x = InputLayer(cfg.d_model, cfg.dropout, cfg.max_len,
+                       fast_dropout=cfg.fast_dropout, name="input")(
             x, deterministic=deterministic
         )
         for i in range(cfg.num_encoder_layers):
@@ -318,6 +357,7 @@ class GrooveTransformer(nn.Module):
                 cfg.n_heads,
                 cfg.dim_feedforward,
                 cfg.dropout,
+                fast_dropout=cfg.fast_dropout,
                 name=f"encoder_layer_{i}",
             )(x, deterministic=deterministic)
         memory = nn.LayerNorm(name="encoder_norm")(x)
@@ -328,7 +368,8 @@ class GrooveTransformer(nn.Module):
         tgt_in = jnp.concatenate(
             [jnp.zeros_like(tgt[..., :1, :]), tgt[..., :-1, :]], axis=-2
         ).astype(cfg.compute_dtype)
-        y = InputLayer(cfg.d_model, cfg.dropout, cfg.max_len, name="input_tgt")(
+        y = InputLayer(cfg.d_model, cfg.dropout, cfg.max_len,
+                       fast_dropout=cfg.fast_dropout, name="input_tgt")(
             tgt_in, deterministic=deterministic
         )
         for i in range(cfg.num_decoder_layers):
@@ -337,6 +378,7 @@ class GrooveTransformer(nn.Module):
                 cfg.n_heads,
                 cfg.dim_feedforward,
                 cfg.dropout,
+                fast_dropout=cfg.fast_dropout,
                 name=f"decoder_layer_{i}",
             )(y, memory, deterministic=deterministic)
         y = nn.LayerNorm(name="decoder_norm")(y)

@@ -182,7 +182,8 @@ def init(config: dict | None = None, project: str = "run", job_type: str = "trai
                                 notes=notes, tags=tags, **kw)
     run_id = time.strftime("%Y%m%d_%H%M%S") + f"_{os.getpid()%10000:04d}"
     base = run_dir or os.path.join("runs", project)
-    rdir = os.path.join(base, run_id)
+    # absolute: the run must stay writable if the caller later chdirs
+    rdir = os.path.abspath(os.path.join(base, run_id))
     os.makedirs(rdir, exist_ok=True)
     cfg = _Config(config or {})
     run = Run(rdir, run_id, project, cfg)
