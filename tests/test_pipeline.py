@@ -1,0 +1,129 @@
+"""Pipeline parallelism (parallel/pipeline.py) on the 8-virtual-device mesh.
+
+Pins: pipelined forward ≡ plain single-device forward (deterministic), split/
+merge round-trip, one optimizer step parity with direct jax.grad (dropout off),
+and a dp×pp training step that runs with dropout on.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from transformergrooveinfilling_tpu.models import build_model
+from transformergrooveinfilling_tpu.models.transformer import (
+    GrooveTransformerConfig,
+)
+from transformergrooveinfilling_tpu.parallel.pipeline import (
+    make_pipeline_mesh,
+    make_pipeline_train_step,
+    merge_encoder_params,
+    pipeline_forward,
+    split_encoder_params,
+)
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 virtual devices")
+
+CFG = GrooveTransformerConfig(
+    d_model=16, n_heads=2, dim_feedforward=24, dropout=0.2,
+    num_encoder_layers=8, max_len=32, embedding_size_src=16,
+    embedding_size_tgt=27)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = build_model(CFG)
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((16, 32, 16)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    return model, params, x
+
+
+def test_split_merge_roundtrip(setup):
+    _, params, _ = setup
+    rest, stacked = split_encoder_params(params, CFG.num_encoder_layers)
+    assert jax.tree.leaves(stacked)[0].shape[0] == CFG.num_encoder_layers
+    merged = merge_encoder_params(rest, stacked, CFG.num_encoder_layers)
+    for (ka, a), (kb, b) in zip(
+            sorted(jax.tree_util.tree_flatten_with_path(params)[0],
+                   key=lambda kv: str(kv[0])),
+            sorted(jax.tree_util.tree_flatten_with_path(merged)[0],
+                   key=lambda kv: str(kv[0]))):
+        assert str(ka) == str(kb)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("n_stages,n_data", [(4, 1), (4, 2), (2, 4)])
+def test_forward_matches_plain_model(setup, n_stages, n_data):
+    model, params, x = setup
+    plan = make_pipeline_mesh(n_stages=n_stages, n_data=n_data, n_micro=4)
+    ref = model.apply({"params": params}, x, deterministic=True)
+    out = jax.jit(
+        lambda p, v: pipeline_forward(p, v, plan, CFG, deterministic=True)
+    )(params, x)
+    for r, o in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(r), np.asarray(o),
+                                   rtol=2e-5, atol=2e-6)
+
+
+def test_train_step_matches_direct_grad(setup):
+    """One SGD step of the pipelined stack == direct jax.grad of the plain
+    model (dropout off → no RNG-stream dependence)."""
+    import dataclasses
+
+    import optax
+
+    from transformergrooveinfilling_tpu.models.losses import calculate_loss
+
+    cfg = dataclasses.replace(CFG, dropout=0.0)
+    model = build_model(cfg)
+    x = jnp.asarray(
+        np.random.default_rng(1).standard_normal((16, 32, 16)), jnp.float32)
+    h = (np.random.default_rng(2).random((16, 32, 9)) < 0.3).astype(np.float32)
+    y = jnp.asarray(np.concatenate([h, h * 0.6, h * 0.1], 2), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+
+    tx = optax.sgd(0.05)
+    plan = make_pipeline_mesh(n_stages=4, n_data=2, n_micro=4)
+    step = make_pipeline_train_step(cfg, plan, tx, hit_loss_penalty=0.5)
+    p_pipe, _, metrics = step(params, tx.init(params), x, y,
+                              jax.random.PRNGKey(3))
+
+    def direct_loss(p):
+        preds = model.apply({"params": p}, x, deterministic=True)
+        return calculate_loss(preds, y, 0.5).total_loss
+
+    loss_ref = float(direct_loss(params))
+    np.testing.assert_allclose(float(metrics["loss"]), loss_ref, rtol=1e-5)
+    grads = jax.grad(direct_loss)(params)
+    p_ref = optax.apply_updates(params, tx.update(grads, tx.init(params),
+                                                  params)[0])
+    for a, b in zip(jax.tree.leaves(p_pipe), jax.tree.leaves(p_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)
+
+
+def test_train_step_with_dropout_learns(setup):
+    """dp×pp with dropout on: loss decreases over a few steps and params on
+    every stage move (the pipelined backward reaches all layer slices)."""
+    import optax
+
+    _, params, x = setup
+    h = (np.random.default_rng(4).random((16, 32, 9)) < 0.3).astype(np.float32)
+    y = jnp.asarray(np.concatenate([h, h * 0.6, h * 0.1], 2), jnp.float32)
+    tx = optax.sgd(0.05)
+    plan = make_pipeline_mesh(n_stages=2, n_data=4, n_micro=4)
+    step = make_pipeline_train_step(CFG, plan, tx, hit_loss_penalty=0.5)
+    opt_state = tx.init(params)
+    p = params
+    losses = []
+    for i in range(8):
+        p, opt_state, m = step(p, opt_state, x, y, jax.random.PRNGKey(i))
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
+    _, stacked0 = split_encoder_params(params, CFG.num_encoder_layers)
+    _, stacked1 = split_encoder_params(p, CFG.num_encoder_layers)
+    for a, b in zip(jax.tree.leaves(stacked0), jax.tree.leaves(stacked1)):
+        moved = np.abs(np.asarray(a) - np.asarray(b)).reshape(a.shape[0], -1)
+        assert (moved.max(axis=1) > 0).all(), "some layer never updated"

@@ -1,0 +1,217 @@
+"""Pipeline parallelism for deep groove-transformer configs.
+
+The reference has no parallelism of any kind (SURVEY.md §2.4); data and tensor
+parallelism live in :mod:`.mesh`. This module adds the third axis for configs
+whose *depth* outgrows one chip (the "GrooveXL" scaling probes in docs/PERF.md):
+a GPipe-style microbatch pipeline over a ``("data", "pipe")`` mesh, written the
+TPU way — ``jax.shard_map`` + ``lax.ppermute`` ring transfers over ICI, with
+each stage holding a ``(layers_per_stage, ...)`` stacked slice of the encoder
+parameters and XLA overlapping the permute with the next microbatch's compute.
+
+Schedule: with S stages and M microbatches, step ``t`` has stage ``s`` applying
+its layers to microbatch ``t - s`` (valid for ``s <= t < s + M``); the loop runs
+``M + S - 1`` steps, so the bubble is the standard ``(S-1)/(M+S-1)`` fraction.
+Everything thin (input embed, final norm, output head, loss) runs replicated
+outside the pipelined region.
+
+Autodiff crosses the pipeline for free: ``ppermute``'s transpose is the inverse
+permutation, so ``jax.grad`` of the pipelined forward yields exact
+backpropagation with the same schedule reversed (tests pin one-step SGD parity
+with the single-device model).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.transformer import (
+    EncoderLayer,
+    GrooveTransformerConfig,
+    InputLayer,
+    OutputLayer,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelinePlan:
+    """A ("data", "pipe") mesh and the pipeline split."""
+
+    mesh: Mesh
+    n_micro: int  # microbatches per global batch
+
+    @property
+    def n_data(self) -> int:
+        return self.mesh.shape["data"]
+
+    @property
+    def n_stages(self) -> int:
+        return self.mesh.shape["pipe"]
+
+
+def make_pipeline_mesh(n_stages: int, n_data: int | None = None,
+                       n_micro: int | None = None, devices=None) -> PipelinePlan:
+    """Mesh with "pipe" innermost so stage hops ride nearest-neighbor ICI."""
+    devices = devices if devices is not None else jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_stages
+    n = n_data * n_stages
+    assert n <= len(devices), f"need {n} devices, have {len(devices)}"
+    dev_array = np.asarray(devices[:n]).reshape(n_data, n_stages)
+    return PipelinePlan(Mesh(dev_array, axis_names=("data", "pipe")),
+                        n_micro=n_micro or 2 * n_stages)
+
+
+def split_encoder_params(params: dict, n_layers: int):
+    """(rest, stacked): per-layer subtrees stacked on a leading (L, ...) axis.
+
+    ``stacked`` is what gets sharded over "pipe"; ``rest`` (input embed, final
+    norm, output head) stays replicated.
+    """
+    layers = [params[f"encoder_layer_{i}"] for i in range(n_layers)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    rest = {k: v for k, v in params.items()
+            if not k.startswith("encoder_layer_")}
+    return rest, stacked
+
+
+def merge_encoder_params(rest: dict, stacked, n_layers: int) -> dict:
+    """Inverse of :func:`split_encoder_params` (for checkpoint interop)."""
+    params = dict(rest)
+    for i in range(n_layers):
+        params[f"encoder_layer_{i}"] = jax.tree.map(lambda x: x[i], stacked)
+    return params
+
+
+def _stage_fn(stacked_local, h_micro, key, *, cfg: GrooveTransformerConfig,
+              n_stages: int, deterministic: bool):
+    """SPMD body over the "pipe" axis (runs under shard_map).
+
+    stacked_local: (L/S, ...) this stage's layer params
+    h_micro: (M, mb, T, d) embedded microbatch stream (every stage sees it;
+        only stage 0 reads from it)
+    returns: (M+S-1, mb, T, d) — this stage's outputs per step; stage S-1's
+        rows [S-1, S-1+M) are the pipeline's final activations.
+    """
+    S, M = n_stages, h_micro.shape[0]
+    stage = jax.lax.axis_index("pipe")
+    layers_per_stage = jax.tree.leaves(stacked_local)[0].shape[0]
+    layer = EncoderLayer(cfg.d_model, cfg.n_heads, cfg.dim_feedforward,
+                         cfg.dropout, fast_dropout=cfg.fast_dropout)
+    perm = [(i, (i + 1) % S) for i in range(S)]
+
+    def apply_local(x, step):
+        def body(h, scanned):
+            p, li = scanned
+            rngs = None
+            if not deterministic:
+                # distinct stream per (global layer, schedule step); schedule
+                # step pins the microbatch, so masks are per-(layer, microbatch)
+                k = jax.random.fold_in(
+                    jax.random.fold_in(key, stage * layers_per_stage + li), step)
+                rngs = {"dropout": k}
+            return layer.apply({"params": p}, h, deterministic, rngs=rngs), None
+
+        h, _ = jax.lax.scan(
+            body, x, (stacked_local, jnp.arange(layers_per_stage)))
+        return h
+
+    def step(buf, t):
+        # stage 0 consumes microbatch t (clamped: steps past M produce dead
+        # values that fall outside every stage's valid window)
+        inp = jnp.where(stage == 0, h_micro[jnp.minimum(t, M - 1)], buf)
+        out = apply_local(inp, t)
+        nxt = jax.lax.ppermute(out, "pipe", perm)
+        return nxt, out
+
+    # initial carry must carry the same varying-axes type as the ppermute
+    # output (device-varying over "pipe"), hence the explicit pvary
+    buf0 = jax.lax.pcast(jnp.zeros_like(h_micro[0]), "pipe", to="varying")
+    _, outs = jax.lax.scan(step, buf0, jnp.arange(M + S - 1))
+    return outs
+
+
+def pipeline_forward(params: dict, x: jax.Array, plan: PipelinePlan,
+                     cfg: GrooveTransformerConfig, *,
+                     deterministic: bool = True, key=None):
+    """Encoder-only forward with the encoder stack pipelined over "pipe".
+
+    ``params`` is the standard (unsplit) model tree; ``x`` is the global
+    (B, T, E_src) batch with ``B`` divisible by ``n_micro * n_data``. Returns
+    the usual (h_logits, v, o) heads. Numerically identical to the plain model
+    in deterministic mode (tests/test_pipeline.py).
+    """
+    S, M = plan.n_stages, plan.n_micro
+    L = cfg.num_encoder_layers
+    assert L % S == 0, f"{L} layers not divisible by {S} stages"
+    B, T = x.shape[0], x.shape[1]
+    assert B % M == 0, f"batch {B} not divisible by {M} microbatches"
+    mb = B // M
+    assert mb % plan.n_data == 0, f"microbatch {mb} not divisible by data axis"
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    key_in, key = jax.random.split(key)
+    rest, stacked = split_encoder_params(params, L)
+
+    h = x.astype(cfg.compute_dtype)
+    rngs = None if deterministic else {"dropout": key_in}
+    h = InputLayer(cfg.d_model, cfg.dropout, cfg.max_len,
+                   fast_dropout=cfg.fast_dropout).apply(
+        {"params": rest["input"]}, h, deterministic=deterministic, rngs=rngs)
+
+    h_micro = h.reshape(M, mb, T, cfg.d_model)
+    stacked_sharded = jax.lax.with_sharding_constraint(
+        stacked, NamedSharding(plan.mesh, P("pipe")))
+    outs = jax.shard_map(
+        functools.partial(_stage_fn, cfg=cfg, n_stages=S,
+                          deterministic=deterministic),
+        mesh=plan.mesh,
+        in_specs=(P("pipe"), P(None, "data"), P()),
+        out_specs=P("pipe", "data"),
+    )(stacked_sharded, h_micro, key)
+    # outs: (S*(M+S-1), mb, T, d); stage S-1's valid rows are the final
+    # activations of microbatches 0..M-1 at steps S-1..S-1+M
+    base = (S - 1) * (M + S - 1) + (S - 1)
+    h = jax.lax.dynamic_slice_in_dim(outs, base, M, axis=0)
+    h = h.reshape(B, T, cfg.d_model)
+
+    h = nn.LayerNorm().apply({"params": rest["encoder_norm"]}, h)
+    h = h.astype(jnp.float32)
+    return OutputLayer(cfg.embedding_size_tgt).apply(
+        {"params": rest["output"]}, h)
+
+
+def make_pipeline_train_step(cfg: GrooveTransformerConfig, plan: PipelinePlan,
+                             tx, hit_loss_penalty: float = 1.0):
+    """One jitted SGD/Adam step with the encoder stack pipelined.
+
+    Returns ``step(params, opt_state, x, y, key) -> (params, opt_state,
+    metrics)`` operating on the standard (unsplit) parameter tree, so
+    checkpoints round-trip unchanged.
+    """
+    from ..models.losses import calculate_loss
+
+    import optax
+
+    def loss_fn(params, x, y, key):
+        preds = pipeline_forward(params, x, plan, cfg, deterministic=False,
+                                 key=key)
+        out = calculate_loss(preds, y, hit_loss_penalty)
+        return out.total_loss, out
+
+    @jax.jit
+    def step(params, opt_state, x, y, key):
+        (_, out), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, x, y, key)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics = {"loss": out.total_loss, "hit_accuracy": out.hit_accuracy}
+        return params, opt_state, metrics
+
+    return step
