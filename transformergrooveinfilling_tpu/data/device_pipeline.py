@@ -20,22 +20,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..hvo import N_VOICES
+from ..hvo.ops import remove_random_events_batch
 
 
-def random_mask_on_device(key, base, thres_range=(0.4, 0.6),
-                          n_voices: int = N_VOICES):
-    """``(M, T, 3V)`` clean grids → (kept, removed), fresh per call."""
-    k_thres, k_mask = jax.random.split(key)
-    m = base.shape[0]
-    thres = jax.random.uniform(k_thres, (m, 1, 1), minval=thres_range[0],
-                               maxval=thres_range[1])
-    h = base[:, :, :n_voices]
-    remove = (jax.random.uniform(k_mask, h.shape) < thres) & (h > 0)
-    remove3 = jnp.concatenate([remove] * 3, axis=2)
-    kept = jnp.where(remove3, 0.0, base)
-    removed = jnp.where(remove3, base, 0.0)
-    return kept, removed
+def random_mask_on_device(key, base, thres_range=(0.4, 0.6)):
+    """``(M, T, 3V)`` clean grids → (kept, removed), fresh per call.
+
+    Thin batched wrapper over the single reference-parity implementation
+    (hvo/ops.py::remove_random_events: per-item threshold from
+    ``thres_range``, active hits removed i.i.d. below it)."""
+    keys = jax.random.split(key, base.shape[0])
+    return remove_random_events_batch(base, keys, thres_range)
 
 
 def make_on_device_augment(qpms=None, mode: str = "symbolic",
@@ -54,6 +49,9 @@ def make_on_device_augment(qpms=None, mode: str = "symbolic",
     outputs.
     """
     assert mode in ("symbolic", "audio")
+    # the Pallas synth kernel's SMEM scalar-prefetch budget caps one call at
+    # 64 items (ops/device_synth.py enforces the same bound on its own path)
+    chunk = min(chunk, 64)
     if mode == "symbolic":
         def augment(key, base_in, base_out):
             del base_out  # both args are the same clean grids

@@ -61,6 +61,9 @@ def make_pipeline_mesh(n_stages: int, n_data: int | None = None,
     devices = devices if devices is not None else jax.devices()
     if n_data is None:
         n_data = len(devices) // n_stages
+    assert n_data >= 1, (
+        f"need at least {n_stages} devices for {n_stages} stages, "
+        f"have {len(devices)}")
     n = n_data * n_stages
     assert n <= len(devices), f"need {n} devices, have {len(devices)}"
     dev_array = np.asarray(devices[:n]).reshape(n_data, n_stages)
@@ -101,9 +104,14 @@ def _stage_fn(stacked_local, h_micro, key, *, cfg: GrooveTransformerConfig,
     """
     S, M = n_stages, h_micro.shape[0]
     stage = jax.lax.axis_index("pipe")
+    data_idx = jax.lax.axis_index("data")
     layers_per_stage = jax.tree.leaves(stacked_local)[0].shape[0]
-    layer = EncoderLayer(cfg.d_model, cfg.n_heads, cfg.dim_feedforward,
-                         cfg.dropout, fast_dropout=cfg.fast_dropout)
+    layer_cls = (nn.remat(EncoderLayer, static_argnums=(2,)) if cfg.remat
+                 else EncoderLayer)
+    layer = layer_cls(cfg.d_model, cfg.n_heads, cfg.dim_feedforward,
+                      cfg.dropout, use_pallas=cfg.use_pallas_attention,
+                      fused_dropout_ln=cfg.fused_dropout_ln,
+                      fast_dropout=cfg.fast_dropout)
     perm = [(i, (i + 1) % S) for i in range(S)]
 
     def apply_local(x, step):
@@ -111,10 +119,13 @@ def _stage_fn(stacked_local, h_micro, key, *, cfg: GrooveTransformerConfig,
             p, li = scanned
             rngs = None
             if not deterministic:
-                # distinct stream per (global layer, schedule step); schedule
-                # step pins the microbatch, so masks are per-(layer, microbatch)
+                # distinct stream per (data shard, global layer, schedule
+                # step); step pins the microbatch, so masks are i.i.d. over
+                # (sample, layer) exactly like the single-device model
                 k = jax.random.fold_in(
-                    jax.random.fold_in(key, stage * layers_per_stage + li), step)
+                    jax.random.fold_in(
+                        jax.random.fold_in(key, data_idx),
+                        stage * layers_per_stage + li), step)
                 rngs = {"dropout": k}
             return layer.apply({"params": p}, h, deterministic, rngs=rngs), None
 

@@ -109,9 +109,13 @@ class _Coalescer:
                     holder["out"] = out[i : i + x.shape[0]]
                     i += x.shape[0]
                     done.set()
-            except Exception as e:  # propagate to every waiter
+            except Exception as e:  # propagate to every still-waiting caller
                 for _x, done, holder in batch:
-                    holder["err"] = e
+                    # never clobber a result already handed out: a failure
+                    # partway through distribution must not turn an already-
+                    # released success into a spurious error
+                    if "out" not in holder:
+                        holder["err"] = e
                     done.set()
 
 
@@ -122,7 +126,9 @@ class InfillServer:
                  use_pallas: bool | None = None,
                  coalesce: bool = False, coalesce_wait_ms: float = 2.0):
         if use_pallas is None:
-            use_pallas = jax.default_backend() not in ("cpu",)
+            # the fused kernel is TPU Pallas (pltpu VMEM); anything else
+            # (cpu, gpu) takes the XLA einsum path
+            use_pallas = jax.default_backend() == "tpu"
         self.config = dataclasses.replace(config, use_pallas_attention=use_pallas)
         self.model = build_model(self.config)
         self.params = jax.device_put(params)
@@ -162,17 +168,19 @@ class InfillServer:
         """Validated ``(N, T, E)`` → ``(N, T, 27)`` through the compiled
         per-bucket programs (pad to bucket, chunk if over the largest)."""
         n = x.shape[0]
-        out_parts = []
+        pending = []  # dispatch every chunk first; materialize after
         i = 0
         while i < n:
             b = self._bucket(n - i)
             chunk = x[i : i + b]
             if chunk.shape[0] < b:
                 chunk = np.pad(chunk, ((0, b - chunk.shape[0]), (0, 0), (0, 0)))
-            y = np.asarray(self._compiled[b](self.params, jnp.asarray(chunk)))
-            out_parts.append(y[: min(b, n - i)])
+            pending.append(
+                (self._compiled[b](self.params, jnp.asarray(chunk)),
+                 min(b, n - i)))
             i += b
-        return np.concatenate(out_parts, axis=0)
+        return np.concatenate(
+            [np.asarray(y)[:keep] for y, keep in pending], axis=0)
 
     def infill(self, inputs: np.ndarray) -> np.ndarray:
         """``(N, T, E_src)`` (or a single ``(T, E_src)``) → ``(N, T, 27)``."""

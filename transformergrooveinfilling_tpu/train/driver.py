@@ -204,6 +204,10 @@ def run_training(
             data_sharding(plan, inputs_np.ndim), inputs_np[sl])
         outputs = jax.make_array_from_process_local_data(
             data_sharding(plan, outputs_np.ndim), outputs_np[sl])
+    elif streamer is not None:
+        # the first generation replaces these before any use — skip the
+        # full-corpus host→device transfer (and its transient double alloc)
+        inputs = outputs = None
     else:
         inputs = jnp.asarray(inputs_np)
         outputs = jnp.asarray(outputs_np)
@@ -357,13 +361,15 @@ def train_loop(dataloader=None, groove_transformer: ModelBundle | None = None,
     inputs = jnp.asarray(np.asarray(data.processed_inputs, np.float32))
     outputs = jnp.asarray(np.asarray(data.processed_outputs, np.float32))
     epoch_fn = make_epoch_fn(bundle.model, bundle.tx, hit_loss_penalty,
-                             batch_size, inputs.shape[0], donate=False)
+                             batch_size, inputs.shape[0], donate=False,
+                             encoder_only=bool(encoder_only))
     key = jax.random.PRNGKey(epoch if seed is None else seed)
     state, metrics = epoch_fn(bundle.state, inputs, outputs, key)
     bundle.state = state
     metrics = {k: float(v) for k, v in metrics.items()}
 
-    eval_loss_fn = make_eval_loss_fn(bundle.model, hit_loss_penalty)
+    eval_loss_fn = make_eval_loss_fn(bundle.model, hit_loss_penalty,
+                                     encoder_only=bool(encoder_only))
     for name, (hx, hy) in (("test", (test_inputs, test_gt)),
                            ("validation", (validation_inputs, validation_gt))):
         if hx is not None and hy is not None:
