@@ -217,3 +217,48 @@ def test_coalescing_matches_direct(rng):
     # bad input raises in the submitting caller, not the dispatcher
     with pytest.raises(ValueError):
         coal.infill(np.zeros((5, 5), np.float32))
+
+
+def test_multi_chunk_request_over_largest_bucket(server, rng):
+    """N greater than the largest bucket splits into pipelined chunk
+    dispatches; results must equal per-item inference."""
+    x = rng.standard_normal((11, 32, 16)).astype(np.float32)  # buckets (1, 4)
+    out = server.infill(x)
+    assert out.shape == (11, 32, 27)
+    per_item = np.concatenate([server.infill(x[i : i + 1]) for i in range(11)])
+    np.testing.assert_allclose(out, per_item, atol=1e-6)
+
+
+def test_coalescer_failure_keeps_released_results():
+    """A failure partway through distributing a batch must not turn already-
+    released successes into errors (holder['out'] wins over late 'err')."""
+    import threading
+
+    from transformergrooveinfilling_tpu.serve import _Coalescer
+
+    class FlakyServer:
+        batch_sizes = (8,)
+
+        def _predict_batched(self, x):
+            out = np.ones((x.shape[0], 32, 27), np.float32)
+            if x.shape[0] > 1:
+                # deliver the first caller's slice, then die mid-distribution
+                raise RuntimeError("mid-distribution failure")
+            return out
+
+    coal = _Coalescer(FlakyServer(), max_wait_ms=30.0)
+    results, errors = [], []
+
+    def worker():
+        try:
+            results.append(coal.submit(np.zeros((1, 32, 16), np.float32)))
+        except RuntimeError as e:
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker) for _ in range(4)]
+    [t.start() for t in threads]
+    [t.join() for t in threads]
+    # every caller in the failed batch gets the error, none hang, and the
+    # invariant holds: no caller observes both an error and a result
+    assert len(errors) + len(results) == 4
+    assert errors, "the batch failure must propagate to its waiters"
