@@ -13,8 +13,12 @@ TPU notes:
   shape is static and XLA tiles the matmuls straight onto the MXU.
 - attention is a single fused einsum chain at T=32 — no KV blocking needed; XLA
   fuses softmax+scale into the surrounding matmuls.
-- an optional ``compute_dtype=bfloat16`` casts activations for MXU throughput
-  while keeping parameters and the loss in float32.
+- an optional ``compute_dtype=bfloat16`` runs every matmul as a true
+  bf16×bf16 MXU op (flax ``Dense(dtype=...)`` casts params+activations at the
+  op; storage, the output head, and the loss stay float32). Passing only
+  bf16 *activations* is not enough — jnp promotion against f32 params would
+  silently turn every dot back into f32 (measured: 15 % whole-step cost at
+  the flagship config, docs/PERF.md).
 - tensor-parallel layouts (packed-QKV / FFN dims over the "model" mesh axis)
   come from the parameter partition rules in :mod:`..parallel.mesh`; batch
   sharding constraints live in the training loop.
@@ -115,6 +119,8 @@ class SelfAttention(nn.Module):
     dropout: float
     use_pallas: bool = False
     fast_dropout: bool = False
+    # matmul compute dtype (params stay f32): None = jnp promotion (f32)
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool, kv: Optional[jax.Array] = None):
@@ -124,12 +130,12 @@ class SelfAttention(nn.Module):
         source = x if kv is None else kv
 
         if kv is None:
-            qkv = nn.Dense(3 * d, name="qkv")(x)
+            qkv = nn.Dense(3 * d, dtype=self.dtype, name="qkv")(x)
             q, k, v = jnp.split(qkv, 3, axis=-1)
         else:
             # cross-attention: separate projections, packed kv
-            q = nn.Dense(d, name="q")(x)
-            k_v = nn.Dense(2 * d, name="kv")(source)
+            q = nn.Dense(d, dtype=self.dtype, name="q")(x)
+            k_v = nn.Dense(2 * d, dtype=self.dtype, name="kv")(source)
             k, v = jnp.split(k_v, 2, axis=-1)
 
         def heads(t):
@@ -152,7 +158,7 @@ class SelfAttention(nn.Module):
                 w, deterministic=deterministic)
             out = jnp.einsum("...hqk,...khd->...qhd", w, v)
         out = out.reshape(out.shape[:-2] + (d,))
-        return nn.Dense(d, name="out")(out)
+        return nn.Dense(d, dtype=self.dtype, name="out")(out)
 
 
 class DropAddLayerNorm(nn.Module):
@@ -203,22 +209,25 @@ class EncoderLayer(nn.Module):
     use_pallas: bool = False
     fused_dropout_ln: bool = False
     fast_dropout: bool = False
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         sa = SelfAttention(self.d_model, self.n_heads, self.dropout,
                            use_pallas=self.use_pallas,
-                           fast_dropout=self.fast_dropout, name="self_attn")(
+                           fast_dropout=self.fast_dropout, dtype=self.dtype,
+                           name="self_attn")(
             x, deterministic=deterministic
         )
         x = DropAddLayerNorm(self.dropout, self.fused_dropout_ln,
                              self.fast_dropout,
                              name="norm1")(x, sa, deterministic)
-        ff = nn.Dense(self.dim_feedforward, name="linear1")(x)
+        ff = nn.Dense(self.dim_feedforward, dtype=self.dtype,
+                      name="linear1")(x)
         ff = Dropout(self.dropout, self.fast_dropout)(
             jax.nn.relu(ff), deterministic=deterministic
         )
-        ff = nn.Dense(self.d_model, name="linear2")(ff)
+        ff = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(ff)
         x = DropAddLayerNorm(self.dropout, self.fused_dropout_ln,
                              self.fast_dropout,
                              name="norm2")(x, ff, deterministic)
@@ -238,30 +247,34 @@ class DecoderLayer(nn.Module):
     dim_feedforward: int
     dropout: float
     fast_dropout: bool = False
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, memory, *, deterministic: bool):
         drop = lambda: Dropout(self.dropout, self.fast_dropout)  # noqa: E731
         sa = SelfAttention(self.d_model, self.n_heads, self.dropout,
-                           fast_dropout=self.fast_dropout, name="self_attn")(
+                           fast_dropout=self.fast_dropout, dtype=self.dtype,
+                           name="self_attn")(
             x, deterministic=deterministic
         )
         x = nn.LayerNorm(name="norm1")(
             x + drop()(sa, deterministic=deterministic)
-        )
+        ).astype(x.dtype)
         ca = SelfAttention(
             self.d_model, self.n_heads, self.dropout,
-            fast_dropout=self.fast_dropout, name="cross_attn"
+            fast_dropout=self.fast_dropout, dtype=self.dtype,
+            name="cross_attn"
         )(x, kv=memory, deterministic=deterministic)
         x = nn.LayerNorm(name="norm2")(
             x + drop()(ca, deterministic=deterministic)
-        )
-        ff = nn.Dense(self.dim_feedforward, name="linear1")(x)
+        ).astype(x.dtype)
+        ff = nn.Dense(self.dim_feedforward, dtype=self.dtype,
+                      name="linear1")(x)
         ff = drop()(jax.nn.relu(ff), deterministic=deterministic)
-        ff = nn.Dense(self.d_model, name="linear2")(ff)
+        ff = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(ff)
         x = nn.LayerNorm(name="norm3")(
             x + drop()(ff, deterministic=deterministic)
-        )
+        ).astype(x.dtype)
         return x
 
 
@@ -274,10 +287,11 @@ class InputLayer(nn.Module):
     dropout: float
     max_len: int
     fast_dropout: bool = False
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool):
-        x = nn.Dense(self.d_model, name="embed")(x)
+        x = nn.Dense(self.d_model, dtype=self.dtype, name="embed")(x)
         x = jax.nn.relu(x)
         pe = sinusoidal_positional_encoding(self.max_len, self.d_model)
         x = x + pe[:, : x.shape[-2], :].astype(x.dtype)
@@ -314,7 +328,8 @@ class GrooveTransformerEncoder(nn.Module):
         cfg = self.config
         x = src.astype(cfg.compute_dtype)
         x = InputLayer(cfg.d_model, cfg.dropout, cfg.max_len,
-                       fast_dropout=cfg.fast_dropout, name="input")(
+                       fast_dropout=cfg.fast_dropout, dtype=cfg.compute_dtype,
+                       name="input")(
             x, deterministic=deterministic
         )
         # remat: recompute each layer's activations in the backward pass
@@ -330,6 +345,7 @@ class GrooveTransformerEncoder(nn.Module):
                 use_pallas=cfg.use_pallas_attention,
                 fused_dropout_ln=cfg.fused_dropout_ln,
                 fast_dropout=cfg.fast_dropout,
+                dtype=cfg.compute_dtype,
                 name=f"encoder_layer_{i}",
             )(x, deterministic)
         x = nn.LayerNorm(name="encoder_norm")(x)
@@ -348,7 +364,8 @@ class GrooveTransformer(nn.Module):
         cfg = self.config
         x = src.astype(cfg.compute_dtype)
         x = InputLayer(cfg.d_model, cfg.dropout, cfg.max_len,
-                       fast_dropout=cfg.fast_dropout, name="input")(
+                       fast_dropout=cfg.fast_dropout, dtype=cfg.compute_dtype,
+                       name="input")(
             x, deterministic=deterministic
         )
         for i in range(cfg.num_encoder_layers):
@@ -358,9 +375,10 @@ class GrooveTransformer(nn.Module):
                 cfg.dim_feedforward,
                 cfg.dropout,
                 fast_dropout=cfg.fast_dropout,
+                dtype=cfg.compute_dtype,
                 name=f"encoder_layer_{i}",
             )(x, deterministic=deterministic)
-        memory = nn.LayerNorm(name="encoder_norm")(x)
+        memory = nn.LayerNorm(name="encoder_norm")(x).astype(x.dtype)
 
         if tgt is None:
             tgt = jnp.zeros(src.shape[:-1] + (cfg.embedding_size_tgt,), src.dtype)
@@ -369,7 +387,8 @@ class GrooveTransformer(nn.Module):
             [jnp.zeros_like(tgt[..., :1, :]), tgt[..., :-1, :]], axis=-2
         ).astype(cfg.compute_dtype)
         y = InputLayer(cfg.d_model, cfg.dropout, cfg.max_len,
-                       fast_dropout=cfg.fast_dropout, name="input_tgt")(
+                       fast_dropout=cfg.fast_dropout, dtype=cfg.compute_dtype,
+                       name="input_tgt")(
             tgt_in, deterministic=deterministic
         )
         for i in range(cfg.num_decoder_layers):
@@ -379,6 +398,7 @@ class GrooveTransformer(nn.Module):
                 cfg.dim_feedforward,
                 cfg.dropout,
                 fast_dropout=cfg.fast_dropout,
+                dtype=cfg.compute_dtype,
                 name=f"decoder_layer_{i}",
             )(y, memory, deterministic=deterministic)
         y = nn.LayerNorm(name="decoder_norm")(y)

@@ -111,7 +111,7 @@ def _stage_fn(stacked_local, h_micro, key, *, cfg: GrooveTransformerConfig,
     layer = layer_cls(cfg.d_model, cfg.n_heads, cfg.dim_feedforward,
                       cfg.dropout, use_pallas=cfg.use_pallas_attention,
                       fused_dropout_ln=cfg.fused_dropout_ln,
-                      fast_dropout=cfg.fast_dropout)
+                      fast_dropout=cfg.fast_dropout, dtype=cfg.compute_dtype)
     perm = [(i, (i + 1) % S) for i in range(S)]
 
     def apply_local(x, step):
@@ -173,7 +173,8 @@ def pipeline_forward(params: dict, x: jax.Array, plan: PipelinePlan,
     h = x.astype(cfg.compute_dtype)
     rngs = None if deterministic else {"dropout": key_in}
     h = InputLayer(cfg.d_model, cfg.dropout, cfg.max_len,
-                   fast_dropout=cfg.fast_dropout).apply(
+                   fast_dropout=cfg.fast_dropout,
+                   dtype=cfg.compute_dtype).apply(
         {"params": rest["input"]}, h, deterministic=deterministic, rngs=rngs)
 
     h_micro = h.reshape(M, mb, T, cfg.d_model)
