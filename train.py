@@ -41,6 +41,9 @@ def parse_args(argv=None):
     parser.add_argument("--ckpt_dir", default="checkpoints")
     parser.add_argument("--epoch_block", type=int, default=1,
                         help="epochs fused per device dispatch (scan-of-epochs)")
+    parser.add_argument("--bf16", type=int, default=None,
+                        help="matmul compute dtype: 1=bfloat16, 0=float32, "
+                        "unset=auto (bf16 on TPU; docs/PERF.md)")
     parser.add_argument("--fast_prng", type=int, default=1,
                         help="use the rbg PRNG for dropout masks (~2x step "
                              "time on TPU at this model size)")
@@ -156,6 +159,9 @@ def _run(args, hp_dict, paths):
             "max_len": 32,
             "embedding_size_src": embedding_size_src_for(cfg.experiment),
             "embedding_size_tgt": 27,
+            # TPU extra: None = auto (bf16 matmuls on TPU); CLI overrides YAML
+            "bf16": (bool(args.bf16) if args.bf16 is not None
+                     else cfg.get("bf16")),
         },
         "training": {
             "learning_rate": cfg.learning_rate,

@@ -43,6 +43,10 @@ class HyperParams:
     epochs: int = 100
     load_model: Optional[Any] = None
     notes: Optional[str] = None
+    # TPU extra (not in the reference schema): matmul compute dtype.
+    # None = auto (bfloat16 on TPU backends, float32 elsewhere);
+    # True/False force it. docs/PERF.md "promotion trap".
+    bf16: Optional[bool] = None
 
     @classmethod
     def from_dict(cls, d: dict) -> "HyperParams":
@@ -77,9 +81,25 @@ def embedding_size_src_for(experiment: str) -> int:
     return HVO_WIDTH if "Symbolic" in experiment else MSO_BANDS
 
 
+def resolve_compute_dtype(bf16: Optional[bool]):
+    """bf16 hyperparameter → matmul dtype. ``None`` = auto: bfloat16 on TPU
+    backends (where it is a pure throughput win, docs/PERF.md), float32
+    elsewhere (CPU test parity, golden torch comparisons)."""
+    if bf16 is None:
+        import jax
+
+        try:
+            bf16 = jax.default_backend() == "tpu"
+        except Exception:  # backend init failure → conservative default
+            bf16 = False
+    return jnp.bfloat16 if bf16 else jnp.float32
+
+
 def derive_model_config(
-    hp: HyperParams, compute_dtype=jnp.float32
+    hp: HyperParams, compute_dtype=None
 ) -> GrooveTransformerConfig:
+    if compute_dtype is None:
+        compute_dtype = resolve_compute_dtype(getattr(hp, "bf16", None))
     return GrooveTransformerConfig(
         d_model=hp.d_model,
         n_heads=hp.n_heads,

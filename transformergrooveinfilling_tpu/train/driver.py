@@ -64,6 +64,8 @@ def initialize_model(params: dict) -> tuple[ModelBundle, Any, int]:
     ``params = {"model": {...}, "training": {...}, "load_model": None | {...}}``
     → (bundle, optimizer, initial_epoch). The optimizer slot returns the optax
     transformation (it lives inside the bundle too)."""
+    from .config import resolve_compute_dtype
+
     m = params["model"]
     t = params.get("training", {})
     config = GrooveTransformerConfig(
@@ -76,6 +78,7 @@ def initialize_model(params: dict) -> tuple[ModelBundle, Any, int]:
         max_len=m.get("max_len", 32),
         embedding_size_src=m.get("embedding_size_src", 16),
         embedding_size_tgt=m.get("embedding_size_tgt", 27),
+        compute_dtype=resolve_compute_dtype(m.get("bf16")),
     )
     model = build_model(config)
     tx = make_optimizer(m.get("optimizer", "sgd"), t.get("learning_rate", 0.05))
