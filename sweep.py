@@ -118,7 +118,11 @@ def main(argv=None):
     return 1
 
 
-_PER_TRIAL_KEYS = ("learning_rate", "hit_loss_penalty")
+# parameters that ride the batched vmap as per-trial data rather than
+# forcing separate compiled programs (dropout enters as the 8-bit mask
+# threshold, ops/dropout.py — the reference sweep YAMLs sample it
+# continuously, which would otherwise make every trial a singleton group)
+_PER_TRIAL_KEYS = ("learning_rate", "hit_loss_penalty", "dropout")
 
 
 def run_batched(sweep: dict, metric: str, goal: str, rng: random.Random,
@@ -128,7 +132,8 @@ def run_batched(sweep: dict, metric: str, goal: str, rng: random.Random,
     The reference sweep YAMLs sample d_model/dim_feedforward/n_heads/layers
     per trial (configs/*_sweep.yaml) — those can't share one compiled
     program. Trials are therefore grouped by their full sampled config minus
-    the per-trial scalars (learning_rate, hit_loss_penalty); each group runs
+    the per-trial scalars (learning_rate, hit_loss_penalty, dropout — the
+    continuous parameters, which ride the vmap as data); each group runs
     as one vmap program (train/vmap_sweep.py), singleton groups included, so
     the sampled search space is exactly the sequential mode's.
     """
@@ -174,6 +179,7 @@ def run_batched(sweep: dict, metric: str, goal: str, rng: random.Random,
         model = build_model(config)
         lrs = [float(trials[i].get("learning_rate", 0.05)) for i in idxs]
         pens = [float(trials[i].get("hit_loss_penalty", 1.0)) for i in idxs]
+        rates = [float(trials[i].get("dropout", hp.dropout)) for i in idxs]
         if hp.experiment not in ds_cache:
             ds_cache[hp.experiment] = load_processed_dataset(
                 paths[hp.experiment]["datasets"]["train"], exp=hp.experiment)
@@ -185,7 +191,7 @@ def run_batched(sweep: dict, metric: str, goal: str, rng: random.Random,
         x = np.asarray(ds.processed_inputs, np.float32)
         y = np.asarray(ds.processed_outputs, np.float32)
         params, _last_batch_losses = batched_sweep(
-            model, config, x, y, lrs, pens,
+            model, config, x, y, lrs, pens, rates=rates,
             epochs=hp.epochs, batch_size=hp.batch_size,
             seed=args.seed + gi)
         # rank on the deterministic full-dataset loss, not the last training
@@ -197,8 +203,13 @@ def run_batched(sweep: dict, metric: str, goal: str, rng: random.Random,
         for i, loss in zip(idxs, np.asarray(losses)):
             losses_by_trial[i] = float(loss)
 
-    order = np.argsort([v if goal == "minimize" else -v
-                        for v in losses_by_trial])
+    # batched mode measures eval *loss* regardless of the YAML's metric —
+    # always rank ascending. Applying a "maximize" goal to a loss would
+    # present the worst trials as best.
+    if metric not in ("loss", "validation_loss") or goal != "minimize":
+        print(f"note: --batched ranks on eval loss (ascending); the sweep's "
+              f"metric {metric!r} (goal {goal}) is not computed in this mode")
+    order = np.argsort(losses_by_trial)
     for i in order[:5]:
         cfg = trials[i]
         print(f"  loss {losses_by_trial[i]:.4f}  "

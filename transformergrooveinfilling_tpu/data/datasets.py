@@ -196,9 +196,18 @@ class GrooveMidiDatasetInfilling:
         return (sequences, seq_inputs, kept_arr, removed_arr, hvo_index,
                 voices_reduced, soundfonts, unused, seq_outputs)
 
+    def _finalize_save_path(self):
+        """Append ``<version>/<split>`` to the save path exactly once —
+        process_dataset may run again on the same object (the evaluator
+        re-runs it on GT sequences, eval/evaluator.py), and repeated joins
+        would silently deepen the path every call."""
+        suffix = os.path.join(self.__version__, self.split)
+        if not self.save_dataset_path.endswith(suffix):
+            self.save_dataset_path = os.path.join(
+                self.save_dataset_path, suffix)
+
     def process_dataset(self, data) -> dict:
-        self.save_dataset_path = os.path.join(
-            self.save_dataset_path, self.__version__, self.split)
+        self._finalize_save_path()
         sequences, plan, unused = self._plan_items(data)
         (sequences, seq_inputs, kept_arr, removed_arr, hvo_index, voices_reduced,
          soundfonts, unused, seq_outputs) = self._materialize_voice_masking(
@@ -288,8 +297,7 @@ class GrooveMidiDatasetInfillingSymbolic(GrooveMidiDatasetInfilling):
     __version__ = "0.1.1"
 
     def process_dataset(self, data) -> dict:
-        self.save_dataset_path = os.path.join(
-            self.save_dataset_path, self.__version__, self.split)
+        self._finalize_save_path()
         # symbolic: no soundfont dimension — plan with a single None soundfont
         sfs_save, max_n_sf_save = self.sfs_list, self.max_n_sf
         self.sfs_list, self.max_n_sf = [None], None
@@ -322,8 +330,7 @@ class GrooveMidiDatasetInfillingRandom(GrooveMidiDatasetInfilling):
         super().__init__(data=data, load_dataset_path=load_dataset_path, **kwargs)
 
     def process_dataset(self, data) -> dict:
-        self.save_dataset_path = os.path.join(
-            self.save_dataset_path, self.__version__, self.split)
+        self._finalize_save_path()
 
         sequences, aug_entries, unused = [], [], []
         for hvo_idx, hvo_seq in enumerate(data):

@@ -119,7 +119,10 @@ def _tempo_meter_segments(mid: dict) -> list[tuple]:
         new_qpm, new_sig = changes[tick]
         new_qpm = qpm if new_qpm is None else new_qpm
         new_num, new_den = (num, den) if new_sig is None else new_sig
-        if (new_qpm, new_num, new_den) == (qpm, num, den) and segments:
+        if (new_qpm, new_num, new_den) == (qpm, num, den):
+            # redundant change (restates the current state) — never a split
+            # point, even before the first segment exists: a lone tempo meta
+            # at tick>0 restating the defaults must not re-origin the grid
             continue
         if segments and segments[-1][0] == tick:
             segments[-1][2:] = [new_qpm, new_num, new_den]
@@ -161,6 +164,12 @@ def midi_to_hvo_sequences(
     for start, end, qpm, num, den in segments:
         steps_per_loop = (bars_per_loop * num * (16 // den)
                           * steps_per_quarter // 4)
+        if steps_per_loop <= 0:
+            # denominator beyond the 16th-note grid (e.g. x/32): the loop
+            # grid cannot represent it — skip the segment instead of
+            # dividing by zero downstream
+            seg_id += 1
+            continue
         events = []
         max_step = 0
         for tick, _channel, note, vel in mid["notes"]:
@@ -297,7 +306,9 @@ def gmd_to_processed_tree(gmd_root: str, out_root: str,
         try:
             seqs = midi_to_hvo_sequences(
                 midi_path, bars_per_loop=bars_per_loop, metadata=meta)
-        except (ValueError, struct.error):
+        except (ValueError, struct.error, IndexError):
+            # IndexError: truncated file (varint/chunk read past the end) —
+            # one corrupt .mid must not abort the whole archive conversion
             continue
         per_split.setdefault(split, []).extend(seqs)
 

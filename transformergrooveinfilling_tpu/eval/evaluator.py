@@ -118,12 +118,21 @@ class HVOSeqSubsetInfillingEvaluator:
 
     def add_removed_part_to_hvo(self, sample_hvo, key, idx):
         """Merge a prediction with its kept-voices input context; input hits win
-        (reference evaluator.py:364-372)."""
+        (reference evaluator.py:364-372).
+
+        Deviation (documented in PARITY.md): the reference zeroes only the
+        prediction's *hit* columns before adding, so the prediction's dense
+        velocity/offset heads (sigmoid/tanh output at every cell) sum with the
+        context's at every context-hit cell — velocities up to ~2.0 and
+        offsets outside [-0.5, 0.5] in every "+inputs" render. Here all three
+        channel groups are cleared at context-hit cells, so the context truly
+        wins."""
         comp = self.hvo_comp_dict[key][idx]
         merged = sample_hvo.copy()
         n = len(comp.drum_mapping)
-        nz = np.nonzero(comp.hvo[:, :n])
-        merged.hvo[nz] = 0
+        rows, cols = np.nonzero(comp.hvo[:, :n])
+        for off in (0, n, 2 * n):
+            merged.hvo[rows, cols + off] = 0
         merged.hvo = merged.hvo + comp.hvo
         return merged
 

@@ -101,9 +101,12 @@ class Dropout(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool):
-        if deterministic or self.rate == 0.0:
+        rate_static = isinstance(self.rate, (int, float))
+        if deterministic or (rate_static and self.rate == 0.0):
             return x
-        if self.fast:
+        if self.fast or not rate_static:
+            # a traced rate (per-trial dropout in vmapped sweeps) only works
+            # on the fast path — nn.Dropout needs a static probability
             from ..ops.dropout import fast_dropout
 
             return fast_dropout(x, self.make_rng("dropout"), self.rate)
@@ -180,7 +183,8 @@ class DropAddLayerNorm(nn.Module):
         d = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (d,))
         bias = self.param("bias", nn.initializers.zeros, (d,))
-        if self.use_fused and not deterministic and self.rate > 0.0:
+        if (self.use_fused and not deterministic
+                and isinstance(self.rate, (int, float)) and self.rate > 0.0):
             from ..ops.fused_ln import dropout_add_layernorm
 
             seed = jax.random.randint(

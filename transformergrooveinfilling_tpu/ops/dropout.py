@@ -38,18 +38,29 @@ def quantized_keep_rate(rate: float) -> float:
     return round((1.0 - rate) * 256) / 256.0
 
 
-def fast_dropout(x: jax.Array, key: jax.Array, rate: float) -> jax.Array:
+def fast_dropout(x: jax.Array, key: jax.Array, rate) -> jax.Array:
     """Dropout with an 8-bit mask (one random byte per element).
 
-    ``rate`` must be a static python float in [0, 1). Identity when the
-    quantized keep rate is 1. Unbiased: E[out] == x for every ``rate``.
+    ``rate`` is a python float in [0, 1) — or a traced scalar, in which case
+    the integer threshold rides the computation as data (what lets
+    train/vmap_sweep.py batch trials with *different* dropout rates into one
+    vmapped program). Identity when the quantized keep rate is 1. Unbiased:
+    E[out] == x for every ``rate``.
     """
-    if not 0.0 <= rate < 1.0:
-        raise ValueError(f"dropout rate must be in [0, 1), got {rate}")
-    thresh = int(round((1.0 - rate) * 256))
-    if thresh >= 256:
-        return x
-    keep_eff = thresh / 256.0
-    mask = jax.random.bits(key, x.shape, jnp.uint8) < thresh
-    return jnp.where(mask, x / jnp.asarray(keep_eff, x.dtype),
-                     jnp.zeros((), x.dtype))
+    if isinstance(rate, (int, float)):
+        if not 0.0 <= rate < 1.0:
+            raise ValueError(f"dropout rate must be in [0, 1), got {rate}")
+        thresh = int(round((1.0 - rate) * 256))
+        if thresh >= 256:
+            return x
+        keep_eff = thresh / 256.0
+        mask = jax.random.bits(key, x.shape, jnp.uint8) < thresh
+        return jnp.where(mask, x / jnp.asarray(keep_eff, x.dtype),
+                         jnp.zeros((), x.dtype))
+    # traced rate: same math with the threshold as data (int32 compare —
+    # thresh=256 at rate 0 doesn't fit uint8 and must keep everything)
+    thresh = jnp.round((1.0 - rate) * 256.0)
+    keep_eff = (thresh / 256.0).astype(x.dtype)
+    mask = (jax.random.bits(key, x.shape, jnp.uint8).astype(jnp.int32)
+            < thresh.astype(jnp.int32))
+    return jnp.where(mask, x / keep_eff, jnp.zeros((), x.dtype))

@@ -30,18 +30,24 @@ def initialize_from_env() -> bool:
     """Initialize jax.distributed from the environment; no-op if single-process.
 
     Env contract (standard JAX names): ``JAX_COORDINATOR_ADDRESS``,
-    ``JAX_NUM_PROCESSES``, ``JAX_PROCESS_ID``. On Cloud TPU pods with no env
-    set, ``jax.distributed.initialize()`` auto-detects. Returns True when
-    distributed mode is active.
+    ``JAX_NUM_PROCESSES``, ``JAX_PROCESS_ID`` — any subset; unset values are
+    passed as ``None`` so JAX's own auto-detection fills them in (e.g. Cloud
+    TPU pod metadata). Setting ``TGI_DISTRIBUTED=1`` with *no* JAX_* vars
+    requests full pod auto-detection (``jax.distributed.initialize()`` with
+    no arguments). Returns True when distributed mode is active.
     """
     coordinator = os.environ.get("JAX_COORDINATOR_ADDRESS")
-    num_processes = int(os.environ.get("JAX_NUM_PROCESSES", "1"))
-    if coordinator is None and num_processes <= 1:
+    num_processes = os.environ.get("JAX_NUM_PROCESSES")
+    process_id = os.environ.get("JAX_PROCESS_ID")
+    if (coordinator is None and num_processes is None
+            and not os.environ.get("TGI_DISTRIBUTED")):
         return False
+    # pass only what's set: forcing defaults (num_processes=1, process_id=0)
+    # on every host would break any worker with a different rank
     jax.distributed.initialize(
         coordinator_address=coordinator,
-        num_processes=num_processes,
-        process_id=int(os.environ.get("JAX_PROCESS_ID", "0")),
+        num_processes=int(num_processes) if num_processes is not None else None,
+        process_id=int(process_id) if process_id is not None else None,
     )
     return True
 

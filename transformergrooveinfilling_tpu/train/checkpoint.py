@@ -107,10 +107,25 @@ def _config_dict(config: GrooveTransformerConfig) -> dict:
     return d
 
 
+_blob_cache: dict = {}  # (path, mtime) → parsed blob (size 1)
+
+
+def _read_blob(path: str):
+    """Parse a native checkpoint once per (path, mtime) — restore paths read
+    the config and then the state from the same file, and re-parsing the
+    whole parameter payload twice doubles restore time for large models."""
+    key = (os.path.abspath(path), os.path.getmtime(path))
+    if _blob_cache.get("key") != key:
+        with open(path, "rb") as f:
+            blob = serialization.msgpack_restore(f.read())
+        _blob_cache.clear()
+        _blob_cache.update(key=key, blob=blob)
+    return _blob_cache["blob"]
+
+
 def load_checkpoint(path: str):
     """→ (params, opt_state, epoch, loss). Arrays come back as numpy."""
-    with open(path, "rb") as f:
-        blob = serialization.msgpack_restore(f.read())
+    blob = _read_blob(path)
     meta = blob["meta"]
     return (
         blob["state"]["params"],
@@ -124,8 +139,7 @@ def load_checkpoint_config(path: str) -> GrooveTransformerConfig:
     """Recover the model config embedded in a native checkpoint's metadata."""
     import numpy as _np
 
-    with open(path, "rb") as f:
-        blob = serialization.msgpack_restore(f.read())
+    blob = _read_blob(path)
     d = json.loads(blob["meta"]["config"])
     d["compute_dtype"] = _np.dtype(d.get("compute_dtype", "float32")).type
     return GrooveTransformerConfig(**d)

@@ -4,9 +4,15 @@ The reference scales out sweeps as separate wandb agent processes (SURVEY.md
 §2.4) — one model per GPU at a time. On TPU, groove-sized models leave the chip
 mostly idle, so this module trains **K models simultaneously with one
 ``jax.vmap``** over stacked parameters: K independent (learning_rate,
-hit_loss_penalty) trials per program, sharing each batch's gather and the MXU
-(the per-trial matmuls batch into one big one). A whole random-search sweep
-becomes a single device dispatch.
+hit_loss_penalty, dropout) trials per program, sharing each batch's gather and
+the MXU (the per-trial matmuls batch into one big one). A whole random-search
+sweep becomes a single device dispatch.
+
+Per-trial dropout rates ride the vmap as data (the 8-bit mask threshold in
+ops/dropout.py is just an integer compare), so the reference sweep YAMLs'
+continuous ``dropout`` distribution no longer fragments trials into singleton
+architecture groups — only genuinely shape-changing parameters
+(d_model/ff/heads/layers/batch) force separate compilations.
 
 SGD only (the reference's default optimizer): per-trial learning rates enter
 the update as data, not as optax state.
@@ -14,6 +20,7 @@ the update as data, not as optax state.
 
 from __future__ import annotations
 
+import dataclasses
 
 import jax
 import jax.numpy as jnp
@@ -31,28 +38,39 @@ def init_stacked_params(model, config, n_trials: int, rng):
 
 
 def make_batched_sweep_fn(model, batch_size: int, n_samples: int,
-                          n_epochs: int, encoder_only: bool = True):
-    """Compile ``(stacked_params, lrs, penalties, inputs, outputs, key) ->
-    (stacked_params, final_losses)``.
+                          n_epochs: int, encoder_only: bool = True,
+                          config=None):
+    """Compile ``(stacked_params, lrs, penalties, rates, inputs, outputs,
+    key) -> (stacked_params, final_losses)``.
 
     Every trial sees the same shuffled batches; dropout streams differ per
-    trial (fold_in on the trial index).
+    trial (fold_in on the trial index), and each trial's dropout *rate*
+    enters as data: the model is rebuilt inside the vmapped step with the
+    traced rate as its dropout attribute (forced onto the fast 8-bit path,
+    whose threshold is a plain integer compare).
     """
+    from ..models import build_model
+
     n_batches = -(-n_samples // batch_size)
     padded = n_batches * batch_size
 
-    def trial_step(params, lr, penalty, x, y, w, dropout_key):
+    def trial_step(params, lr, penalty, rate, x, y, w, dropout_key):
+        model_t = model
+        if config is not None:
+            model_t = build_model(dataclasses.replace(
+                config, dropout=rate, fast_dropout=True))
+
         def loss_fn(p):
             args = (x,) if encoder_only else (x, y)
-            pred = model.apply({"params": p}, *args, deterministic=False,
-                               rngs={"dropout": dropout_key})
+            pred = model_t.apply({"params": p}, *args, deterministic=False,
+                                 rngs={"dropout": dropout_key})
             return calculate_loss(pred, y, penalty, sample_weights=w).total_loss
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
         return params, loss
 
-    def sweep(stacked_params, lrs, penalties, inputs, outputs, key):
+    def sweep(stacked_params, lrs, penalties, rates, inputs, outputs, key):
         def epoch(carry, epoch_key):
             stacked = carry
             perm_key, dropout_key = jax.random.split(epoch_key)
@@ -73,8 +91,8 @@ def make_batched_sweep_fn(model, batch_size: int, n_samples: int,
                         jax.random.fold_in(dropout_key, i), t)
                 )(jnp.arange(n_trials))
                 stacked, losses = jax.vmap(
-                    trial_step, in_axes=(0, 0, 0, None, None, None, 0)
-                )(stacked, lrs, penalties, x, y, w_b, keys)
+                    trial_step, in_axes=(0, 0, 0, 0, None, None, None, 0)
+                )(stacked, lrs, penalties, rates, x, y, w_b, keys)
                 return stacked, losses
 
             stacked, losses = jax.lax.scan(
@@ -89,16 +107,23 @@ def make_batched_sweep_fn(model, batch_size: int, n_samples: int,
 
 
 def batched_sweep(model, config, inputs, outputs, lrs, penalties,
-                  epochs: int, batch_size: int, seed: int = 0):
-    """Run K SGD trials in one program → (stacked_params, final_losses)."""
+                  epochs: int, batch_size: int, seed: int = 0, rates=None):
+    """Run K SGD trials in one program → (stacked_params, final_losses).
+
+    ``rates``: optional per-trial dropout rates (defaults to the config's
+    rate for every trial)."""
     lrs = jnp.asarray(lrs, jnp.float32)
     penalties = jnp.asarray(penalties, jnp.float32)
     assert lrs.shape == penalties.shape
+    rates = (jnp.full_like(lrs, config.dropout) if rates is None
+             else jnp.asarray(rates, jnp.float32))
+    assert rates.shape == lrs.shape
     stacked = init_stacked_params(model, config, lrs.shape[0],
                                   jax.random.PRNGKey(seed))
     fn = make_batched_sweep_fn(model, batch_size, inputs.shape[0], epochs,
-                               encoder_only=config.encoder_only)
-    return fn(stacked, lrs, penalties, jnp.asarray(inputs),
+                               encoder_only=config.encoder_only,
+                               config=config)
+    return fn(stacked, lrs, penalties, rates, jnp.asarray(inputs),
               jnp.asarray(outputs), jax.random.PRNGKey(seed + 1))
 
 

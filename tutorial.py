@@ -126,4 +126,34 @@ server = InfillServer(bundle.state.params, bundle.config, batch_sizes=(1,),
 out = server.infill(np.asarray(dataset[0][0]))
 print(f"    infill output {out.shape}; "
       f"p50 so far {server.stats.percentile(50):.2f} ms")
+
+# -- 6. scale-out -------------------------------------------------------------
+# Matmul dtype: on TPU backends the models train with true bf16 MXU matmuls
+# by default (bf16: hyperparameter / --bf16 flag; docs/PERF.md "promotion
+# trap"). This process's resolved dtype:
+from transformergrooveinfilling_tpu.train.config import resolve_compute_dtype
+
+print(f"\n[6] scale-out: matmul dtype here = "
+      f"{resolve_compute_dtype(None).__name__}")
+
+# Pipeline parallelism for deep configs: a ("data", "pipe") mesh splits the
+# encoder stack across devices (GPipe microbatch schedule, parallel/pipeline.py).
+# Runs when >= 4 devices are visible (e.g. the 8-virtual-device CPU test mesh).
+import jax
+
+if jax.device_count() >= 4:
+    from transformergrooveinfilling_tpu.parallel import (
+        make_pipeline_mesh, pipeline_forward)
+
+    plan = make_pipeline_mesh(n_stages=2, n_data=2, n_micro=2)
+    deep_cfg = bundle.config
+    if deep_cfg.num_encoder_layers % 2 == 0:
+        x0 = np.asarray(dataset[0][0], np.float32)[None].repeat(4, axis=0)
+        h_, v_, o_ = jax.jit(
+            lambda p, v: pipeline_forward(p, v, plan, deep_cfg))(
+            bundle.state.params, x0)
+        print(f"    pipelined forward over data=2 x pipe=2: {h_.shape}")
+else:
+    print("    (pipeline demo needs >= 4 devices; run under "
+          "XLA_FLAGS=--xla_force_host_platform_device_count=8)")
 print("\ntutorial complete.")
