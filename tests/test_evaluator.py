@@ -100,6 +100,16 @@ def test_add_removed_part_merging(evaluator):
     comp = evaluator.hvo_comp_dict[key][0]
     # merged contains all input-context hits
     assert ((merged.hvo[:, :N_VOICES] > 0) | ~(comp.hvo[:, :N_VOICES] > 0)).all()
+    # the context truly wins at its hit cells: velocity/offset come from the
+    # context alone, not summed with the prediction's dense v/o heads
+    # (deviation from reference evaluator.py:364-372, see PARITY.md)
+    rows, cols = np.nonzero(comp.hvo[:, :N_VOICES])
+    np.testing.assert_array_equal(merged.hvo[rows, cols + N_VOICES],
+                                  comp.hvo[rows, cols + N_VOICES])
+    np.testing.assert_array_equal(merged.hvo[rows, cols + 2 * N_VOICES],
+                                  comp.hvo[rows, cols + 2 * N_VOICES])
+    assert (merged.hvo[:, N_VOICES:2 * N_VOICES] <= 1.0 + 1e-6).all()
+    assert (np.abs(merged.hvo[:, 2 * N_VOICES:]) <= 0.5 + 1e-6).all()
 
 
 def test_evaluator_pickle_roundtrip(evaluator, tmp_path):
