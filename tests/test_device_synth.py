@@ -42,9 +42,11 @@ def test_device_synth_matches_host_mixer():
     w_dev = np.asarray(synthesize_on_device(
         jnp.asarray(hvos), jnp.full((8,), 8.0, jnp.float32), table,
         jnp.zeros(8, jnp.int32), L))
-    peak = np.max(np.abs(w_dev))
-    if peak > 1.0:  # host applies batch-peak clipping normalization
-        w_dev = w_dev / peak
+    # host applies per-item clipping normalization (one loud loop must not
+    # rescale its batchmates); mirror it here
+    peak = np.max(np.abs(w_dev), axis=-1, keepdims=True, initial=1e-9)
+    w_dev = np.divide(w_dev, peak, where=peak > 1.0,
+                      out=w_dev.astype(np.float32))
     np.testing.assert_allclose(w_host, w_dev, atol=1e-6)
 
 

@@ -105,7 +105,10 @@ def _preset_instruments(sf: dict, bank_preference=(128, 0)):
                            else len(sf["pgen"]))
                 for oper, amount in sf["pgen"][gen_start:gen_end]:
                     if oper == _GEN_INSTRUMENT:
-                        instruments.append(amount)
+                        # genAmount is a union: instrument IDs are unsigned
+                        # words, but the record parses as signed (value
+                        # generators need the sign) — reinterpret
+                        instruments.append(amount & 0xFFFF)
             if instruments:
                 return instruments
     raise SF2Error("no percussion (bank 128) or default preset found")
@@ -129,7 +132,7 @@ def _zones_for_instrument(sf: dict, inst_idx: int):
             elif oper == _GEN_OVERRIDING_ROOT_KEY:
                 root = amount
             elif oper == _GEN_SAMPLE_ID:
-                sample_id = amount
+                sample_id = amount & 0xFFFF  # unsigned word (ID, not value)
         if sample_id is not None:
             zones.append((key_lo, key_hi, root, sample_id))
     return zones

@@ -99,10 +99,11 @@ def synthesize_hvo_batch(hvos: np.ndarray, qpms, sf_paths, sr: int = 44100,
                 _mix_events_numpy(out[i], combined, voice_idx[lo:hi],
                                   onsets[lo:hi], vels[lo:hi])
 
-    # prevent clipping without changing relative dynamics
-    peak = np.max(np.abs(out), initial=1e-9)
-    if peak > 1.0:
-        out /= peak
+    # prevent clipping without changing an item's internal dynamics —
+    # per item: one loud loop must not rescale the rest of its batch
+    # (MSO is per-item scale-invariant either way, ops/mso.py:202)
+    peak = np.max(np.abs(out), axis=-1, keepdims=True, initial=1e-9)
+    np.divide(out, peak, out=out, where=peak > 1.0)
     return out
 
 

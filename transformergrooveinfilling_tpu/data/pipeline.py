@@ -90,24 +90,40 @@ class StreamingAugmenter:
                 e = min(s + slab, n)
                 inputs[s:e] = mso_batch_from_hvo(
                     kept[s:e], sfs[s:e], qpms[s:e], params=params)
-        return inputs.astype(np.float32), removed.astype(np.float32)
+        # copy=False: both arrays are already float32 — a plain astype would
+        # duplicate hundreds of MB per generation at 10k-item scale
+        return (inputs.astype(np.float32, copy=False),
+                removed.astype(np.float32, copy=False))
 
     def _producer(self):
         gen = 0
-        while not self._stop.is_set():
-            arrays = self._build_generation(gen)
+        try:
             while not self._stop.is_set():
-                try:
-                    self._queue.put((gen, arrays), timeout=0.25)
-                    break
-                except queue.Full:
-                    continue
-            gen += 1
+                arrays = self._build_generation(gen)
+                while not self._stop.is_set():
+                    try:
+                        self._queue.put((gen, arrays), timeout=0.25)
+                        break
+                    except queue.Full:
+                        continue
+                gen += 1
+        except BaseException as e:  # surface in next_epoch, don't die silently
+            self._producer_error = e
 
     def next_epoch(self, timeout: float = 300.0):
         """→ (inputs, outputs) for the next generation; normally returns
         instantly (the producer runs one generation ahead)."""
-        gen, arrays = self._queue.get(timeout=timeout)
+        try:
+            gen, arrays = self._queue.get(timeout=timeout)
+        except queue.Empty:
+            err = getattr(self, "_producer_error", None)
+            if err is not None:
+                raise RuntimeError(
+                    "streaming producer thread failed") from err
+            raise TimeoutError(
+                f"streaming producer produced nothing within {timeout}s "
+                "(first audio generations can be slow on CPU — raise the "
+                "timeout or shrink the corpus)") from None
         self._generation = gen
         return arrays
 

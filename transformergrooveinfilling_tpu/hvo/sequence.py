@@ -194,9 +194,11 @@ class HVOSequence:
 
         params = MSOParams(**mso_params) if mso_params else MSOParams()
         y = self.synthesize(sf_path=sf_path, sr=params.sr)
+        # same falsy-qpm guard as synthesize(): qpm=0 would pool every onset
+        # into grid step 0 while the audio renders at the 120 default
         return np.asarray(
-            mso_from_audio(y, n_steps=self.hvo.shape[0], qpm=self.tempos[0].qpm,
-                           params=params)
+            mso_from_audio(y, n_steps=self.hvo.shape[0],
+                           qpm=self.tempos[0].qpm or 120.0, params=params)
         )
 
     def to_html_plot(self, filename: str = "piano_roll", show_figure: bool = False):

@@ -173,28 +173,58 @@ def _wandb_online() -> bool:
     )
 
 
+_init_count = 0  # run_id uniqueness within a process (sweep loops re-init)
+
+
 def init(config: dict | None = None, project: str = "run", job_type: str = "train",
          notes: str | None = None, tags=None, run_dir: str | None = None, **kw):
     """wandb.init-compatible; returns the active Run (real or local)."""
-    global run
+    global run, _init_count
     if _wandb_online():  # pragma: no cover
-        return _real_wandb.init(config=config, project=project, job_type=job_type,
-                                notes=notes, tags=tags, **kw)
-    run_id = time.strftime("%Y%m%d_%H%M%S") + f"_{os.getpid()%10000:04d}"
+        real_run = _real_wandb.init(config=config, project=project,
+                                    job_type=job_type, notes=notes, tags=tags,
+                                    **kw)
+        # the config round-trip (train.py reads xlog.config back, datasets
+        # self-register into it) must reach the real wandb run too
+        globals()["config"] = _real_wandb.config
+        return real_run
+    _init_count += 1
+    run_id = (time.strftime("%Y%m%d_%H%M%S")
+              + f"_{os.getpid()%10000:04d}_{_init_count}")
     base = run_dir or os.path.join("runs", project)
     # absolute: the run must stay writable if the caller later chdirs
     rdir = os.path.abspath(os.path.join(base, run_id))
     os.makedirs(rdir, exist_ok=True)
-    cfg = _Config(config or {})
+    # ONE shared config object: the module-level `config` IS the run's config,
+    # so `xlog.config.update(...)` (datasets.py self-registration) lands in
+    # the config.json the run persists at finish()
+    cfg = globals().get("config")
+    if not isinstance(cfg, _Config):
+        cfg = _Config()
+        globals()["config"] = cfg
+    cfg.clear()
+    cfg.update(config or {})
     run = Run(rdir, run_id, project, cfg)
-    globals()["config"].clear()
-    globals()["config"].update(cfg)
     return run
+
+
+def _to_real_media(v):  # pragma: no cover - exercised via the fake-wandb test
+    """Local Html/Audio stubs → real wandb media objects (recursively)."""
+    if isinstance(v, Html):
+        return _real_wandb.Html(v.html)
+    if isinstance(v, Audio):
+        return _real_wandb.Audio(v.data, sample_rate=v.sample_rate,
+                                 caption=getattr(v, "caption", None))
+    if isinstance(v, dict):
+        return {k: _to_real_media(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return type(v)(_to_real_media(x) for x in v)
+    return v
 
 
 def log(data: dict, commit: bool = True):
     if _wandb_online():  # pragma: no cover
-        return _real_wandb.log(data, commit=commit)
+        return _real_wandb.log(_to_real_media(data), commit=commit)
     if run is not None:
         run.log(data, commit=commit)
 
