@@ -117,9 +117,11 @@ class DecoderWrapper(nn.Module):
         )
 
     def forward(self, x, memory):
-        # non-autoregressive infilling: no causal tgt mask (the grid length is
-        # fixed and the decoder sees the whole teacher-forced target)
-        return self.Decoder(x, memory)
+        # causal tgt mask (torch's canonical teacher-forcing usage): without
+        # it, position t attends the shifted-right row holding its own label
+        t = x.shape[1]
+        mask = torch.nn.Transformer.generate_square_subsequent_mask(t)
+        return self.Decoder(x, memory, tgt_mask=mask)
 
 
 class TorchGrooveTransformer(nn.Module):

@@ -241,3 +241,43 @@ def test_rhythmic_distances():
     pred[:, 0, 0] = 1 - pred[:, 0, 0]  # flip one hit per item
     d1 = rhythmic_distances(pred, gt, "X")
     assert d1["X_Rhythmic_Distance_Hamming_mean"] == 1.0
+
+
+def test_get_hvo_sequence_with_filtered_items(tmp_path):
+    """A silent corpus item is filtered out of hvo_sequences; get_hvo_sequence
+    must still map every processed item to its true base sequence (the
+    reference indexes the filtered list with the unfiltered corpus index,
+    dataset.py:352-356 — a latent off-by-filter bug fixed here via
+    hvo_seq_index)."""
+    from transformergrooveinfilling_tpu.hvo import HVOSequence
+
+    seqs = synthetic_gmd_sequences(6, seed=13)
+    silent = seqs[0].copy_empty()
+    data = [silent] + seqs[1:]
+    ds = GrooveMidiDatasetInfillingSymbolic(
+        data=data, dataset_name="FilteredIdx", split="train",
+        save_dataset_path=str(tmp_path / "ds"),
+        voices_params={"voice_idx": [2], "min_n_voices_to_remove": 1,
+                       "max_n_voices_to_remove": 1, "prob": [1], "k": 5},
+        max_aug_items=2, seed=3)
+    assert len(ds.hvo_sequences) == len(data) - 1  # silent item filtered
+    assert len(ds) > 0
+    for i in range(len(ds)):
+        base = ds.get_hvo_sequence(i)
+        # the base must reproduce kept+removed exactly
+        merged = np.asarray(ds.processed_inputs[i]) + np.asarray(
+            ds.processed_outputs[i])
+        np.testing.assert_allclose(np.asarray(base.hvo), merged, atol=1e-6)
+
+
+def test_velocity_heatmap_tabs_skip_empty_subsets():
+    """Tab labels must track the non-empty subsets (an empty style previously
+    shifted every later panel under the wrong label)."""
+    from transformergrooveinfilling_tpu.eval.media import velocity_heatmap_html
+
+    seqs = synthetic_gmd_sequences(2, seed=5)
+    html = velocity_heatmap_html(
+        {"afrobeat": [], "funk": [seqs[0]], "rock": [seqs[1]]}, "t")
+    assert "afrobeat" not in html
+    # funk's label is the first tab, and its panel (n=1) is present
+    assert html.index("funk") < html.index("rock")

@@ -123,3 +123,27 @@ def test_run_training_with_on_device_augment(tmp_path, monkeypatch):
                           augment_per_epoch=False, epoch_block=2,
                           log_media=False, ckpt_dir=str(tmp_path / "ck"))
     assert bundle.state is not None
+
+
+def test_augment_once_applies_in_single_epoch_block():
+    """augment_per_epoch=False must still augment when the compiled block is a
+    single epoch (the trailing partial block of run_training, or
+    epoch_block=1) — previously those epochs silently trained on the clean
+    un-augmented base grids."""
+    base = _base(16)
+    cfg = GrooveTransformerConfig(d_model=16, n_heads=2, dim_feedforward=16,
+                                  dropout=0.0, num_encoder_layers=1,
+                                  embedding_size_src=27)
+    model = build_model(cfg)
+    tx = make_optimizer("sgd", 0.0)  # lr 0: pure measurement
+    state = create_train_state(model, cfg, tx, jax.random.PRNGKey(0))
+    augment = make_on_device_augment(mode="symbolic")
+    x = jnp.asarray(base)
+    kw = dict(batch_size=8, n_samples=16, donate=False, shuffle=False)
+    fn_aug = make_epoch_fn(model, tx, 0.5, n_epochs=1, augment=augment,
+                           augment_per_epoch=False, **kw)
+    fn_clean = make_epoch_fn(model, tx, 0.5, n_epochs=1, **kw)
+    _, m_aug = fn_aug(state, x, x, jax.random.PRNGKey(1))
+    _, m_clean = fn_clean(state, x, x, jax.random.PRNGKey(1))
+    # clean-grids loss (input == target) differs from the masked->removed task
+    assert float(m_aug["loss"]) != float(m_clean["loss"])

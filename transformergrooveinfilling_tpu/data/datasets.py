@@ -157,25 +157,25 @@ class GrooveMidiDatasetInfilling:
                 plan.append((seq_pos, hvo_idx, v_tuple, sf))
         return sequences, plan, unused
 
-    def _materialize_voice_masking(self, sequences, plan, unused):
-        """Vectorized array pass shared by the audio and symbolic variants."""
-        if not plan:
-            empty = np.zeros((0, self.max_seq_len, 3 * N_VOICES), np.float32)
-            return (sequences, [], empty, empty.copy(), [], [], [], unused, [])
-        stacked = np.stack([sequences[p[0]].hvo for p in plan]).astype(np.float32)
-        masks = np.zeros((len(plan), N_VOICES), dtype=bool)
-        for i, (_, _, v_tuple, _) in enumerate(plan):
-            masks[i, list(v_tuple)] = True
-        kept, removed = _mask_voices_batch(stacked, masks)
+    def _collect_entries(self, sequences, entries, kept, removed, unused):
+        """Shared keep_entry filter + row collection for every dataset family.
 
-        keep_entry = np.any(kept.reshape(len(plan), -1) != 0, axis=1) & np.any(
-            removed.reshape(len(plan), -1) != 0, axis=1)
+        ``entries``: ``(seq_pos, hvo_idx, *extras)`` tuples — ``seq_pos``
+        indexes the *filtered* ``sequences`` list, ``hvo_idx`` the original
+        corpus (the reference's ``hvo_index`` semantics). Returns parallel
+        lists plus the stacked kept/removed arrays; entries whose kept or
+        removed side is fully silent are dropped and marked unused
+        (reference dataset.py:238-244)."""
+        keep_entry = (
+            np.any(kept.reshape(len(entries), -1) != 0, axis=1)
+            & np.any(removed.reshape(len(entries), -1) != 0, axis=1)
+        ) if entries else np.zeros((0,), bool)
 
-        hvo_index, voices_reduced, soundfonts = [], [], []
+        hvo_index, seq_index, extras_kept = [], [], []
         seq_inputs, seq_outputs, kept_rows, removed_rows = [], [], [], []
-        for i, (seq_pos, hvo_idx, v_tuple, sf) in enumerate(plan):
+        for i, entry in enumerate(entries):
+            seq_pos, hvo_idx = entry[0], entry[1]
             if not keep_entry[i]:
-                # reference semantics: a fully-silent side marks the item unused
                 unused.append(hvo_idx)
                 continue
             base = sequences[seq_pos]
@@ -186,15 +186,36 @@ class GrooveMidiDatasetInfilling:
             kept_rows.append(kept[i])
             removed_rows.append(removed[i])
             hvo_index.append(hvo_idx)
-            voices_reduced.append(list(v_tuple))
-            soundfonts.append(sf)
+            seq_index.append(seq_pos)
+            extras_kept.append(entry[2:])
 
         kept_arr = (np.stack(kept_rows) if kept_rows
-                    else np.zeros((0, self.max_seq_len, 3 * N_VOICES), np.float32))
+                    else np.zeros((0, self.max_seq_len, 3 * N_VOICES),
+                                  np.float32))
         removed_arr = (np.stack(removed_rows) if removed_rows
                        else np.zeros_like(kept_arr))
+        return (seq_inputs, seq_outputs, kept_arr, removed_arr, hvo_index,
+                seq_index, extras_kept, unused)
+
+    def _materialize_voice_masking(self, sequences, plan, unused):
+        """Vectorized array pass shared by the audio and symbolic variants."""
+        if not plan:
+            empty = np.zeros((0, self.max_seq_len, 3 * N_VOICES), np.float32)
+            return (sequences, [], empty, empty.copy(), [], [], [], unused,
+                    [], [])
+        stacked = np.stack([sequences[p[0]].hvo for p in plan]).astype(np.float32)
+        masks = np.zeros((len(plan), N_VOICES), dtype=bool)
+        for i, (_, _, v_tuple, _) in enumerate(plan):
+            masks[i, list(v_tuple)] = True
+        kept, removed = _mask_voices_batch(stacked, masks)
+
+        (seq_inputs, seq_outputs, kept_arr, removed_arr, hvo_index, seq_index,
+         extras, unused) = self._collect_entries(
+            sequences, plan, kept, removed, unused)
+        voices_reduced = [list(v) for v, _sf in extras]
+        soundfonts = [sf for _v, sf in extras]
         return (sequences, seq_inputs, kept_arr, removed_arr, hvo_index,
-                voices_reduced, soundfonts, unused, seq_outputs)
+                voices_reduced, soundfonts, unused, seq_outputs, seq_index)
 
     def _finalize_save_path(self):
         """Append ``<version>/<split>`` to the save path exactly once —
@@ -210,8 +231,8 @@ class GrooveMidiDatasetInfilling:
         self._finalize_save_path()
         sequences, plan, unused = self._plan_items(data)
         (sequences, seq_inputs, kept_arr, removed_arr, hvo_index, voices_reduced,
-         soundfonts, unused, seq_outputs) = self._materialize_voice_masking(
-            sequences, plan, unused)
+         soundfonts, unused, seq_outputs, seq_index) = \
+            self._materialize_voice_masking(sequences, plan, unused)
 
         qpms = np.asarray(
             [s.tempos[0].qpm for s in seq_inputs], dtype=np.float32)
@@ -224,6 +245,7 @@ class GrooveMidiDatasetInfilling:
             "hvo_sequences_inputs": seq_inputs,
             "hvo_sequences_outputs": seq_outputs,
             "hvo_index": hvo_index,
+            "hvo_seq_index": seq_index,
             "voices_reduced": voices_reduced,
             "soundfonts": soundfonts,
             "unused_items": unused,
@@ -275,6 +297,18 @@ class GrooveMidiDatasetInfilling:
     # -- dataset protocol ------------------------------------------------------
 
     def get_hvo_sequence(self, idx):
+        """Base sequence behind processed item ``idx``.
+
+        ``hvo_index`` holds *original-corpus* indices (reference semantics,
+        kept for the evaluator's bookkeeping), but ``hvo_sequences`` is the
+        filtered list — indexing it with ``hvo_index`` (as the reference
+        does, dataset.py:352-356) silently returns the wrong sequence once
+        any item was filtered out. ``hvo_seq_index`` carries the filtered
+        positions; legacy pickles without it fall back to the reference
+        behavior."""
+        seq_index = getattr(self, "hvo_seq_index", None)
+        if seq_index is not None:
+            return self.hvo_sequences[seq_index[idx]]
         return self.hvo_sequences[self.hvo_index[idx]]
 
     def get_soundfont(self, idx):
@@ -304,8 +338,8 @@ class GrooveMidiDatasetInfillingSymbolic(GrooveMidiDatasetInfilling):
         sequences, plan, unused = self._plan_items(data)
         self.sfs_list, self.max_n_sf = sfs_save, max_n_sf_save
         (sequences, seq_inputs, kept_arr, removed_arr, hvo_index, voices_reduced,
-         _sfs, unused, seq_outputs) = self._materialize_voice_masking(
-            sequences, plan, unused)
+         _sfs, unused, seq_outputs, seq_index) = \
+            self._materialize_voice_masking(sequences, plan, unused)
         return {
             "processed_inputs": kept_arr.astype(np.float32),
             "processed_outputs": removed_arr.astype(np.float32),
@@ -313,6 +347,7 @@ class GrooveMidiDatasetInfillingSymbolic(GrooveMidiDatasetInfilling):
             "hvo_sequences_inputs": seq_inputs,
             "hvo_sequences_outputs": seq_outputs,
             "hvo_index": hvo_index,
+            "hvo_seq_index": seq_index,
             "voices_reduced": voices_reduced,
             "unused_items": unused,
         }
@@ -359,31 +394,10 @@ class GrooveMidiDatasetInfillingRandom(GrooveMidiDatasetInfilling):
             kept = removed = np.zeros((0, self.max_seq_len, 3 * N_VOICES),
                                       np.float32)
 
-        keep_entry = (
-            np.any(kept.reshape(len(aug_entries), -1) != 0, axis=1)
-            & np.any(removed.reshape(len(aug_entries), -1) != 0, axis=1)
-        ) if aug_entries else np.zeros((0,), bool)
-
-        hvo_index, soundfonts = [], []
-        seq_inputs, seq_outputs, kept_rows, removed_rows = [], [], [], []
-        for i, (seq_pos, hvo_idx, sf) in enumerate(aug_entries):
-            if not keep_entry[i]:
-                unused.append(hvo_idx)
-                continue
-            base = sequences[seq_pos]
-            s_in, s_out = base.copy(), base.copy()
-            s_in.hvo, s_out.hvo = kept[i], removed[i]
-            seq_inputs.append(s_in)
-            seq_outputs.append(s_out)
-            kept_rows.append(kept[i])
-            removed_rows.append(removed[i])
-            hvo_index.append(hvo_idx)
-            soundfonts.append(sf)
-
-        kept_arr = (np.stack(kept_rows) if kept_rows
-                    else np.zeros((0, self.max_seq_len, 3 * N_VOICES), np.float32))
-        removed_arr = (np.stack(removed_rows) if removed_rows
-                       else np.zeros_like(kept_arr))
+        (seq_inputs, seq_outputs, kept_arr, removed_arr, hvo_index, seq_index,
+         extras, unused) = self._collect_entries(
+            sequences, aug_entries, kept, removed, unused)
+        soundfonts = [sf for (sf,) in extras]
         qpms = np.asarray([s.tempos[0].qpm for s in seq_inputs], np.float32)
         processed_inputs = self._compute_msos(kept_arr, soundfonts, qpms)
 
@@ -394,6 +408,7 @@ class GrooveMidiDatasetInfillingRandom(GrooveMidiDatasetInfilling):
             "hvo_sequences_inputs": seq_inputs,
             "hvo_sequences_outputs": seq_outputs,
             "hvo_index": hvo_index,
+            "hvo_seq_index": seq_index,
             "soundfonts": soundfonts,
             "unused_items": unused,
         }

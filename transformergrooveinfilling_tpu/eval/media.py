@@ -67,10 +67,13 @@ def velocity_heatmap_html(subsets: dict, identifier: str) -> str:
     """Per-style heatmap: mean velocity per (voice, step) across the subset
     (the reference's bokeh velocity heatmaps, evaluator.py:427-442)."""
     sections = []
+    titles = []  # parallel to sections: empty subsets are skipped, so the
+    # tab labels must be collected alongside (not taken from sorted(subsets))
     for tag in sorted(subsets):
         samples = subsets[tag]
         if not samples:
             continue
+        titles.append(tag)
         stack = np.stack([np.asarray(s.hvo) for s in samples])
         n = stack.shape[2] // 3
         vel = stack[:, :, n : 2 * n].mean(axis=0).T  # (V, T)
@@ -95,7 +98,7 @@ def velocity_heatmap_html(subsets: dict, identifier: str) -> str:
                     f'stroke="#f0f0f0"/>')
         parts.append("</svg>")
         sections.append("".join(parts))
-    return tabs_html(sections, sorted(subsets)) if sections else ""
+    return tabs_html(sections, titles) if sections else ""
 
 
 def tabs_html(contents: list, titles: list) -> str:
@@ -142,14 +145,12 @@ def html_document(body: str, title: str = "report") -> str:
 def _histogram_svg(values, title: str, bins: int = 20,
                    width: int = 420, height: int = 160) -> str:
     """Dependency-free histogram (the reference's bokeh feature PDFs)."""
-    import numpy as _np
-
-    values = _np.asarray(values, float)
-    values = values[_np.isfinite(values)]
+    values = np.asarray(values, float)
+    values = values[np.isfinite(values)]
     parts = [_svg_header(width, height, title),
              f'<text x="4" y="14">{_html.escape(title)}</text>']
     if values.size:
-        counts, edges = _np.histogram(values, bins=bins)
+        counts, edges = np.histogram(values, bins=bins)
         peak = max(counts.max(), 1)
         plot_w, plot_h, x0, y0 = width - 20, height - 40, 10, 20
         bar_w = plot_w / bins
@@ -171,14 +172,12 @@ def _histogram_svg(values, title: str, bins: int = 20,
 def feature_pdf_html(subsets: dict, identifier: str) -> str:
     """Per-family tabs of per-feature value histograms over all samples
     (reference "global_feature_pdfs" media)."""
-    import numpy as _np
-
     from .features import ALL_FAMILIES
 
     samples = [s for sub in subsets.values() for s in sub]
     if not samples:
         return ""
-    stack = _np.stack([_np.asarray(s.hvo) for s in samples])
+    stack = np.stack([np.asarray(s.hvo) for s in samples])
     family_tabs, family_names = [], []
     for family, fn in ALL_FAMILIES.items():
         feats = fn(stack)

@@ -124,6 +124,10 @@ class SelfAttention(nn.Module):
     fast_dropout: bool = False
     # matmul compute dtype (params stay f32): None = jnp promotion (f32)
     dtype: Optional[jnp.dtype] = None
+    # causal (lower-triangular) self-attention mask — the decoder's
+    # teacher-forced self-attention; without it, position t attends the
+    # shifted-right row holding its own label
+    causal: bool = False
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool, kv: Optional[jax.Array] = None):
@@ -156,7 +160,12 @@ class SelfAttention(nn.Module):
             ).transpose(0, 2, 1, 3)
         else:
             scores = jnp.einsum("...qhd,...khd->...hqk", q, k) / math.sqrt(hd)
-            w = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
+            scores = scores.astype(jnp.float32)
+            if self.causal:
+                t_q, t_k = scores.shape[-2], scores.shape[-1]
+                tril = jnp.tril(jnp.ones((t_q, t_k), bool))
+                scores = jnp.where(tril, scores, jnp.float32(-1e9))
+            w = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
             w = Dropout(self.dropout, self.fast_dropout)(
                 w, deterministic=deterministic)
             out = jnp.einsum("...hqk,...khd->...qhd", w, v)
@@ -258,7 +267,7 @@ class DecoderLayer(nn.Module):
         drop = lambda: Dropout(self.dropout, self.fast_dropout)  # noqa: E731
         sa = SelfAttention(self.d_model, self.n_heads, self.dropout,
                            fast_dropout=self.fast_dropout, dtype=self.dtype,
-                           name="self_attn")(
+                           causal=True, name="self_attn")(
             x, deterministic=deterministic
         )
         x = nn.LayerNorm(name="norm1")(

@@ -93,7 +93,6 @@ def make_epoch_fn(
     batch_size: int,
     n_samples: int,
     plan: MeshPlan | None = None,
-    tensor_parallel: bool = False,
     donate: bool = True,
     n_epochs: int = 1,
     shuffle: bool = True,
@@ -181,7 +180,17 @@ def make_epoch_fn(
             return state, jax.tree.map(lambda m: m[-1], metrics)
 
         return jax.jit(multi, donate_argnums=donate_argnums)
-    return jax.jit(epoch, donate_argnums=donate_argnums)
+
+    def single(state, inputs, outputs, key):
+        # the once-per-block augment must run even when the block is a single
+        # epoch (trailing partial block, or epoch_block=1) — otherwise those
+        # epochs would silently train on the clean un-augmented base grids
+        if augment is not None and not augment_per_epoch:
+            aug_key, key = jax.random.split(key)
+            inputs, outputs = augment(aug_key, inputs, outputs)
+        return epoch(state, inputs, outputs, key)
+
+    return jax.jit(single, donate_argnums=donate_argnums)
 
 
 def make_eval_loss_fn(model, hit_loss_penalty: float,
