@@ -149,3 +149,66 @@ def test_subsetter_reads_legacy_tree(forged, rng, tmp_path):
     ).create_subsets()
     assert len(subsets[0]) == 2
     assert all(isinstance(s, HVOSequence) for s in subsets[0])
+
+
+def test_legacy_pickle_with_name_mangled_private_attrs(rng, tmp_path):
+    """The REAL hvo_sequence library stores state as ``self.__hvo`` etc.
+    behind @property accessors, so its pickles carry name-mangled __dict__
+    keys (``_HVO_Sequence__hvo``, ``_Metadata__style_primary``, ...). Those
+    must convert faithfully — previously they silently became all-zero
+    default sequences (which the silent-item filter then dropped, yielding
+    an empty dataset with no error)."""
+    import pickle
+
+    pkg = types.ModuleType("hvo_sequence")
+    sub = types.ModuleType("hvo_sequence.hvo_seq")
+
+    class Metadata:
+        def __init__(self, **kw):
+            for k, v in kw.items():
+                setattr(self, f"_Metadata__{k}", v)
+
+    class Time_Signature:
+        def __init__(self):
+            self._Time_Signature__time_step = 0
+            self._Time_Signature__numerator = 3
+            self._Time_Signature__denominator = 4
+
+    class Tempo:
+        def __init__(self, qpm):
+            self._Tempo__qpm = qpm
+
+    class HVO_Sequence:
+        def __init__(self, hvo):
+            self._HVO_Sequence__hvo = hvo
+            self._HVO_Sequence__time_signatures = [Time_Signature()]
+            self._HVO_Sequence__tempos = [Tempo(97.0)]
+            self._HVO_Sequence__metadata = Metadata(
+                drummer="d9", session="s2", master_id="d9/s2/7",
+                style_primary="latin", style_secondary="", beat_type="beat",
+                loop_id="7", bpm=97.0)
+
+    for cls in (Metadata, Time_Signature, Tempo, HVO_Sequence):
+        cls.__module__ = "hvo_sequence.hvo_seq"
+        cls.__qualname__ = cls.__name__
+        setattr(sub, cls.__name__, cls)
+        setattr(pkg, cls.__name__, cls)
+    sys.modules["hvo_sequence"] = pkg
+    sys.modules["hvo_sequence.hvo_seq"] = sub
+    try:
+        hvo = rng.random((32, 27)).astype(np.float64)
+        blob = pickle.dumps([HVO_Sequence(hvo)])
+    finally:
+        sys.modules.pop("hvo_sequence", None)
+        sys.modules.pop("hvo_sequence.hvo_seq", None)
+
+    seqs = [to_native(o) for o in legacy_load(blob)]
+    assert len(seqs) == 1
+    s = seqs[0]
+    np.testing.assert_allclose(s.hvo, hvo)
+    assert s.hvo.sum() > 0
+    assert s.metadata.style_primary == "latin"
+    assert s.metadata.master_id == "d9/s2/7"
+    assert s.tempos[0].qpm == 97.0
+    assert (s.time_signatures[0].numerator,
+            s.time_signatures[0].denominator) == (3, 4)

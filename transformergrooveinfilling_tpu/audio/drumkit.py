@@ -30,13 +30,19 @@ def _noise(n: int, seed: int) -> np.ndarray:
 
 def _highpass(x: np.ndarray, sr: int, fc: float) -> np.ndarray:
     # one-pole highpass (y[i] = a*(y[i-1] + x[i] - x[i-1])), enough to shape
-    # noise into hats/cymbals; expressed as an IIR filter for speed
-    from scipy.signal import lfilter
-
+    # noise into hats/cymbals. Plain recurrence: kit samples are built once
+    # and cached, and this keeps the package free of its only scipy use
+    # (scipy is not in this image's guaranteed dependency set).
     rc = 1.0 / (2 * np.pi * fc)
     dt = 1.0 / sr
     alpha = rc / (rc + dt)
-    return lfilter([alpha, -alpha], [1.0, -alpha], x)
+    d = alpha * np.diff(x, prepend=0.0)
+    y = np.empty_like(d)
+    acc = 0.0
+    for i in range(len(d)):
+        acc = alpha * acc + d[i]
+        y[i] = acc
+    return y
 
 
 def _kick(sr: int) -> np.ndarray:

@@ -25,11 +25,20 @@ def _build() -> str:
     if not os.path.exists(_SO_PATH) or (
         os.path.getmtime(src) > os.path.getmtime(_SO_PATH)
     ):
-        subprocess.run(
-            ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-Wall",
-             "-pthread", "-o", _SO_PATH, src],
-            check=True, capture_output=True,
-        )
+        # compile to a per-pid temp path and rename into place: a concurrent
+        # process (dataset-build workers, pytest-xdist) must never dlopen a
+        # half-written .so — rename is atomic on the same filesystem
+        tmp = f"{_SO_PATH}.{os.getpid()}.tmp"
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-Wall",
+                 "-pthread", "-o", tmp, src],
+                check=True, capture_output=True,
+            )
+            os.replace(tmp, _SO_PATH)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
     return _SO_PATH
 
 
@@ -59,6 +68,8 @@ def mix_events_native(buf: np.ndarray, table, voices: np.ndarray,
     """Drop-in replacement for synth._mix_events_numpy (same signature)."""
     lib = get_lib()
     assert buf.dtype == np.float32 and buf.flags.c_contiguous
+    assert len(voices) == len(onsets) == len(vels), \
+        "event arrays must be parallel (native reads len(voices) entries)"
     arrs, ptrs, lens = _sample_table_ptrs(table)
     voices = np.ascontiguousarray(voices, np.int32)
     onsets = np.ascontiguousarray(onsets, np.int64)
@@ -100,6 +111,10 @@ def mix_batch_native(bufs: np.ndarray, table, voices: np.ndarray,
     vels = np.ascontiguousarray(vels, np.float32)
     event_offsets = np.ascontiguousarray(event_offsets, np.int64)
     assert event_offsets.shape == (bufs.shape[0] + 1,)
+    assert len(voices) == len(onsets) == len(vels), \
+        "event arrays must be parallel (native reads len(voices) entries)"
+    assert event_offsets[-1] == len(voices), \
+        "event_offsets[-1] must equal the flat event count"
     lib.tgi_mix_batch(
         bufs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         ctypes.c_int64(bufs.shape[0]),

@@ -149,10 +149,16 @@ class GrooveMidiDatasetInfilling:
             if len(voice_idx) == 0:
                 unused.append(hvo_idx)
                 continue
-            for sf, v_idx in get_sf_v_combinations(
+            combos = list(get_sf_v_combinations(
                 voices_params, self.max_aug_items, self.max_n_sf, self.sfs_list,
                 rng=self._rng,
-            ):
+            ))
+            if not combos:
+                # too few active voices for any removal set of the configured
+                # minimum size: item is unused, like the zero-candidate case
+                unused.append(hvo_idx)
+                continue
+            for sf, v_idx in combos:
                 v_tuple = (v_idx,) if np.isscalar(v_idx) else tuple(v_idx)
                 plan.append((seq_pos, hvo_idx, v_tuple, sf))
         return sequences, plan, unused

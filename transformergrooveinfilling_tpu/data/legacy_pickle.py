@@ -47,9 +47,8 @@ class _LegacyUnpickler(pickle.Unpickler):
         if module.startswith(("dataset", "evaluator", "GrooveEvaluator",
                               "BaseGrooveTransformers", "preprocessed_dataset")):
             return _LegacyObject
-        if module.startswith("torch") and name in ("Tensor", "_rebuild_tensor_v2"):
-            # torch handles its own rebuild; fall through to real torch
-            pass
+        # torch modules resolve through the real torch (installed CPU-only in
+        # this environment); tensors convert to numpy later in to_native
         return super().find_class(module, name)
 
 
@@ -66,20 +65,38 @@ def _to_numpy(x):
     return np.asarray(x)
 
 
+def _dget(d: dict, key, default=None):
+    """Probe the plain, single-underscore, *and name-mangled* spellings of an
+    attribute. The real hvo_sequence library stores state as ``self.__hvo``
+    etc. behind @property accessors, so its pickles carry ``__dict__`` keys
+    like ``_HVO_Sequence__hvo`` / ``_Metadata__style_primary`` — missing
+    those silently converts every loaded corpus item to an all-zero default
+    sequence."""
+    for k in (key, "_" + key):
+        if k in d:
+            return d[k]
+    suffix = "__" + key
+    for k, v in d.items():
+        if k.startswith("_") and k.endswith(suffix):
+            return v
+    return default
+
+
 def to_native(obj) -> HVOSequence:
     """Convert a legacy HVO_Sequence-shaped object to :class:`HVOSequence`."""
     if isinstance(obj, HVOSequence):
         return obj
     d = getattr(obj, "__dict__", {})
-    hvo = _to_numpy(d.get("hvo", d.get("_hvo", np.zeros((32, 27)))))
+    hvo_raw = _dget(d, "hvo")
+    hvo = _to_numpy(hvo_raw) if hvo_raw is not None else np.zeros((32, 27))
 
     def _meta_get(key, default=""):
-        meta = d.get("metadata") or d.get("_metadata")
+        meta = _dget(d, "metadata")
         if meta is None:
-            return d.get(key, default)
+            return _dget(d, key, default)
         if isinstance(meta, dict):
-            return meta.get(key, default)
-        return getattr(meta, key, getattr(meta, "_" + key, default))
+            return _dget(meta, key, default)
+        return _dget(getattr(meta, "__dict__", {}) or {}, key, default)
 
     metadata = Metadata(
         drummer=str(_meta_get("drummer")),
@@ -92,23 +109,23 @@ def to_native(obj) -> HVOSequence:
         bpm=float(_meta_get("bpm", 0.0) or 0.0),
     )
 
-    ts_raw = d.get("time_signatures") or d.get("_time_signatures") or [None]
+    ts_raw = _dget(d, "time_signatures") or [None]
     signatures = []
     for ts in ts_raw:
         td = getattr(ts, "__dict__", {}) if ts is not None else {}
         signatures.append(
             TimeSignature(
-                time_step=int(td.get("time_step", td.get("_time_step", 0)) or 0),
-                numerator=int(td.get("numerator", td.get("_numerator", 4)) or 4),
-                denominator=int(td.get("denominator", td.get("_denominator", 4)) or 4),
+                time_step=int(_dget(td, "time_step", 0) or 0),
+                numerator=int(_dget(td, "numerator", 4) or 4),
+                denominator=int(_dget(td, "denominator", 4) or 4),
             )
         )
 
-    tempo_raw = d.get("tempos") or d.get("_tempos") or [None]
+    tempo_raw = _dget(d, "tempos") or [None]
     tempos = []
     for tp in tempo_raw:
         td = getattr(tp, "__dict__", {}) if tp is not None else {}
-        tempos.append(Tempo(qpm=float(td.get("qpm", td.get("_qpm", 120.0)) or 120.0)))
+        tempos.append(Tempo(qpm=float(_dget(td, "qpm", 120.0) or 120.0)))
 
     return HVOSequence(
         hvo=np.asarray(hvo, dtype=np.float64),

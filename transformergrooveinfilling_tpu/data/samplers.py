@@ -41,12 +41,21 @@ def get_sf_list(sf_path):
 
 def get_voice_idx_for_item(hvo_seq, voices_params: dict):
     """Drop voices absent from the item from the removal candidates
-    (reference utils.py:53-66); returns (voice_idx, updated_params)."""
+    (reference utils.py:53-66); returns (voice_idx, updated_params).
+
+    Deviation: the reference truncates ``prob`` to ``len(voice_idx)`` while
+    its own sampler asserts ``len(prob) == len(range(min_n, max_n+1))`` — a
+    sparse item with ``min_n_voices_to_remove > 1`` then crashes the whole
+    dataset build (utils.py:65 vs :98-101). Here ``prob`` is truncated to
+    the number of combination *sizes* actually available, which is what the
+    weights mean."""
     active = set(np.asarray(hvo_seq.get_active_voices()).tolist())
     voice_idx = [v for v in voices_params["voice_idx"] if v in active]
     params = deepcopy(voices_params)
     params["voice_idx"] = voice_idx
-    params["prob"] = params["prob"][: len(voice_idx)]
+    min_n = params.get("min_n_voices_to_remove", 1)
+    max_n = min(params.get("max_n_voices_to_remove", 3), len(voice_idx))
+    params["prob"] = params["prob"][: max(0, max_n - min_n + 1)]
     return voice_idx, params
 
 
@@ -64,6 +73,11 @@ def get_voice_combinations(
     rng = rng or _random
     voice_idx = list(voice_idx)
     max_n = min(max_n_voices_to_remove, len(voice_idx))
+    if max_n < min_n_voices_to_remove:
+        # too few active voices to form any removal set: no combinations
+        # (the dataset marks such items unused) — the reference asserts and
+        # aborts the whole build here instead
+        return []
     sizes = range(min_n_voices_to_remove, max_n + 1)
     prob = list(prob)
     assert len(prob) == len(list(sizes)), (

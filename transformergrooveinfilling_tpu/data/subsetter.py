@@ -17,15 +17,27 @@ from __future__ import annotations
 import os
 import pickle
 
-from .legacy_pickle import legacy_load
+from .legacy_pickle import legacy_load, to_native
 from ..hvo import HVOSequence
 
-FILTER_KEYS = ("style_primary", "beat_type", "time_signature", "master_id", "bpm")
+# every filterable key: the metadata fields plus time_signature (the
+# reference's configs use style_primary/beat_type/time_signature/master_id/
+# bpm, evaluator.py:63-69, process_dataset.py:83-87). _sequence_matches
+# validates against this so a misspelled key fails loudly instead of
+# silently excluding every sequence.
+FILTER_KEYS = ("drummer", "session", "master_id", "style_primary",
+               "style_secondary", "beat_type", "loop_id", "bpm",
+               "time_signature")
 
 
 def _sequence_matches(seq: HVOSequence, filt: dict | None) -> bool:
     if not filt:
         return True
+    unknown = set(filt) - set(FILTER_KEYS)
+    if unknown:
+        raise ValueError(
+            f"unknown subset filter key(s) {sorted(unknown)}; "
+            f"supported: {FILTER_KEYS}")
     for key, allowed in filt.items():
         if allowed in (None, "", []):
             continue
@@ -81,7 +93,7 @@ class GrooveMidiSubsetter:
                 seqs = pickle.load(f)
         except Exception:
             seqs = legacy_load(path)
-        return [s if isinstance(s, HVOSequence) else _coerce(s) for s in seqs]
+        return [to_native(s) for s in seqs]
 
     def create_subsets(self):
         """→ (tags, subset_list): one list of sequences per filter dict."""
@@ -93,8 +105,3 @@ class GrooveMidiSubsetter:
         return tags, subsets
 
 
-def _coerce(obj) -> HVOSequence:
-    """Best-effort conversion of a legacy HVO_Sequence-shaped object."""
-    from .legacy_pickle import to_native
-
-    return to_native(obj)

@@ -33,10 +33,19 @@ def combine_hvo(h: jax.Array, v: jax.Array, o: jax.Array) -> jax.Array:
 
 
 def voice_mask_from_indices(voice_idx, n_voices: int = N_VOICES) -> jax.Array:
-    """Boolean ``(V,)`` mask with True at the given voice indices (static arg)."""
+    """Boolean ``(V,)`` mask with True at the given voice indices (static arg).
+
+    Indices are validated eagerly: JAX scatter silently *drops*
+    out-of-bounds updates, so a config typo like ``voice_idx=[9]`` on the
+    9-voice kit would otherwise yield an all-False mask and a model silently
+    trained against empty targets."""
+    idx = [int(v) for v in voice_idx]
+    if any(not 0 <= v < n_voices for v in idx):
+        raise ValueError(
+            f"voice indices {idx} out of range for {n_voices} voices")
     mask = jnp.zeros((n_voices,), dtype=bool)
-    if len(voice_idx):
-        mask = mask.at[jnp.asarray(list(voice_idx))].set(True)
+    if idx:
+        mask = mask.at[jnp.asarray(idx)].set(True)
     return mask
 
 

@@ -31,10 +31,15 @@ def eval_log_freq(
         return np.asarray([total_epochs - 1]), np.asarray([], dtype=int)
 
     if initial_epochs_lim >= total_epochs:
-        return (
-            np.arange(total_epochs, step=initial_step_partial),
-            np.arange(total_epochs, step=initial_step_all),
-        )
+        partial = np.arange(total_epochs, step=initial_step_partial)
+        full = np.arange(total_epochs, step=initial_step_all)
+        # the final epoch is always evaluated/saved, in this branch too
+        # (the reference omits it here when a step > 1 is used)
+        if total_epochs - 1 not in partial:
+            partial = np.append(partial, total_epochs - 1)
+        if total_epochs - 1 not in full:
+            full = np.append(full, total_epochs - 1)
+        return partial, full
 
     partial = np.concatenate(
         [
