@@ -12,6 +12,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -20,13 +21,35 @@ import numpy as np
 BATCH = 512
 N_SAMPLES = 4096
 EPOCHS_PER_CALL = 20
-D_MODEL, N_HEADS, DIM_FF, N_LAYERS = 256, 2, 512, 6
 T, E_SRC, E_TGT = 32, 16, 27
-HIT_LOSS_PENALTY = 0.73
 BASELINE_STEPS = 4
 BASELINE_BATCH = 128  # torch-CPU baseline batch (throughput-per-seq comparable)
 SECONDS_BUDGET = 15.0
 MAX_CALLS = 8
+
+
+def _flagship_yaml() -> dict:
+    """The flagship hyperparameters, read from the config file itself so the
+    benchmark can't drift from configs/InfillingRandom_training.yaml."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "configs", "InfillingRandom_training.yaml")
+    try:
+        import yaml
+
+        with open(path) as f:
+            return yaml.safe_load(f) or {}
+    except Exception:
+        return {}
+
+
+_Y = _flagship_yaml()
+D_MODEL = int(_Y.get("d_model", 256))
+N_HEADS = int(_Y.get("n_heads", 2))
+DIM_FF = int(_Y.get("dim_feedforward", 512))
+N_LAYERS = int(_Y.get("num_encoder_decoder_layers", 6))
+DROPOUT = float(_Y.get("dropout", 0.30))
+LEARNING_RATE = float(_Y.get("learning_rate", 0.089))
+HIT_LOSS_PENALTY = float(_Y.get("hit_loss_penalty", 0.73))
 
 
 def bench_jax() -> float:
@@ -55,12 +78,12 @@ def bench_jax() -> float:
 
     config = GrooveTransformerConfig(
         d_model=D_MODEL, n_heads=N_HEADS, dim_feedforward=DIM_FF,
-        dropout=0.30, num_encoder_layers=N_LAYERS, max_len=T,
+        dropout=DROPOUT, num_encoder_layers=N_LAYERS, max_len=T,
         embedding_size_src=E_SRC, embedding_size_tgt=E_TGT,
         compute_dtype=jnp.bfloat16,
     )
     model = build_model(config)
-    tx = make_optimizer("sgd", 0.089)
+    tx = make_optimizer("sgd", LEARNING_RATE)
     state = create_train_state(model, config, tx, jax.random.PRNGKey(0))
 
     rng = np.random.default_rng(0)
@@ -114,19 +137,29 @@ def bench_torch_baseline() -> float:
         def __init__(self):
             super().__init__()
             self.embed = nn.Linear(E_SRC, D_MODEL)
+            # sinusoidal PE + post-embed dropout: the same input layer the
+            # JAX model runs, so the baseline does identical work per step
+            pos = np.arange(T)[:, None]
+            div = np.exp(np.arange(0, D_MODEL, 2) * (-np.log(1e4) / D_MODEL))
+            pe = np.zeros((1, T, D_MODEL), np.float32)
+            pe[0, :, 0::2] = np.sin(pos * div)
+            pe[0, :, 1::2] = np.cos((pos * div)[:, : D_MODEL // 2])
+            self.register_buffer("pe", torch.from_numpy(pe))
+            self.drop = nn.Dropout(DROPOUT)
             layer = nn.TransformerEncoderLayer(
-                D_MODEL, N_HEADS, DIM_FF, dropout=0.30, activation="relu",
+                D_MODEL, N_HEADS, DIM_FF, dropout=DROPOUT, activation="relu",
                 batch_first=True, norm_first=False)
             self.enc = nn.TransformerEncoder(layer, N_LAYERS,
                                              norm=nn.LayerNorm(D_MODEL))
             self.out = nn.Linear(D_MODEL, E_TGT)
 
         def forward(self, x):
-            y = self.out(self.enc(torch.relu(self.embed(x))))
+            h = self.drop(torch.relu(self.embed(x)) + self.pe)
+            y = self.out(self.enc(h))
             return torch.split(y, E_TGT // 3, dim=2)
 
     model = Model()
-    opt = torch.optim.SGD(model.parameters(), lr=0.089)
+    opt = torch.optim.SGD(model.parameters(), lr=LEARNING_RATE)
     bce = nn.BCEWithLogitsLoss(reduction="none")
     mse = nn.MSELoss(reduction="none")
 

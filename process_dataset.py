@@ -95,17 +95,18 @@ def main(argv=None):
             data = corpus_for_split(args.source, split, args.n_synthetic)
             params_exp = copy.deepcopy(params)
             params_exp["split"] = split
-            params_exp["seed"] = args.seed + hash(split) % 1000
+            # deterministic per-split seed: str hash is salted per process
+            # (PYTHONHASHSEED), which would make pickles irreproducible
+            params_exp["seed"] = args.seed + _SPLIT_SEEDS.get(split, 0)
+            filters = {"beat_type": ["beat"], "time_signature": ["4-4"]}
             if args.testing:
-                # reference testing mode filters to 3 master_ids; the synthetic
-                # corpus instead shrinks to a tiny fixture outright
-                filters = ({"beat_type": ["beat"], "time_signature": ["4-4"]}
-                           if args.source == "synthetic"
-                           else {"master_id": TESTING_MASTER_IDS})
+                # reference testing mode ADDS the 3-master_id restriction to
+                # the beat/4-4 filters (reference process_dataset.py:84-87);
+                # the synthetic corpus instead shrinks to a tiny fixture
                 if args.source == "synthetic":
                     data = data[: (args.n_synthetic or 24)]
-            else:
-                filters = {"beat_type": ["beat"], "time_signature": ["4-4"]}
+                else:
+                    filters["master_id"] = TESTING_MASTER_IDS
             params_exp["subset_info"] = {
                 "pickle_source_path": args.source,
                 "subset": f"GrooveMIDI_processed_{split}",

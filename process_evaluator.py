@@ -16,11 +16,17 @@ from transformergrooveinfilling_tpu.eval.evaluator import InfillingEvaluator
 from process_dataset import corpus_for_split
 
 
-def build_evaluator(exp: str, split: str, dataset_path: str, source: str,
+def build_evaluator(exp: str, split: str, dataset_path: str,
+                    source: str | None = None,
                     n_samples_to_use: int = 1024,
                     n_samples_to_synthesize: int = 20,
                     n_synthetic: int | None = None) -> str:
     dataset = load_processed_dataset(dataset_path, exp=exp)
+    if source is None:
+        # default to the corpus the dataset itself was built from (recorded in
+        # its subset_info) — a mismatched GT corpus would silently score the
+        # model against sequences training never saw
+        source = dataset.subset_info.get("pickle_source_path") or "synthetic"
     sequences = corpus_for_split(source, split, n_synthetic)
     pred_horizontal = exp not in ("InfillingRandom", "InfillingRandomLow")
 
@@ -48,7 +54,9 @@ def main(argv=None):
     p.add_argument("--experiments", nargs="*", default=list(EXPERIMENTS))
     p.add_argument("--splits", nargs="*",
                    default=["test", "train", "validation"])
-    p.add_argument("--source", default="synthetic")
+    p.add_argument("--source", default=None,
+                   help="GT corpus; default = the one the dataset was built "
+                   "from (its recorded subset_info)")
     p.add_argument("--testing", action="store_true")
     p.add_argument("--n-synthetic", type=int, default=None)
     p.add_argument("--paths", default="configs/paths.yaml")

@@ -87,7 +87,15 @@ def hyperparameters_from_args(args) -> dict:
             epochs=args.epochs,
             load_model=args.load_model,
         )
-    if args.testing:
+    # CLI value is a string: a checkpoint directory → the restore dict shape
+    # initialize_model expects (reference tutorial.py:36-68)
+    if isinstance(hp.get("load_model"), str):
+        hp["load_model"] = {"location": "local", "dir": hp["load_model"]}
+    elif args.load_model is not None and not hp.get("load_model"):
+        # config-file mode: the CLI flag still works when the YAML has no
+        # load_model of its own
+        hp["load_model"] = {"location": "local", "dir": args.load_model}
+    if args.testing and args.testing != "False":
         hp["epochs"] = 1
     if args.experiment is not None:
         hp["experiment"] = args.experiment
@@ -113,13 +121,6 @@ def main(argv=None):
         except Exception:
             pass
 
-    from transformergrooveinfilling_tpu.data import load_processed_dataset
-    from transformergrooveinfilling_tpu.eval.evaluator import init_evaluator
-    from transformergrooveinfilling_tpu.parallel import make_mesh
-    from transformergrooveinfilling_tpu.train.config import (
-        HyperParams, embedding_size_src_for)
-    from transformergrooveinfilling_tpu.train.driver import (
-        initialize_model, run_training)
     from transformergrooveinfilling_tpu.utils import logging as xlog
 
     xlog.init(config=hp_dict, project=hp_dict["experiment"], job_type="train",

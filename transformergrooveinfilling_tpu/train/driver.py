@@ -363,16 +363,24 @@ def train_loop(dataloader=None, groove_transformer: ModelBundle | None = None,
     assert bundle is not None and data is not None
     inputs = jnp.asarray(np.asarray(data.processed_inputs, np.float32))
     outputs = jnp.asarray(np.asarray(data.processed_outputs, np.float32))
-    epoch_fn = make_epoch_fn(bundle.model, bundle.tx, hit_loss_penalty,
-                             batch_size, inputs.shape[0], donate=False,
-                             encoder_only=bool(encoder_only))
+    # the reference calls train_loop once per epoch in a Python loop
+    # (train.py:193-215): cache the compiled epoch/eval programs on the
+    # bundle, or every epoch would re-trace and re-compile from scratch
+    cache_key = (batch_size, int(inputs.shape[0]), float(hit_loss_penalty),
+                 bool(encoder_only))
+    cached = getattr(bundle, "_train_loop_cache", None)
+    if cached is None or cached[0] != cache_key:
+        epoch_fn = make_epoch_fn(bundle.model, bundle.tx, hit_loss_penalty,
+                                 batch_size, inputs.shape[0], donate=False,
+                                 encoder_only=bool(encoder_only))
+        eval_loss_fn = make_eval_loss_fn(bundle.model, hit_loss_penalty,
+                                         encoder_only=bool(encoder_only))
+        bundle._train_loop_cache = (cache_key, epoch_fn, eval_loss_fn)
+    _, epoch_fn, eval_loss_fn = bundle._train_loop_cache
     key = jax.random.PRNGKey(epoch if seed is None else seed)
     state, metrics = epoch_fn(bundle.state, inputs, outputs, key)
     bundle.state = state
     metrics = {k: float(v) for k, v in metrics.items()}
-
-    eval_loss_fn = make_eval_loss_fn(bundle.model, hit_loss_penalty,
-                                     encoder_only=bool(encoder_only))
     for name, (hx, hy) in (("test", (test_inputs, test_gt)),
                            ("validation", (validation_inputs, validation_gt))):
         if hx is not None and hy is not None:
