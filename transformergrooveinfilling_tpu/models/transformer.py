@@ -64,6 +64,10 @@ class GrooveTransformerConfig:
     # at the flagship config, docs/PERF.md). Unbiased; keep rate quantizes to
     # 1/256 steps. Off = bit-exact flax nn.Dropout streams.
     fast_dropout: bool = True
+    # fuse the whole FFN (W1·x → bias → relu → dropout → W2) into one Pallas
+    # kernel with in-kernel PRNG masks and a custom VJP (ops/fused_ffn.py).
+    # Training path only; needs d_model/dim_feedforward multiples of 128.
+    fused_ffn: bool = False
 
     @property
     def encoder_only(self) -> bool:
@@ -211,6 +215,22 @@ class DropAddLayerNorm(nn.Module):
         return (zhat * scale + bias).astype(x.dtype)
 
 
+class _Proj(nn.Module):
+    """Parameter holder with ``nn.Dense``'s exact names/shapes/initializers,
+    for paths that consume the kernel/bias directly (the fused FFN kernel)
+    while staying checkpoint-identical with the ``nn.Dense`` path."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.in_features, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
 class EncoderLayer(nn.Module):
     """Post-LN encoder layer matching torch 1.10 ``TransformerEncoderLayer``:
     ``x = LN(x + Drop(SA(x))); x = LN(x + Drop(W2·Drop(relu(W1·x))))``."""
@@ -223,6 +243,7 @@ class EncoderLayer(nn.Module):
     fused_dropout_ln: bool = False
     fast_dropout: bool = False
     dtype: Optional[jnp.dtype] = None
+    fused_ffn: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -235,12 +256,36 @@ class EncoderLayer(nn.Module):
         x = DropAddLayerNorm(self.dropout, self.fused_dropout_ln,
                              self.fast_dropout,
                              name="norm1")(x, sa, deterministic)
-        ff = nn.Dense(self.dim_feedforward, dtype=self.dtype,
-                      name="linear1")(x)
-        ff = Dropout(self.dropout, self.fast_dropout)(
-            jax.nn.relu(ff), deterministic=deterministic
+        use_fused_ffn = (
+            self.fused_ffn and not deterministic and x.ndim == 3
+            and self.d_model % 128 == 0 and self.dim_feedforward % 128 == 0
+            and isinstance(self.dropout, (int, float))
         )
-        ff = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(ff)
+        if use_fused_ffn:
+            from ..ops.fused_ffn import ffn_train
+
+            w1, b1 = _Proj(self.d_model, self.dim_feedforward,
+                           name="linear1")()
+            w2, b2 = _Proj(self.dim_feedforward, self.d_model,
+                           name="linear2")()
+            cd = self.dtype or x.dtype
+            seed = jax.random.randint(
+                self.make_rng("dropout"), (1,), 0, 2**31 - 1, dtype=jnp.int32)
+            b, t = x.shape[0], x.shape[1]
+            interpret = jax.default_backend() != "tpu"
+            ff = ffn_train(
+                x.reshape(b * t, self.d_model).astype(cd),
+                w1.astype(cd), b1.astype(jnp.float32),
+                w2.astype(cd), b2.astype(jnp.float32),
+                seed, float(self.dropout), interpret,
+            ).reshape(b, t, self.d_model)
+        else:
+            ff = nn.Dense(self.dim_feedforward, dtype=self.dtype,
+                          name="linear1")(x)
+            ff = Dropout(self.dropout, self.fast_dropout)(
+                jax.nn.relu(ff), deterministic=deterministic
+            )
+            ff = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(ff)
         x = DropAddLayerNorm(self.dropout, self.fused_dropout_ln,
                              self.fast_dropout,
                              name="norm2")(x, ff, deterministic)
@@ -359,6 +404,7 @@ class GrooveTransformerEncoder(nn.Module):
                 fused_dropout_ln=cfg.fused_dropout_ln,
                 fast_dropout=cfg.fast_dropout,
                 dtype=cfg.compute_dtype,
+                fused_ffn=cfg.fused_ffn,
                 name=f"encoder_layer_{i}",
             )(x, deterministic)
         x = nn.LayerNorm(name="encoder_norm")(x)
