@@ -130,3 +130,31 @@ def test_train_step_with_dropout_learns(setup):
     for a, b in zip(jax.tree.leaves(stacked0), jax.tree.leaves(stacked1)):
         moved = np.abs(np.asarray(a) - np.asarray(b)).reshape(a.shape[0], -1)
         assert (moved.max(axis=1) > 0).all(), "some layer never updated"
+
+
+def test_pipeline_honors_remat(setup):
+    """cfg.remat=True reaches the pipelined stages (activations recompute in
+    backward); forward and one-step results match the non-remat pipeline."""
+    import dataclasses
+
+    import optax
+
+    model, params, x = setup
+    cfg_r = dataclasses.replace(CFG, remat=True, dropout=0.0)
+    cfg_p = dataclasses.replace(CFG, dropout=0.0)
+    plan = make_pipeline_mesh(n_stages=4, n_data=2, n_micro=4)
+    out_r = jax.jit(lambda p, v: pipeline_forward(p, v, plan, cfg_r,
+                                                  deterministic=True))(params, x)
+    out_p = jax.jit(lambda p, v: pipeline_forward(p, v, plan, cfg_p,
+                                                  deterministic=True))(params, x)
+    for a, b in zip(out_r, out_p):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    h = (np.random.default_rng(8).random((16, 32, 9)) < 0.3).astype(np.float32)
+    y = jnp.asarray(np.concatenate([h, h * 0.6, h * 0.1], 2), jnp.float32)
+    tx = optax.sgd(0.05)
+    step = make_pipeline_train_step(cfg_r, plan, tx, hit_loss_penalty=0.5)
+    p1, _, m = step(params, tx.init(params), x, y, jax.random.PRNGKey(9))
+    assert np.isfinite(float(m["loss"]))
+    assert any(not np.allclose(np.asarray(a), np.asarray(b))
+               for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(params)))
