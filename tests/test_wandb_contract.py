@@ -55,6 +55,16 @@ class FakeWandb(types.SimpleNamespace):
     def finish(self):
         self.calls.append(("finish", {}))
 
+    class Html:
+        def __init__(self, html):
+            self.html = html
+
+    class Audio:
+        def __init__(self, data, sample_rate=44100, caption=None):
+            self.data = data
+            self.sample_rate = sample_rate
+            self.caption = caption
+
 
 @pytest.fixture()
 def fake_wandb(monkeypatch):
@@ -134,3 +144,26 @@ def test_wandb_location_without_download_raises_clear_error(tmp_path):
 def test_unknown_location_raises(tmp_path):
     with pytest.raises(ValueError, match="unknown checkpoint location"):
         ckpt.restore({"location": "s3", "dir": str(tmp_path)}, CFG)
+
+
+def test_online_branch_aliases_config_and_converts_media(fake_wandb):
+    """Round-2 fixes: after a real-wandb init, xlog.config IS wandb.config
+    (dataset self-registration reaches the service), and local Html/Audio
+    stubs convert to the real wandb media classes before wandb.log sees
+    them (real wandb cannot serialize foreign objects)."""
+    xlog.init(config={"lr": 0.1}, project="P")
+    assert xlog.config is fake_wandb.config
+    xlog.config.update({"d_model": 32})
+    assert fake_wandb.config["d_model"] == 32
+
+    media = {"roll": xlog.Html("<svg/>"),
+             "audio": [xlog.Audio(np.zeros(4), caption="c")],
+             "loss": 1.0}
+    xlog.log(media)
+    logged = fake_wandb.calls[-1][1]["data"]
+    assert isinstance(logged["roll"], FakeWandb.Html)
+    assert logged["roll"].html == "<svg/>"
+    assert isinstance(logged["audio"][0], FakeWandb.Audio)
+    assert logged["audio"][0].caption == "c"
+    assert logged["loss"] == 1.0
+    xlog.finish()

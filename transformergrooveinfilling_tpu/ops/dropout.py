@@ -33,9 +33,14 @@ import jax
 import jax.numpy as jnp
 
 
+def quantized_threshold(rate: float) -> int:
+    """8-bit keep threshold: a byte below it keeps the element."""
+    return round((1.0 - rate) * 256)
+
+
 def quantized_keep_rate(rate: float) -> float:
     """The effective keep probability after 8-bit threshold quantization."""
-    return round((1.0 - rate) * 256) / 256.0
+    return quantized_threshold(rate) / 256.0
 
 
 def fast_dropout(x: jax.Array, key: jax.Array, rate) -> jax.Array:
@@ -50,7 +55,7 @@ def fast_dropout(x: jax.Array, key: jax.Array, rate) -> jax.Array:
     if isinstance(rate, (int, float)):
         if not 0.0 <= rate < 1.0:
             raise ValueError(f"dropout rate must be in [0, 1), got {rate}")
-        thresh = int(round((1.0 - rate) * 256))
+        thresh = quantized_threshold(rate)
         if thresh >= 256:
             return x
         keep_eff = thresh / 256.0

@@ -33,10 +33,14 @@ from __future__ import annotations
 
 import functools
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from .dropout import quantized_keep_rate, quantized_threshold
 
 
 def _pick_tile(m: int) -> int:
@@ -103,7 +107,7 @@ def _fwd_call(x, w1, b1, w2, b2, seed, *, rate: float, interpret: bool):
     m, k = x.shape
     f = w1.shape[1]
     tile = _pick_tile(m)
-    thresh = int(round((1.0 - rate) * 256))
+    thresh = quantized_threshold(rate)
     grid = m // tile
     out, h = pl.pallas_call(
         functools.partial(_fwd_kernel, thresh=thresh, interpret=interpret),
@@ -147,7 +151,7 @@ def _bwd_call(dy, x, h, w1, w2, *, rate: float, interpret: bool):
     m, k = x.shape
     f = w1.shape[1]
     tile = _pick_tile(m)
-    keep = round((1.0 - rate) * 256) / 256.0 if rate > 0 else 1.0
+    keep = quantized_keep_rate(rate)
     grid = m // tile
     dx, dw1, dw2, db1, db2 = pl.pallas_call(
         functools.partial(_bwd_kernel, keep=keep),
@@ -200,8 +204,6 @@ def _ffn_fwd(x, w1, b1, w2, b2, seed, rate, interpret):
     return out, (x, h, w1, w2)
 
 
-import os
-
 _BWD_IMPL = os.environ.get("TGI_FUSED_FFN_BWD", "xla")
 
 
@@ -215,7 +217,7 @@ def _ffn_bwd(rate, interpret, res, dy):
     # XLA-composed backward from the sole h_drop residual: plain matmuls the
     # compiler schedules/fuses freely (measured faster than the Pallas bwd's
     # serialized dW accumulation at flagship size)
-    keep = round((1.0 - rate) * 256) / 256.0 if rate > 0 else 1.0
+    keep = quantized_keep_rate(rate)
     g = jnp.dot(dy, w2.T, preferred_element_type=jnp.float32)
     dh = jnp.where(h.astype(jnp.float32) > 0, g / keep, 0.0).astype(h.dtype)
     dx = jnp.dot(dh, w1.T, preferred_element_type=jnp.float32).astype(x.dtype)

@@ -180,7 +180,7 @@ def init(config: dict | None = None, project: str = "run", job_type: str = "trai
          notes: str | None = None, tags=None, run_dir: str | None = None, **kw):
     """wandb.init-compatible; returns the active Run (real or local)."""
     global run, _init_count
-    if _wandb_online():  # pragma: no cover
+    if _wandb_online():  # routed through the fake-wandb contract tests
         real_run = _real_wandb.init(config=config, project=project,
                                     job_type=job_type, notes=notes, tags=tags,
                                     **kw)
@@ -208,7 +208,7 @@ def init(config: dict | None = None, project: str = "run", job_type: str = "trai
     return run
 
 
-def _to_real_media(v):  # pragma: no cover - exercised via the fake-wandb test
+def _to_real_media(v):
     """Local Html/Audio stubs → real wandb media objects (recursively)."""
     if isinstance(v, Html):
         return _real_wandb.Html(v.html)
@@ -223,7 +223,7 @@ def _to_real_media(v):  # pragma: no cover - exercised via the fake-wandb test
 
 
 def log(data: dict, commit: bool = True):
-    if _wandb_online():  # pragma: no cover
+    if _wandb_online():  # routed through the fake-wandb contract tests
         return _real_wandb.log(_to_real_media(data), commit=commit)
     if run is not None:
         run.log(data, commit=commit)
@@ -231,14 +231,14 @@ def log(data: dict, commit: bool = True):
 
 def save(path: str, base_path: str | None = None):
     """wandb.save: files under run.dir are already persisted locally — no-op."""
-    if _wandb_online():  # pragma: no cover
+    if _wandb_online():  # routed through the fake-wandb contract tests
         return _real_wandb.save(path, base_path=base_path)
 
 
 def watch(model, log_freq: int = 1000):
     """Gradient/parameter histograms: recorded per-epoch by the train driver's
     metric dict instead of torch hooks; no-op here."""
-    if _wandb_online():  # pragma: no cover
+    if _wandb_online():  # routed through the fake-wandb contract tests
         try:
             _real_wandb.watch(model, log_freq=log_freq)
         except Exception:
@@ -247,7 +247,7 @@ def watch(model, log_freq: int = 1000):
 
 def finish():
     global run
-    if _wandb_online():  # pragma: no cover
+    if _wandb_online():  # routed through the fake-wandb contract tests
         return _real_wandb.finish()
     if run is not None:
         run.finish()
@@ -256,7 +256,7 @@ def finish():
 
 def ensure_configured() -> bool:
     """True when a run is active (reference dataset.py:145 gate)."""
-    if _wandb_online():  # pragma: no cover
+    if _wandb_online():  # routed through the fake-wandb contract tests
         return True
     return run is not None
 
