@@ -201,6 +201,11 @@ def main():
         "value": round(value, 1),
         "unit": "HVO seqs/sec/chip",
         "vs_baseline": round(vs, 2) if vs else None,
+        # vs_baseline compares against the SAME architecture+loss+SGD step in
+        # torch on this host's single CPU core (the reference publishes no
+        # numbers and no GPU exists here; BASELINE.md protocol) — it is NOT a
+        # reference-GPU comparison
+        "baseline": "torch-cpu-1core",
     }))
 
 

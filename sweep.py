@@ -80,31 +80,45 @@ def main(argv=None):
     project = sweep.get("project", "sweep")
     rng = random.Random(args.seed)
 
-    if args.batched:
-        return run_batched(sweep, metric, goal, rng, args)
-
-    import train as train_cli
-
-    results = []
-    for trial in range(args.count):
+    # one up-front sample so both modes see the identical search draw
+    trials = []
+    for _ in range(args.count):
         hp = sample_config(sweep, rng)
         if args.epochs is not None:
             hp["epochs"] = args.epochs
-        # only_final_eval is a driver flag, not a model hyperparameter
-        only_final = bool(hp.pop("only_final_eval", 1))
-        print(f"--- trial {trial}: {hp}")
-        cli = ["--paths", args.paths, "--wandb", "False",
-               "--eval_train", "False", "--eval_validation", "False",
-               "--dump_eval", "False",
-               "--only_final_eval", "True" if only_final else "False"]
-        for key, val in hp.items():
-            cli += [f"--{key}", str(val)]
-        try:
-            train_cli.main(cli)
-            value = read_final_metric(project, metric)
-        except Exception as e:
-            print(f"    trial failed: {e}")
-            value = None
+        trials.append(hp)
+
+    if args.batched:
+        return run_batched(trials, metric, goal, project, args)
+    return run_sequential(trials, metric, goal, project, args)
+
+
+def run_trial_sequential(hp: dict, project: str, metric: str, args):
+    """One trial through the full training driver; → metric value or None."""
+    import train as train_cli
+
+    hp = dict(hp)
+    # only_final_eval is a driver flag, not a model hyperparameter
+    only_final = bool(hp.pop("only_final_eval", 1))
+    cli = ["--paths", args.paths, "--wandb", "False",
+           "--eval_train", "False", "--eval_validation", "False",
+           "--dump_eval", "False",
+           "--only_final_eval", "True" if only_final else "False"]
+    for key, val in hp.items():
+        cli += [f"--{key}", str(val)]
+    try:
+        train_cli.main(cli)
+        return read_final_metric(project, metric)
+    except Exception as e:
+        print(f"    trial failed: {e}")
+        return None
+
+
+def run_sequential(trials, metric: str, goal: str, project: str, args) -> int:
+    results = []
+    for i, hp in enumerate(trials):
+        print(f"--- trial {i}: {hp}")
+        value = run_trial_sequential(hp, project, metric, args)
         results.append((value, hp))
         print(f"    {metric} = {value}")
 
@@ -125,8 +139,7 @@ def main(argv=None):
 _PER_TRIAL_KEYS = ("learning_rate", "hit_loss_penalty", "dropout")
 
 
-def run_batched(sweep: dict, metric: str, goal: str, rng: random.Random,
-                args) -> int:
+def run_batched(trials, metric: str, goal: str, project: str, args) -> int:
     """vmap-batched trials, honoring architecture-varying sweeps.
 
     The reference sweep YAMLs sample d_model/dim_feedforward/n_heads/layers
@@ -136,8 +149,18 @@ def run_batched(sweep: dict, metric: str, goal: str, rng: random.Random,
     continuous parameters, which ride the vmap as data); each group runs
     as one vmap program (train/vmap_sweep.py), singleton groups included, so
     the sampled search space is exactly the sequential mode's.
+
+    Sweeps batched mode can't rank (a non-loss metric or maximize goal) and
+    groups it can't train (non-sgd optimizers) **fall back to sequential
+    execution** with a note — every sweep YAML runs to a ranking either way.
     """
     import numpy as np
+
+    if goal != "minimize" or metric not in ("loss", "validation_loss"):
+        print(f"note: --batched ranks on eval loss (minimize); this sweep's "
+              f"metric {metric!r} (goal {goal}) needs the full driver — "
+              "falling back to sequential trials")
+        return run_sequential(trials, metric, goal, project, args)
 
     from transformergrooveinfilling_tpu.data import load_processed_dataset
     from transformergrooveinfilling_tpu.models import build_model
@@ -145,14 +168,8 @@ def run_batched(sweep: dict, metric: str, goal: str, rng: random.Random,
         HyperParams, derive_model_config)
     from transformergrooveinfilling_tpu.train.vmap_sweep import batched_sweep
 
-    trials = []
-    for _ in range(args.count):
-        cfg = sample_config(sweep, rng)
-        cfg.pop("only_final_eval", None)
-        if args.epochs is not None:
-            cfg["epochs"] = args.epochs
-        trials.append(cfg)
-
+    trials = [{k: v for k, v in t.items() if k != "only_final_eval"}
+              for t in trials]
     groups: dict = {}
     for i, cfg in enumerate(trials):
         key = tuple(sorted((k, v) for k, v in cfg.items()
@@ -172,9 +189,16 @@ def run_batched(sweep: dict, metric: str, goal: str, rng: random.Random,
                 if k not in _PER_TRIAL_KEYS}
         hp = HyperParams.from_dict(base)
         if hp.optimizer_algorithm != "sgd":
-            raise SystemExit(
-                "--batched supports the sgd sweeps the reference ships; run "
-                "without --batched for other optimizers")
+            # per-trial lrs can't enter an optax state as data — run these
+            # trials through the sequential driver instead (the logged
+            # final loss is the same quantity this mode ranks on)
+            print(f"--- group {gi}: optimizer "
+                  f"{hp.optimizer_algorithm!r} can't batch; running its "
+                  f"{len(idxs)} trial(s) sequentially")
+            for i in idxs:
+                losses_by_trial[i] = run_trial_sequential(
+                    trials[i], project, metric, args)
+            continue
         config = derive_model_config(hp)
         model = build_model(config)
         lrs = [float(trials[i].get("learning_rate", 0.05)) for i in idxs]
@@ -203,13 +227,11 @@ def run_batched(sweep: dict, metric: str, goal: str, rng: random.Random,
         for i, loss in zip(idxs, np.asarray(losses)):
             losses_by_trial[i] = float(loss)
 
-    # batched mode measures eval *loss* regardless of the YAML's metric —
-    # always rank ascending. Applying a "maximize" goal to a loss would
-    # present the worst trials as best.
-    if metric not in ("loss", "validation_loss") or goal != "minimize":
-        print(f"note: --batched ranks on eval loss (ascending); the sweep's "
-              f"metric {metric!r} (goal {goal}) is not computed in this mode")
-    order = np.argsort(losses_by_trial)
+    scored = [i for i, v in enumerate(losses_by_trial) if v is not None]
+    if not scored:
+        print("no successful trials")
+        return 1
+    order = sorted(scored, key=lambda i: losses_by_trial[i])
     for i in order[:5]:
         cfg = trials[i]
         print(f"  loss {losses_by_trial[i]:.4f}  "

@@ -58,7 +58,10 @@ def test_sequential_sweep_reference_yaml(in_repo, capsys, monkeypatch):
     assert "best loss = " in out
 
 
-def test_batched_rejects_non_sgd(in_repo, tmp_path):
+def test_batched_falls_back_sequential_for_non_sgd(in_repo, tmp_path, capsys):
+    """Non-sgd groups can't batch (per-trial lrs would need optax state as
+    data) — they must run through the sequential driver with a note, and the
+    sweep must still produce a ranking (VERDICT r2 directive #8)."""
     import yaml
 
     import sweep as sweep_cli
@@ -68,6 +71,31 @@ def test_batched_rejects_non_sgd(in_repo, tmp_path):
     spec["parameters"]["optimizer_algorithm"] = {"value": "adam"}
     path = tmp_path / "adam_sweep.yaml"
     path.write_text(yaml.safe_dump(spec))
-    with pytest.raises(SystemExit, match="sgd"):
-        sweep_cli.main(["--sweep", str(path), "--count", "1", "--seed", "206",
-                        "--epochs", "1", "--batched"])
+    rc = sweep_cli.main(["--sweep", str(path), "--count", "1", "--seed", "206",
+                         "--epochs", "1", "--batched"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "can't batch" in out and "sequentially" in out
+    assert "loss " in out  # still ranked
+
+
+def test_batched_falls_back_sequential_for_maximize_metric(in_repo, tmp_path,
+                                                           capsys):
+    """A maximize/non-loss metric can't be ranked by batched eval loss — the
+    whole sweep falls back to the sequential runner, which reads the metric
+    from the run sink."""
+    import yaml
+
+    import sweep as sweep_cli
+
+    with open(REF_SWEEP) as f:
+        spec = yaml.safe_load(f)
+    spec["metric"] = {"name": "loss", "goal": "maximize"}
+    path = tmp_path / "max_sweep.yaml"
+    path.write_text(yaml.safe_dump(spec))
+    rc = sweep_cli.main(["--sweep", str(path), "--count", "1", "--seed", "206",
+                         "--epochs", "1", "--batched"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "falling back to sequential" in out
+    assert "best loss = " in out

@@ -256,10 +256,15 @@ class EncoderLayer(nn.Module):
         x = DropAddLayerNorm(self.dropout, self.fused_dropout_ln,
                              self.fast_dropout,
                              name="norm1")(x, sa, deterministic)
+        # interpret-mode Pallas stubs the PRNG (every element kept but still
+        # rescaled by 1/keep — a silent train/eval activation mismatch), so
+        # off-TPU the fused path is only taken when dropout is a no-op
+        on_tpu = jax.default_backend() == "tpu"
         use_fused_ffn = (
             self.fused_ffn and not deterministic and x.ndim == 3
             and self.d_model % 128 == 0 and self.dim_feedforward % 128 == 0
             and isinstance(self.dropout, (int, float))
+            and (on_tpu or float(self.dropout) == 0.0)
         )
         if use_fused_ffn:
             from ..ops.fused_ffn import ffn_train
@@ -272,7 +277,7 @@ class EncoderLayer(nn.Module):
             seed = jax.random.randint(
                 self.make_rng("dropout"), (1,), 0, 2**31 - 1, dtype=jnp.int32)
             b, t = x.shape[0], x.shape[1]
-            interpret = jax.default_backend() != "tpu"
+            interpret = not on_tpu
             ff = ffn_train(
                 x.reshape(b * t, self.d_model).astype(cd),
                 w1.astype(cd), b1.astype(jnp.float32),

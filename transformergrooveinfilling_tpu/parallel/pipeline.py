@@ -111,7 +111,8 @@ def _stage_fn(stacked_local, h_micro, key, *, cfg: GrooveTransformerConfig,
     layer = layer_cls(cfg.d_model, cfg.n_heads, cfg.dim_feedforward,
                       cfg.dropout, use_pallas=cfg.use_pallas_attention,
                       fused_dropout_ln=cfg.fused_dropout_ln,
-                      fast_dropout=cfg.fast_dropout, dtype=cfg.compute_dtype)
+                      fast_dropout=cfg.fast_dropout, dtype=cfg.compute_dtype,
+                      fused_ffn=cfg.fused_ffn)
     perm = [(i, (i + 1) % S) for i in range(S)]
 
     def apply_local(x, step):

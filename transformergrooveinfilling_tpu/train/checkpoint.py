@@ -98,6 +98,7 @@ def _write_checkpoint(ckpt_dir: str, run_id: str, epoch: int, payload: dict,
              "meta": {"epoch": epoch, "loss": float(loss), "run_id": run_id,
                       "config": json.dumps(_config_dict(config))}}
         ))
+    _blob_cache.clear()  # never serve a pre-overwrite parse of this path
     return path
 
 
@@ -107,14 +108,18 @@ def _config_dict(config: GrooveTransformerConfig) -> dict:
     return d
 
 
-_blob_cache: dict = {}  # (path, mtime) → parsed blob (size 1)
+_blob_cache: dict = {}  # (path, mtime_ns, size) → parsed blob (size 1)
 
 
 def _read_blob(path: str):
-    """Parse a native checkpoint once per (path, mtime) — restore paths read
-    the config and then the state from the same file, and re-parsing the
-    whole parameter payload twice doubles restore time for large models."""
-    key = (os.path.abspath(path), os.path.getmtime(path))
+    """Parse a native checkpoint once per (path, mtime_ns, size) — restore
+    paths read the config and then the state from the same file, and
+    re-parsing the whole parameter payload twice doubles restore time for
+    large models. mtime_ns+size (not float mtime) so an overwrite landing
+    within coarse-mtime granularity still invalidates; saves through
+    :func:`_write_checkpoint` drop the entry explicitly as well."""
+    st = os.stat(path)
+    key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
     if _blob_cache.get("key") != key:
         with open(path, "rb") as f:
             blob = serialization.msgpack_restore(f.read())
@@ -124,15 +129,15 @@ def _read_blob(path: str):
 
 
 def load_checkpoint(path: str):
-    """→ (params, opt_state, epoch, loss). Arrays come back as numpy."""
+    """→ (params, opt_state, epoch, loss). Arrays come back as numpy,
+    copied out of the parse cache so repeated loads never alias one
+    mutable buffer."""
     blob = _read_blob(path)
     meta = blob["meta"]
-    return (
-        blob["state"]["params"],
-        blob["state"]["opt_state"],
-        int(meta["epoch"]),
-        float(meta["loss"]),
-    )
+    fresh = jax.tree.map(
+        lambda a: np.array(a) if isinstance(a, np.ndarray) else a,
+        (blob["state"]["params"], blob["state"]["opt_state"]))
+    return fresh[0], fresh[1], int(meta["epoch"]), float(meta["loss"])
 
 
 def load_checkpoint_config(path: str) -> GrooveTransformerConfig:

@@ -39,15 +39,19 @@ def init_stacked_params(model, config, n_trials: int, rng):
 
 def make_batched_sweep_fn(model, batch_size: int, n_samples: int,
                           n_epochs: int, encoder_only: bool = True,
-                          config=None):
+                          config=None, rates_as_data: bool = True):
     """Compile ``(stacked_params, lrs, penalties, rates, inputs, outputs,
     key) -> (stacked_params, final_losses)``.
 
     Every trial sees the same shuffled batches; dropout streams differ per
-    trial (fold_in on the trial index), and each trial's dropout *rate*
-    enters as data: the model is rebuilt inside the vmapped step with the
-    traced rate as its dropout attribute (forced onto the fast 8-bit path,
-    whose threshold is a plain integer compare).
+    trial (fold_in on the trial index). With ``rates_as_data`` (per-trial
+    dropout rates), the model is rebuilt inside the vmapped step with the
+    traced rate as its dropout attribute — a non-static rate routes every
+    dropout site through the fast 8-bit path on its own (models/transformer
+    ``Dropout``), so the config's ``fast_dropout`` preference is never
+    overridden for static-rate sweeps: pass ``rates_as_data=False`` when all
+    trials share one rate and the model's configured dropout path (flax
+    ``nn.Dropout`` included) is used bit-for-bit as in the sequential runner.
     """
     from ..models import build_model
 
@@ -56,9 +60,8 @@ def make_batched_sweep_fn(model, batch_size: int, n_samples: int,
 
     def trial_step(params, lr, penalty, rate, x, y, w, dropout_key):
         model_t = model
-        if config is not None:
-            model_t = build_model(dataclasses.replace(
-                config, dropout=rate, fast_dropout=True))
+        if config is not None and rates_as_data:
+            model_t = build_model(dataclasses.replace(config, dropout=rate))
 
         def loss_fn(p):
             args = (x,) if encoder_only else (x, y)
@@ -111,18 +114,29 @@ def batched_sweep(model, config, inputs, outputs, lrs, penalties,
     """Run K SGD trials in one program → (stacked_params, final_losses).
 
     ``rates``: optional per-trial dropout rates (defaults to the config's
-    rate for every trial)."""
+    rate for every trial). Uniform rates stay static — the model keeps its
+    configured dropout path (incl. ``fast_dropout=False``); only genuinely
+    per-trial rates ride the vmap as data."""
+    import numpy as np
+
+    from ..models import build_model
+
     lrs = jnp.asarray(lrs, jnp.float32)
     penalties = jnp.asarray(penalties, jnp.float32)
     assert lrs.shape == penalties.shape
     rates = (jnp.full_like(lrs, config.dropout) if rates is None
              else jnp.asarray(rates, jnp.float32))
     assert rates.shape == lrs.shape
+    rates_np = np.asarray(rates)
+    uniform = bool(np.all(rates_np == rates_np[0]))
+    if uniform and float(rates_np[0]) != config.dropout:
+        config = dataclasses.replace(config, dropout=float(rates_np[0]))
+        model = build_model(config)
     stacked = init_stacked_params(model, config, lrs.shape[0],
                                   jax.random.PRNGKey(seed))
     fn = make_batched_sweep_fn(model, batch_size, inputs.shape[0], epochs,
                                encoder_only=config.encoder_only,
-                               config=config)
+                               config=config, rates_as_data=not uniform)
     return fn(stacked, lrs, penalties, rates, jnp.asarray(inputs),
               jnp.asarray(outputs), jax.random.PRNGKey(seed + 1))
 
