@@ -99,3 +99,46 @@ def test_get_stats_from_evaluator_csv(tmp_path):
     np.testing.assert_allclose(
         df["Statistical::NoI__Ground_Truth"],
         df["Statistical::NoI__Prediction"])
+
+
+def test_vel_similarity_score_formula():
+    """1 − velocity-MSE at GT-hit cells (VERDICT r2 directive #3): identical
+    grooves score exactly 1; a uniform velocity error d at every GT-hit cell
+    scores 1 − d²; velocities at non-hit cells are ignored."""
+    from transformergrooveinfilling_tpu.eval.features import (
+        vel_similarity_score,
+    )
+
+    h = np.zeros((1, 32, N_VOICES), np.float32)
+    h[0, ::4, 0] = 1  # 8 kick hits
+    gt = _hvo(h, v=h * 0.8)
+    np.testing.assert_allclose(vel_similarity_score(gt, gt), [1.0])
+
+    pred = _hvo(h, v=h * 0.5)  # off by 0.3 at every hit
+    np.testing.assert_allclose(
+        vel_similarity_score(pred, gt), [1.0 - 0.3**2], rtol=1e-6)
+
+    # garbage velocities where GT has no hits must not matter
+    noisy = pred.copy()
+    noisy[0, 1::4, N_VOICES] = 0.99  # non-hit cells of voice 0
+    np.testing.assert_allclose(
+        vel_similarity_score(noisy, gt), [1.0 - 0.3**2], rtol=1e-6)
+
+
+def test_stats_table_vel_similarity_not_constant():
+    """The stats CSV's retained "Vel Similarity Score" column must measure
+    prediction fidelity, not render a constant placeholder."""
+    rng = np.random.default_rng(7)
+    h = (rng.random((6, 32, N_VOICES)) < 0.3).astype(np.float32)
+    gt = _hvo(h, v=h * 0.8)
+    pred_perfect = gt.copy()
+    pred_bad = _hvo(h, v=h * 0.2)
+    tags = ["funk"] * 3 + ["rock"] * 3
+    col = "Statistical::Vel Similarity Score__Prediction"
+    df_perfect = features_table(gt, pred_perfect, tags)
+    df_bad = features_table(gt, pred_bad, tags)
+    np.testing.assert_allclose(df_perfect[col], 1.0)
+    assert (df_bad[col] < 1.0).all()
+    # GT against itself is exactly 1 by construction
+    np.testing.assert_allclose(
+        df_bad["Statistical::Vel Similarity Score__Ground_Truth"], 1.0)

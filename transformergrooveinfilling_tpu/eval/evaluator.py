@@ -44,6 +44,30 @@ def style_filters(styles=EVAL_STYLES):
     ]
 
 
+def _progress(items, desc: str, disable: bool):
+    """tqdm-style progress over the media synthesis loops (the reference wraps
+    them in tqdm gated on ``disable_tqdm``, evaluator.py:292-296); falls back
+    to plain stderr counters when tqdm is unavailable."""
+    items = list(items)
+    if disable or not items:
+        return items
+    try:
+        from tqdm import tqdm
+
+        return tqdm(items, desc=desc)
+    except ImportError:
+        import sys
+
+        def gen():
+            for i, it in enumerate(items):
+                print(f"\r{desc}: {i + 1}/{len(items)}", end="",
+                      file=sys.stderr)
+                yield it
+            print(file=sys.stderr)
+
+        return gen()
+
+
 def proportional_budget(sizes: list, budget: int) -> list:
     """Apportion ``budget`` eval slots across style subsets proportionally
     (largest-remainder), guaranteeing every non-empty subset >= 1 slot while
@@ -154,7 +178,10 @@ class HVOSeqSubsetInfillingEvaluator:
         input context before synthesis."""
         sampled = self.get_hvo_samples_located_at(use_specific_samples_at)
         out = []
-        for key, samples in sampled.items():
+        for key, samples in _progress(
+                sampled.items(),
+                f"Synthesizing samples - {self.set_identifier}",
+                self.disable_tqdm):
             for idx, sample in enumerate(samples):
                 merged = (
                     self.add_removed_part_to_hvo(sample.copy(), key, idx)
@@ -173,7 +200,10 @@ class HVOSeqSubsetInfillingEvaluator:
 
         sampled = self.get_hvo_samples_located_at(use_specific_samples_at)
         tab_titles, tabs = [], []
-        for tag in sorted(sampled):
+        for tag in _progress(
+                sorted(sampled),
+                f"Creating piano rolls for {self.set_identifier}",
+                self.disable_tqdm):
             rolls = []
             for idx, sample in enumerate(sampled[tag]):
                 s = sample.copy()
@@ -189,7 +219,8 @@ class HVOSeqSubsetInfillingEvaluator:
         from .media import velocity_heatmap_html
 
         sampled = self.get_hvo_samples_located_at(use_specific_samples_at)
-        return velocity_heatmap_html(sampled, self.set_identifier)
+        return velocity_heatmap_html(sampled, self.set_identifier,
+                                     horizontal=self.horizontal)
 
     def get_logging_dict(self, velocity_heatmap_html=True,
                          global_features_html=True, piano_roll_html=True,
@@ -206,7 +237,9 @@ class HVOSeqSubsetInfillingEvaluator:
             out["piano_rolls"] = self.get_piano_rolls(use_specific_samples_at)
             out["piano_rolls_plus_inputs"] = self.get_piano_rolls(
                 use_specific_samples_at, add_inputs=True)
-        if velocity_heatmap_html:
+        # analyze_heatmap=False disables heatmap rendering entirely (the
+        # constructor flag the reference exposes; round 2 ignored it)
+        if velocity_heatmap_html and self.analyze_heatmap:
             out["velocity_heatmaps"] = self.get_velocity_heatmaps(
                 use_specific_samples_at)
         if audio_files:
@@ -348,7 +381,8 @@ class InfillingEvaluator:
         self.gt_SubSet_Evaluator = HVOSeqSubsetInfillingEvaluator(
             self._gt_subsets, self._gt_tags,
             "Ground_Truth_" + self._identifier,
-            disable_tqdm=disable_tqdm, horizontal=horizontal, is_gt=True,
+            disable_tqdm=disable_tqdm, horizontal=horizontal,
+            analyze_heatmap=analyze_heatmap, is_gt=True,
         )
         self.audio_sample_locations = self.get_sample_indices(
             n_samples_to_synthesize_visualize_per_subset)
@@ -396,7 +430,7 @@ class InfillingEvaluator:
             self._prediction_subsets, self._prediction_tags,
             "Predictions_" + self._identifier,
             disable_tqdm=self.disable_tqdm, horizontal=self.horizontal,
-            is_gt=False,
+            analyze_heatmap=self.analyze_heatmap, is_gt=False,
         )
 
         # soundfonts + input-context sequences for the sampled audio locations

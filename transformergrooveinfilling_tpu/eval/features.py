@@ -95,9 +95,31 @@ def witek_polyphonic_syncopation(h: np.ndarray) -> np.ndarray:
     return score
 
 
-def statistical_features(hvo: np.ndarray) -> dict:
+def vel_similarity_score(hvo: np.ndarray, reference_hvo: np.ndarray) -> np.ndarray:
+    """Per-item velocity similarity vs a reference groove: ``1 − velocity-MSE
+    at the reference's hit cells`` (velocities live in [0, 1], so the score
+    does too; identical grooves score exactly 1).
+
+    The reference retains a "Vel Similarity Score" column in its stats table
+    (/root/reference/evaluator.py:544-580 keeps it out of the drop list); the
+    formula lives in the absent GrooveEvaluator submodule, so this is the
+    re-derived measure (VERDICT r2 directive #3): how well the prediction's
+    velocities match ground truth where ground truth actually has hits.
+    """
+    n_v = hvo.shape[-1] // 3
+    v_self = hvo[..., n_v : 2 * n_v]
+    v_ref = reference_hvo[..., n_v : 2 * n_v]
+    h_ref = (reference_hvo[..., :n_v] > 0).astype(np.float32)
+    sq = ((v_self - v_ref) ** 2) * h_ref
+    return 1.0 - sq.sum(axis=(1, 2)) / np.maximum(h_ref.sum(axis=(1, 2)), 1)
+
+
+def statistical_features(hvo: np.ndarray, reference_hvo: np.ndarray | None = None) -> dict:
     """``Statistical::*`` family over a stacked ``(N, T, 3V)`` array → dict of
-    (N,) vectors."""
+    (N,) vectors.
+
+    ``reference_hvo``: comparison corpus for the similarity feature (the GT
+    stack when scoring predictions); omitted → self-comparison (score 1)."""
     n_v = hvo.shape[-1] // 3
     h = hvo[..., :n_v]
     v = hvo[..., n_v : 2 * n_v]
@@ -125,7 +147,8 @@ def statistical_features(hvo: np.ndarray) -> dict:
         "Lowness": low / safe_hits,
         "Midness": mid / safe_hits,
         "Hiness": high / safe_hits,
-        "Vel Similarity Score": np.ones(len(h), np.float32),  # GT==GT placeholder
+        "Vel Similarity Score": vel_similarity_score(
+            hvo, reference_hvo if reference_hvo is not None else hvo),
         "Weak to Strong Ratio": _weak_to_strong(h),
         "Poly Velocity Mean": vel_mean,
         "Poly Velocity std": vel_std,
@@ -225,7 +248,12 @@ def features_table(gt: np.ndarray, pred: np.ndarray, tags: list) -> "pd.DataFram
     columns: dict[str, list] = {}
     for src_name, arr in (("Ground_Truth", gt), ("Prediction", pred)):
         for fam, fn in ALL_FAMILIES.items():
-            feats = fn(np.asarray(arr))
+            # the similarity feature scores each source against GT: the
+            # Prediction column measures velocity fidelity at GT-hit cells
+            # (GT against itself is exactly 1)
+            kwargs = ({"reference_hvo": np.asarray(gt)}
+                      if fam == "Statistical" else {})
+            feats = fn(np.asarray(arr), **kwargs)
             for feat, vec in feats.items():
                 col = f"{fam}::{feat}__{src_name}"
                 per_tag = [float(np.mean(vec[tags_arr == t])) for t in unique_tags]

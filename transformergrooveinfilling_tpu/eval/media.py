@@ -63,9 +63,16 @@ def piano_roll_html(seq, title: str = "piano_roll") -> str:
     return "".join(parts)
 
 
-def velocity_heatmap_html(subsets: dict, identifier: str) -> str:
+def velocity_heatmap_html(subsets: dict, identifier: str,
+                          horizontal: bool = True) -> str:
     """Per-style heatmap: mean velocity per (voice, step) across the subset
-    (the reference's bokeh velocity heatmaps, evaluator.py:427-442)."""
+    (the reference's bokeh velocity heatmaps, evaluator.py:427-442).
+
+    ``horizontal``: time runs left→right with one row per voice (default);
+    ``False`` transposes the grid (time top→bottom, one column per voice) —
+    the orientation semantics this stack assigns to the evaluator's
+    ``horizontal`` flag, which the reference stores but never reads
+    (/root/reference/evaluator.py:42,278; PARITY.md)."""
     sections = []
     titles = []  # parallel to sections: empty subsets are skipped, so the
     # tab labels must be collected alongside (not taken from sorted(subsets))
@@ -78,24 +85,41 @@ def velocity_heatmap_html(subsets: dict, identifier: str) -> str:
         n = stack.shape[2] // 3
         vel = stack[:, :, n : 2 * n].mean(axis=0).T  # (V, T)
         t = vel.shape[1]
-        width = _LABEL_W + t * _CELL_W + 10
-        height = (n + 1) * _CELL_H + 30
+        if horizontal:
+            width = _LABEL_W + t * _CELL_W + 10
+            height = (n + 1) * _CELL_H + 30
+        else:
+            width = _LABEL_W + n * _CELL_W + 10
+            height = (t + 1) * _CELL_H + 30
         parts = [_svg_header(width, height, f"{identifier}:{tag}")]
         parts.append(
             f'<text x="4" y="14" font-weight="bold">{_html.escape(tag)} '
             f'(n={len(samples)})</text>')
         vmax = max(vel.max(), 1e-6)
-        for v in range(n):
-            y = 24 + v * _CELL_H
-            name = VOICE_NAMES[v] if v < len(VOICE_NAMES) else f"v{v}"
-            parts.append(f'<text x="4" y="{y + 13}">{_html.escape(name)}</text>')
-            for step in range(t):
-                val = vel[v, step] / vmax
+        if horizontal:
+            for v in range(n):
+                y = 24 + v * _CELL_H
+                name = VOICE_NAMES[v] if v < len(VOICE_NAMES) else f"v{v}"
                 parts.append(
-                    f'<rect x="{_LABEL_W + step * _CELL_W}" y="{y + 1}" '
-                    f'width="{_CELL_W - 2}" height="{_CELL_H - 2}" '
-                    f'fill="#b2182b" fill-opacity="{val:.2f}" '
-                    f'stroke="#f0f0f0"/>')
+                    f'<text x="4" y="{y + 13}">{_html.escape(name)}</text>')
+                for step in range(t):
+                    val = vel[v, step] / vmax
+                    parts.append(
+                        f'<rect x="{_LABEL_W + step * _CELL_W}" y="{y + 1}" '
+                        f'width="{_CELL_W - 2}" height="{_CELL_H - 2}" '
+                        f'fill="#b2182b" fill-opacity="{val:.2f}" '
+                        f'stroke="#f0f0f0"/>')
+        else:  # vertical: rows = time steps, columns = voices
+            for step in range(t):
+                y = 24 + step * _CELL_H
+                parts.append(f'<text x="4" y="{y + 13}">t{step}</text>')
+                for v in range(n):
+                    val = vel[v, step] / vmax
+                    parts.append(
+                        f'<rect x="{_LABEL_W + v * _CELL_W}" y="{y + 1}" '
+                        f'width="{_CELL_W - 2}" height="{_CELL_H - 2}" '
+                        f'fill="#b2182b" fill-opacity="{val:.2f}" '
+                        f'stroke="#f0f0f0"/>')
         parts.append("</svg>")
         sections.append("".join(parts))
     return tabs_html(sections, titles) if sections else ""

@@ -133,6 +133,7 @@ def run_training(
     streamer=None,
     on_device_augment=None,
     augment_per_epoch: bool = True,
+    watch_log_freq: int | None = 1000,
 ) -> ModelBundle:
     """Full training run: the reference epoch loop, compiled.
 
@@ -150,6 +151,10 @@ def run_training(
     pass the clean base grids as the dataset's processed_inputs/outputs.
     Mutually exclusive with ``streamer``. ``augment_per_epoch=False``
     regenerates once per epoch_block instead (cheaper for the audio mode).
+    ``watch_log_freq``: per-tensor gradient/parameter histograms every N
+    training steps (the reference's ``wandb.watch(model, log_freq=1000)``,
+    /root/reference/train.py:150), logged under ``gradients/<path>`` /
+    ``parameters/<path>``; ``None`` disables.
     """
     from ..eval.evaluator import log_eval
 
@@ -275,6 +280,13 @@ def run_training(
     if os.environ.get("TGI_PROFILE") and run is not None:
         profile_dir = os.path.join(run.dir, "profile")
 
+    # wandb.watch cadence: histograms whenever cumulative steps cross a
+    # multiple of watch_log_freq (lazy-compiled on first use)
+    steps_per_epoch = -(-n // hp.batch_size)
+    steps_done = initial_epoch * steps_per_epoch
+    watch_events = steps_done // watch_log_freq if watch_log_freq else 0
+    watch_fn = None
+
     ep = initial_epoch
     while ep < hp.epochs:
         block = min(epoch_block, hp.epochs - ep)
@@ -316,6 +328,23 @@ def run_training(
         last_ep = ep - 1  # epoch index the metrics/evals belong to
         block_epochs = range(ep - block, ep)
         xlog.log({**metrics, "epoch": last_ep}, commit=False)
+
+        steps_done += block * steps_per_epoch
+        if (watch_log_freq and inputs is not None
+                and steps_done // watch_log_freq > watch_events):
+            watch_events = steps_done // watch_log_freq
+            if watch_fn is None:
+                from .loop import make_watch_fn
+
+                watch_fn = make_watch_fn(
+                    bundle.model, hp.hit_loss_penalty, hp.batch_size,
+                    encoder_only=encoder_only, augment=on_device_augment)
+            key, watch_key = jax.random.split(key)
+            hists = watch_fn(state.params, inputs, outputs, watch_key)
+            xlog.log(
+                {k: xlog.Histogram(np.asarray(c), np.asarray(e))
+                 for k, (c, e) in hists.items()},
+                commit=False)
 
         save_now = any(e in epoch_save_partial or e in epoch_save_all
                        for e in block_epochs)

@@ -193,6 +193,49 @@ def make_epoch_fn(
     return jax.jit(single, donate_argnums=donate_argnums)
 
 
+def make_watch_fn(model, hit_loss_penalty: float, batch_size: int,
+                  encoder_only: bool = True, bins: int = 64, augment=None):
+    """TPU-native ``wandb.watch``: one jitted pass computing per-tensor
+    histograms of the parameters and of the gradients from a representative
+    batch (the reference's torch hooks log the most recent backward every
+    ``log_freq`` steps, /root/reference/train.py:150 — here the extra
+    forward+backward costs one step per watch event, dwarfed by the 1000-step
+    cadence). Returns ``watch(params, inputs, outputs, key) ->
+    {key: (counts, edges)}`` with wandb.watch's key naming
+    (``gradients/<path>``, ``parameters/<path>``); the batch slice, the
+    optional on-device augmentation, and the min/max bin ranges all run
+    inside one compiled program, so the host only receives 64-bin summaries."""
+
+    def flatten(tree, prefix):
+        out = {}
+        for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+            name = "/".join(
+                getattr(p, "key", getattr(p, "name", str(getattr(p, "idx", p))))
+                for p in path)
+            out[f"{prefix}/{name}"] = jnp.histogram(
+                leaf.astype(jnp.float32), bins=bins)
+        return out
+
+    @jax.jit
+    def watch(params, inputs, outputs, key):
+        if augment is not None:  # same front end the training step sees
+            aug_key, key = jax.random.split(key)
+            inputs, outputs = augment(aug_key, inputs, outputs)
+        x = inputs[:batch_size]
+        y = outputs[:batch_size]
+
+        def loss_fn(p):
+            args = (x,) if encoder_only else (x, y)
+            pred = model.apply({"params": p}, *args, deterministic=False,
+                               rngs={"dropout": key})
+            return calculate_loss(pred, y, hit_loss_penalty).total_loss
+
+        grads = jax.grad(loss_fn)(params)
+        return {**flatten(params, "parameters"), **flatten(grads, "gradients")}
+
+    return watch
+
+
 def make_eval_loss_fn(model, hit_loss_penalty: float,
                       encoder_only: bool = True):
     """Deterministic held-out loss (the val/test losses the reference's

@@ -67,6 +67,11 @@ class Run:
                 out[key] = self._write_media(key, "html", v.html.encode())
             elif isinstance(v, Audio):
                 out[key] = self._write_audio(key, v)
+            elif isinstance(v, Histogram):
+                # wandb's own JSONL encoding for histograms
+                out[key] = {"_type": "histogram",
+                            "values": [int(c) for c in v.counts],
+                            "bins": [float(b) for b in v.bins]}
             elif isinstance(v, (list, tuple)) and v and isinstance(
                     v[0], (Html, Audio)):
                 out[key] = [
@@ -209,12 +214,15 @@ def init(config: dict | None = None, project: str = "run", job_type: str = "trai
 
 
 def _to_real_media(v):
-    """Local Html/Audio stubs → real wandb media objects (recursively)."""
+    """Local Html/Audio/Histogram stubs → real wandb media (recursively)."""
     if isinstance(v, Html):
         return _real_wandb.Html(v.html)
     if isinstance(v, Audio):
         return _real_wandb.Audio(v.data, sample_rate=v.sample_rate,
                                  caption=getattr(v, "caption", None))
+    if isinstance(v, Histogram):
+        return _real_wandb.Histogram(np_histogram=(list(v.counts),
+                                                   list(v.bins)))
     if isinstance(v, dict):
         return {k: _to_real_media(x) for k, x in v.items()}
     if isinstance(v, (list, tuple)):
@@ -236,8 +244,14 @@ def save(path: str, base_path: str | None = None):
 
 
 def watch(model, log_freq: int = 1000):
-    """Gradient/parameter histograms: recorded per-epoch by the train driver's
-    metric dict instead of torch hooks; no-op here."""
+    """Reference ``wandb.watch(model, log_freq=1000)`` contract
+    (/root/reference/train.py:150). The torch hook mechanism doesn't apply to
+    jitted JAX training, so the per-tensor gradient/parameter histograms are
+    produced by the train driver instead (train/loop.py::make_watch_fn, wired
+    in run_training's ``watch_log_freq``) and logged under wandb.watch's key
+    names (``gradients/<path>``, ``parameters/<path>``) as
+    :class:`Histogram` records. This function only forwards the registration
+    to real wandb when online; the histogram cadence is the driver's."""
     if _wandb_online():  # routed through the fake-wandb contract tests
         try:
             _real_wandb.watch(model, log_freq=log_freq)
@@ -274,3 +288,12 @@ class Audio:
         self.data = data
         self.caption = caption
         self.sample_rate = sample_rate
+
+
+class Histogram:
+    """Minimal stand-in for wandb.Histogram: pre-binned counts + bin edges
+    (len(bins) == len(counts) + 1), persisted in wandb's histogram JSON."""
+
+    def __init__(self, counts, bins):
+        self.counts = counts
+        self.bins = bins
