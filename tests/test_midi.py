@@ -224,3 +224,147 @@ def test_constant_tempo_unaffected_by_segmentation():
     assert all(s.tempos[0].qpm == 120.0 for s in seqs)
     assert seqs[0].metadata.loop_id.endswith("_0")  # no _seg tag
     assert "_seg" not in seqs[0].metadata.loop_id
+
+
+def _track_div(events, division):
+    """_track with an explicit MThd division word (SMPTE tests)."""
+    import struct as _struct
+
+    from transformergrooveinfilling_tpu.data.midi import _varlen
+
+    events = sorted(events, key=lambda e: e[0])
+    track = b""
+    prev = 0
+    for tick, payload in events:
+        track += _varlen(tick - prev) + payload
+        prev = tick
+    track += _varlen(0) + b"\xff\x2f\x00"
+    return (b"MThd" + _struct.pack(">IHHH", 6, 0, 1, division)
+            + b"MTrk" + _struct.pack(">I", len(track)) + track)
+
+
+def test_smpte_division_grids_correctly():
+    """SMPTE division (high bit set): ticks are absolute time, not metric —
+    round 2 treated the division word as PPQ and silently mis-gridded these
+    files (VERDICT r2 directive #7). fps=25 × 40 ticks/frame = 1000 ticks/s;
+    at 120 qpm a 16th is 125 ms → 125 ticks/step."""
+    division = ((256 - 25) << 8) | 40
+    events = [(0, _tempo(500000)), (0, _tsig(4, 2))]
+    events += [(s * 125, _kick()) for s in range(0, 32, 4)]
+    seqs = midi_to_hvo_sequences(_track_div(events, division))
+    assert len(seqs) == 1
+    assert seqs[0].hits[:, 0].sum() == 8
+    np.testing.assert_array_equal(np.nonzero(seqs[0].hits[:, 0])[0],
+                                  np.arange(0, 32, 4))
+    # offsets exactly on-grid
+    np.testing.assert_allclose(seqs[0].offsets, 0.0, atol=1e-9)
+
+
+def test_smpte_division_follows_tempo_changes():
+    """Under SMPTE timing the grid spacing depends on the segment tempo:
+    doubling qpm halves the ticks-per-step."""
+    division = ((256 - 25) << 8) | 40  # 1000 ticks/s
+    events = [(0, _tempo(500000)), (0, _tsig(4, 2))]          # 120 qpm
+    events += [(s * 125, _kick()) for s in range(0, 32, 4)]
+    events += [(32 * 125, _tempo(250000))]                    # 240 qpm
+    events += [(32 * 125 + s * 63, _kick()) for s in range(0, 32, 4)]
+    seqs = midi_to_hvo_sequences(_track_div(events, division))
+    assert [s.tempos[0].qpm for s in seqs] == [120.0, 240.0]
+    assert seqs[1].hits[:, 0].sum() == 8
+    np.testing.assert_array_equal(np.nonzero(seqs[1].hits[:, 0])[0],
+                                  np.arange(0, 32, 4))
+
+
+@pytest.mark.parametrize("mutate, match", [
+    (lambda b: b[:10], "truncated MIDI header"),
+    (lambda b: b"XXXX" + b[4:], "not a Standard MIDI File"),
+    (lambda b: b[:20], "MTrk"),
+    (lambda b: b[:40], "truncated"),
+    # division word of zero ticks/quarter
+    (lambda b: b[:12] + b"\x00\x00" + b[14:], "division of 0"),
+    # SMPTE division with 0 ticks/frame
+    (lambda b: b[:12] + bytes([256 - 25, 0]) + b[14:], "0 ticks/frame"),
+])
+def test_malformed_midi_raises_valueerror(mutate, match):
+    """Malformed input dies with a named ValueError, never an IndexError or
+    struct.error (a ~20k-file GMD drop will contain some of everything)."""
+    tps = 120
+    events = [(0, _tempo(500000)), (0, _tsig(4, 2))]
+    events += [(s * tps, _kick()) for s in range(0, 32, 4)]
+    good = _track(events)
+    with pytest.raises(ValueError, match=match):
+        parse_midi(mutate(good))
+
+
+def test_truncation_sweep_never_crashes_ungracefully():
+    """Every prefix of a valid file either parses or raises ValueError."""
+    tps = 120
+    events = [(0, _tempo(500000)), (0, _tsig(4, 2))]
+    events += [(s * tps, _kick()) for s in range(0, 32, 4)]
+    good = _track(events)
+    for cut in range(len(good)):
+        try:
+            parse_midi(good[:cut])
+        except ValueError:
+            pass  # the only acceptable failure mode
+
+
+def test_byte_fuzz_never_crashes_ungracefully():
+    """Single-byte corruptions at every position: parse or ValueError."""
+    tps = 120
+    events = [(0, _tempo(500000))]
+    events += [(s * tps, _kick()) for s in range(0, 8, 4)]
+    good = bytearray(_track(events))
+    rng = np.random.default_rng(0)
+    for pos in range(len(good)):
+        bad = bytearray(good)
+        bad[pos] = int(rng.integers(0, 256))
+        try:
+            parse_midi(bytes(bad))
+        except ValueError:
+            pass
+
+
+def test_overlong_varint_rejected():
+    blob = (b"MThd" + b"\x00\x00\x00\x06\x00\x00\x00\x01\x01\xe0"
+            + b"MTrk" + b"\x00\x00\x00\x06" + b"\xff\xff\xff\xff\xff\x00")
+    with pytest.raises(ValueError, match="varint"):
+        parse_midi(blob)
+
+
+def test_running_status_without_prior_status_rejected():
+    blob = (b"MThd" + b"\x00\x00\x00\x06\x00\x00\x00\x01\x01\xe0"
+            + b"MTrk" + b"\x00\x00\x00\x03" + b"\x00\x24\x40")
+    with pytest.raises(ValueError, match="running status"):
+        parse_midi(blob)
+
+
+def test_gmd_tree_survives_corrupt_and_quirky_rows(tmp_path):
+    """info.csv quirks (missing bpm, absent file, style without a slash) and
+    a corrupt .mid in the archive must not abort the conversion."""
+    root = tmp_path / "gmd"
+    os.makedirs(root / "drummer1", exist_ok=True)
+    tps = 120
+    events = [(0, _tempo(500000)), (0, _tsig(4, 2))]
+    events += [(s * tps, _kick()) for s in range(0, 32, 4)]
+    (root / "drummer1" / "good.mid").write_bytes(_track(events))
+    (root / "drummer1" / "corrupt.mid").write_bytes(_track(events)[:37])
+    with open(root / "info.csv", "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=[
+            "drummer", "session", "id", "style", "bpm", "beat_type",
+            "time_signature", "midi_filename", "split"])
+        w.writeheader()
+        w.writerow({"drummer": "drummer1", "session": "s1", "id": "1",
+                    "style": "funk", "bpm": "", "beat_type": "beat",
+                    "time_signature": "4-4",
+                    "midi_filename": "drummer1/good.mid", "split": "train"})
+        w.writerow({"drummer": "drummer1", "session": "s1", "id": "2",
+                    "style": "rock/alt", "bpm": "120", "beat_type": "beat",
+                    "time_signature": "4-4",
+                    "midi_filename": "drummer1/corrupt.mid", "split": "train"})
+        w.writerow({"drummer": "drummer1", "session": "s1", "id": "3",
+                    "style": "jazz", "bpm": "95", "beat_type": "beat",
+                    "time_signature": "4-4",
+                    "midi_filename": "drummer1/missing.mid", "split": "train"})
+    counts = gmd_to_processed_tree(str(root), str(tmp_path / "out"))
+    assert counts == {"train": 1}  # good row only; quirky rows skipped cleanly
