@@ -262,3 +262,38 @@ def test_coalescer_failure_keeps_released_results():
     # invariant holds: no caller observes both an error and a result
     assert len(errors) + len(results) == 4
     assert errors, "the batch failure must propagate to its waiters"
+
+
+def test_fused_mha_causal_matches_masked_reference(rng):
+    """The in-kernel causal mask (decoder self-attention under use_pallas)
+    equals the einsum path with an explicit tril mask."""
+    import math
+
+    q = jnp.asarray(rng.standard_normal((2, 4, 32, 16)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((2, 4, 32, 16)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((2, 4, 32, 16)), jnp.float32)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(16)
+    tril = jnp.tril(jnp.ones((32, 32), bool))
+    s = jnp.where(tril, s, -1e9)
+    ref = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(s, axis=-1), v)
+    out = fused_mha(q, k, v, interpret=True, causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_encdec_with_pallas_attention_matches_einsum(rng):
+    """Decoder family honors use_pallas_attention (VERDICT r2 directive #5):
+    causal self-attn + cross-attn through the kernel equal the einsum path."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, num_decoder_layers=2)
+    model = build_model(cfg)
+    x = jnp.asarray(rng.standard_normal((3, 32, 16)), jnp.float32)
+    y = jnp.asarray((rng.random((3, 32, 27)) < 0.3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 16)),
+                        deterministic=True)["params"]
+    base = model.apply({"params": params}, x, y, deterministic=True)
+    model_p = build_model(dataclasses.replace(
+        cfg, use_pallas_attention=True))
+    out = model_p.apply({"params": params}, x, y, deterministic=True)
+    for a, b in zip(out, base):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)

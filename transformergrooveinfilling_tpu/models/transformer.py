@@ -154,13 +154,15 @@ class SelfAttention(nn.Module):
 
         q, k, v = heads(q), heads(k), heads(v)
         if self.use_pallas and deterministic and x.ndim == 3:
-            # fused VMEM-resident attention kernel (no dropout on this path)
+            # fused VMEM-resident attention kernel (no dropout on this path;
+            # the causal mask runs in-register inside the kernel)
             from ..ops.attention import fused_mha
 
             interpret = jax.default_backend() == "cpu"
             out = fused_mha(
                 q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
                 v.transpose(0, 2, 1, 3), interpret=interpret,
+                causal=self.causal,
             ).transpose(0, 2, 1, 3)
         else:
             scores = jnp.einsum("...qhd,...khd->...hqk", q, k) / math.sqrt(hd)
@@ -231,6 +233,43 @@ class _Proj(nn.Module):
         return kernel, bias
 
 
+def _ffn_block(mod, x, deterministic: bool):
+    """Shared FFN (``W2·Drop(relu(W1·x))``) for encoder and decoder layers:
+    either two ``nn.Dense`` + dropout, or the whole chain as one Pallas
+    kernel (ops/fused_ffn.py). Runs inside ``mod``'s compact context, so the
+    parameter tree (linear1/linear2) is identical on both paths.
+
+    Interpret-mode Pallas stubs the PRNG (every element kept but still
+    rescaled by 1/keep — a silent train/eval activation mismatch), so
+    off-TPU the fused path is only taken when dropout is a no-op."""
+    on_tpu = jax.default_backend() == "tpu"
+    use_fused_ffn = (
+        mod.fused_ffn and not deterministic and x.ndim == 3
+        and mod.d_model % 128 == 0 and mod.dim_feedforward % 128 == 0
+        and isinstance(mod.dropout, (int, float))
+        and (on_tpu or float(mod.dropout) == 0.0)
+    )
+    if use_fused_ffn:
+        from ..ops.fused_ffn import ffn_train
+
+        w1, b1 = _Proj(mod.d_model, mod.dim_feedforward, name="linear1")()
+        w2, b2 = _Proj(mod.dim_feedforward, mod.d_model, name="linear2")()
+        cd = mod.dtype or x.dtype
+        seed = jax.random.randint(
+            mod.make_rng("dropout"), (1,), 0, 2**31 - 1, dtype=jnp.int32)
+        b, t = x.shape[0], x.shape[1]
+        return ffn_train(
+            x.reshape(b * t, mod.d_model).astype(cd),
+            w1.astype(cd), b1.astype(jnp.float32),
+            w2.astype(cd), b2.astype(jnp.float32),
+            seed, float(mod.dropout), not on_tpu,
+        ).reshape(b, t, mod.d_model)
+    ff = nn.Dense(mod.dim_feedforward, dtype=mod.dtype, name="linear1")(x)
+    ff = Dropout(mod.dropout, mod.fast_dropout)(
+        jax.nn.relu(ff), deterministic=deterministic)
+    return nn.Dense(mod.d_model, dtype=mod.dtype, name="linear2")(ff)
+
+
 class EncoderLayer(nn.Module):
     """Post-LN encoder layer matching torch 1.10 ``TransformerEncoderLayer``:
     ``x = LN(x + Drop(SA(x))); x = LN(x + Drop(W2·Drop(relu(W1·x))))``."""
@@ -256,41 +295,7 @@ class EncoderLayer(nn.Module):
         x = DropAddLayerNorm(self.dropout, self.fused_dropout_ln,
                              self.fast_dropout,
                              name="norm1")(x, sa, deterministic)
-        # interpret-mode Pallas stubs the PRNG (every element kept but still
-        # rescaled by 1/keep — a silent train/eval activation mismatch), so
-        # off-TPU the fused path is only taken when dropout is a no-op
-        on_tpu = jax.default_backend() == "tpu"
-        use_fused_ffn = (
-            self.fused_ffn and not deterministic and x.ndim == 3
-            and self.d_model % 128 == 0 and self.dim_feedforward % 128 == 0
-            and isinstance(self.dropout, (int, float))
-            and (on_tpu or float(self.dropout) == 0.0)
-        )
-        if use_fused_ffn:
-            from ..ops.fused_ffn import ffn_train
-
-            w1, b1 = _Proj(self.d_model, self.dim_feedforward,
-                           name="linear1")()
-            w2, b2 = _Proj(self.dim_feedforward, self.d_model,
-                           name="linear2")()
-            cd = self.dtype or x.dtype
-            seed = jax.random.randint(
-                self.make_rng("dropout"), (1,), 0, 2**31 - 1, dtype=jnp.int32)
-            b, t = x.shape[0], x.shape[1]
-            interpret = not on_tpu
-            ff = ffn_train(
-                x.reshape(b * t, self.d_model).astype(cd),
-                w1.astype(cd), b1.astype(jnp.float32),
-                w2.astype(cd), b2.astype(jnp.float32),
-                seed, float(self.dropout), interpret,
-            ).reshape(b, t, self.d_model)
-        else:
-            ff = nn.Dense(self.dim_feedforward, dtype=self.dtype,
-                          name="linear1")(x)
-            ff = Dropout(self.dropout, self.fast_dropout)(
-                jax.nn.relu(ff), deterministic=deterministic
-            )
-            ff = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(ff)
+        ff = _ffn_block(self, x, deterministic)
         x = DropAddLayerNorm(self.dropout, self.fused_dropout_ln,
                              self.fast_dropout,
                              name="norm2")(x, ff, deterministic)
@@ -302,42 +307,47 @@ class DecoderLayer(nn.Module):
 
     The reference supports ``encoder_only=0`` full encoder-decoder models
     (train.py:125-127); no decoder checkpoint exists, so torch 1.10
-    ``TransformerDecoderLayer`` semantics are adopted [inferred, SURVEY.md §2.2].
-    """
+    ``TransformerDecoderLayer`` semantics are adopted [inferred, SURVEY.md
+    §2.2] — golden-pinned against ``nn.TransformerDecoder`` in
+    tests/test_torch_parity.py. Honors the same feature switches as
+    :class:`EncoderLayer` (Pallas attention incl. an in-kernel causal mask,
+    fused dropout+LN, fused FFN, fast dropout): one config dataclass, two
+    families, same switches (VERDICT r2 directive #5)."""
 
     d_model: int
     n_heads: int
     dim_feedforward: int
     dropout: float
+    use_pallas: bool = False
+    fused_dropout_ln: bool = False
     fast_dropout: bool = False
     dtype: Optional[jnp.dtype] = None
+    fused_ffn: bool = False
 
     @nn.compact
-    def __call__(self, x, memory, *, deterministic: bool):
-        drop = lambda: Dropout(self.dropout, self.fast_dropout)  # noqa: E731
+    def __call__(self, x, memory, deterministic: bool = True):
         sa = SelfAttention(self.d_model, self.n_heads, self.dropout,
+                           use_pallas=self.use_pallas,
                            fast_dropout=self.fast_dropout, dtype=self.dtype,
                            causal=True, name="self_attn")(
             x, deterministic=deterministic
         )
-        x = nn.LayerNorm(name="norm1")(
-            x + drop()(sa, deterministic=deterministic)
-        ).astype(x.dtype)
+        x = DropAddLayerNorm(self.dropout, self.fused_dropout_ln,
+                             self.fast_dropout,
+                             name="norm1")(x, sa, deterministic)
         ca = SelfAttention(
             self.d_model, self.n_heads, self.dropout,
+            use_pallas=self.use_pallas,
             fast_dropout=self.fast_dropout, dtype=self.dtype,
             name="cross_attn"
         )(x, kv=memory, deterministic=deterministic)
-        x = nn.LayerNorm(name="norm2")(
-            x + drop()(ca, deterministic=deterministic)
-        ).astype(x.dtype)
-        ff = nn.Dense(self.dim_feedforward, dtype=self.dtype,
-                      name="linear1")(x)
-        ff = drop()(jax.nn.relu(ff), deterministic=deterministic)
-        ff = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(ff)
-        x = nn.LayerNorm(name="norm3")(
-            x + drop()(ff, deterministic=deterministic)
-        ).astype(x.dtype)
+        x = DropAddLayerNorm(self.dropout, self.fused_dropout_ln,
+                             self.fast_dropout,
+                             name="norm2")(x, ca, deterministic)
+        ff = _ffn_block(self, x, deterministic)
+        x = DropAddLayerNorm(self.dropout, self.fused_dropout_ln,
+                             self.fast_dropout,
+                             name="norm3")(x, ff, deterministic)
         return x
 
 
@@ -432,16 +442,21 @@ class GrooveTransformer(nn.Module):
                        name="input")(
             x, deterministic=deterministic
         )
+        enc_cls = (nn.remat(EncoderLayer, static_argnums=(2,)) if cfg.remat
+                   else EncoderLayer)
         for i in range(cfg.num_encoder_layers):
-            x = EncoderLayer(
+            x = enc_cls(
                 cfg.d_model,
                 cfg.n_heads,
                 cfg.dim_feedforward,
                 cfg.dropout,
+                use_pallas=cfg.use_pallas_attention,
+                fused_dropout_ln=cfg.fused_dropout_ln,
                 fast_dropout=cfg.fast_dropout,
                 dtype=cfg.compute_dtype,
+                fused_ffn=cfg.fused_ffn,
                 name=f"encoder_layer_{i}",
-            )(x, deterministic=deterministic)
+            )(x, deterministic)
         memory = nn.LayerNorm(name="encoder_norm")(x).astype(x.dtype)
 
         if tgt is None:
@@ -455,16 +470,23 @@ class GrooveTransformer(nn.Module):
                        name="input_tgt")(
             tgt_in, deterministic=deterministic
         )
+        # remat with `deterministic` positional+static (argnums: self, x,
+        # memory, deterministic)
+        dec_cls = (nn.remat(DecoderLayer, static_argnums=(3,)) if cfg.remat
+                   else DecoderLayer)
         for i in range(cfg.num_decoder_layers):
-            y = DecoderLayer(
+            y = dec_cls(
                 cfg.d_model,
                 cfg.n_heads,
                 cfg.dim_feedforward,
                 cfg.dropout,
+                use_pallas=cfg.use_pallas_attention,
+                fused_dropout_ln=cfg.fused_dropout_ln,
                 fast_dropout=cfg.fast_dropout,
                 dtype=cfg.compute_dtype,
+                fused_ffn=cfg.fused_ffn,
                 name=f"decoder_layer_{i}",
-            )(y, memory, deterministic=deterministic)
+            )(y, memory, deterministic)
         y = nn.LayerNorm(name="decoder_norm")(y)
         y = y.astype(jnp.float32)
         return OutputLayer(cfg.embedding_size_tgt, name="output")(y)

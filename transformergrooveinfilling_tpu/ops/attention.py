@@ -22,11 +22,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool):
     q = q_ref[0]  # block is (1, T, hd); drop the unit (batch·head) axis
     k = k_ref[0]
     v = v_ref[0]
     s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale  # (T, T)
+    if causal:  # lower-triangular mask in-register (decoder self-attention)
+        ri = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        ci = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(ri >= ci, s, jnp.float32(-1e9))
     s = s - jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s)
     p = p / jnp.sum(p, axis=-1, keepdims=True)
@@ -35,10 +39,11 @@ def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     ).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "causal"))
 def fused_mha(q: jax.Array, k: jax.Array, v: jax.Array,
-              interpret: bool = False) -> jax.Array:
-    """softmax(QKᵀ/√hd)·V with one fused Pallas block per (batch·head).
+              interpret: bool = False, causal: bool = False) -> jax.Array:
+    """softmax(QKᵀ/√hd + optional causal mask)·V, one fused Pallas block per
+    (batch·head).
 
     Args: q, k, v shaped ``(B, H, T, hd)``. Returns the same shape.
     """
@@ -53,7 +58,7 @@ def fused_mha(q: jax.Array, k: jax.Array, v: jax.Array,
         return x.reshape(b * h, t, hd)
 
     out = pl.pallas_call(
-        functools.partial(_mha_kernel, scale=scale),
+        functools.partial(_mha_kernel, scale=scale, causal=causal),
         out_shape=jax.ShapeDtypeStruct((b * h, t, hd), q.dtype),
         grid=grid,
         in_specs=[
