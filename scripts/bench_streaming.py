@@ -37,6 +37,9 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=512)
     p.add_argument("--modes", nargs="*",
                    default=["resident", "fused", "stream"])
+    p.add_argument("--partial", type=int, default=1,
+                   help="stream mode: regenerate only 1/k of the corpus per "
+                        "generation (amortized rolling refresh)")
     args = p.parse_args(argv)
 
     import jax
@@ -120,12 +123,15 @@ def main(argv=None):
                                 qpms=np.asarray(
                                     [s.tempos[0].qpm for s in seqs]),
                                 aug_per_item=args.fanout, mode="audio",
-                                seed=4) as streamer:
+                                seed=4, partial=args.partial) as streamer:
             results["stream"] = run_blocks(
                 fn, state, None, None,
                 fresh=lambda: streamer.next_epoch(timeout=900.0))
-        print(f"host streaming augmentation: {results['stream']:.1f} s/block",
-              flush=True)
+            gen_s = streamer.last_generation_seconds
+        label = (f"host streaming (partial=1/{args.partial})"
+                 if args.partial > 1 else "host streaming augmentation")
+        print(f"{label}: {results['stream']:.1f} s/block "
+              f"(generation build {gen_s:.1f} s)", flush=True)
 
     return 0
 

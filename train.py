@@ -47,6 +47,22 @@ def parse_args(argv=None):
     parser.add_argument("--fast_prng", type=int, default=1,
                         help="use the rbg PRNG for dropout masks (~2x step "
                              "time on TPU at this model size)")
+    parser.add_argument("--streaming", choices=["off", "host", "fused"],
+                        default="off",
+                        help="fresh-augmentation training for the random-"
+                             "masking experiments: host = overlapped "
+                             "StreamingAugmenter generations; fused = masking"
+                             "+synth+MSO inside the compiled program")
+    parser.add_argument("--regen_cadence", default="auto",
+                        help="host streaming: swap a fresh generation every "
+                             "N epoch blocks (int), or 'auto' to fit "
+                             "generation time inside the blocks it serves")
+    parser.add_argument("--regen_partial", type=int, default=1,
+                        help="host streaming: regenerate only 1/k of the "
+                             "corpus per generation (rolling refresh)")
+    parser.add_argument("--aug_per_item", type=int, default=None,
+                        help="streaming: fresh augmentations per corpus item "
+                             "(default: the dataset pickle's max_aug_items)")
 
     # hyperparameters
     parser.add_argument("--config", default=None,
@@ -199,16 +215,104 @@ def _run(args, hp_dict, paths):
     hp = HyperParams.from_dict(dict(cfg))
     plan = make_mesh(n_model=args.n_model_shards)
 
-    run_training(
-        hp, dataset_train, evaluators,
-        bundle=bundle, initial_epoch=initial_epoch, plan=plan,
-        only_final_eval=bool(args.only_final_eval) and
-        args.only_final_eval != "False",
-        dump_eval=bool(args.dump_eval) and args.dump_eval != "False",
-        ckpt_dir=args.ckpt_dir,
-        export_legacy=bool(args.export_legacy) and args.export_legacy != "False",
-        epoch_block=args.epoch_block,
-    )
+    streamer, on_device_augment, dataset_for_training = _setup_streaming(
+        args, dataset_train)
+    try:
+        run_training(
+            hp, dataset_for_training, evaluators,
+            bundle=bundle, initial_epoch=initial_epoch, plan=plan,
+            only_final_eval=bool(args.only_final_eval) and
+            args.only_final_eval != "False",
+            dump_eval=bool(args.dump_eval) and args.dump_eval != "False",
+            ckpt_dir=args.ckpt_dir,
+            export_legacy=bool(args.export_legacy) and
+            args.export_legacy != "False",
+            epoch_block=args.epoch_block,
+            streamer=streamer,
+            regen_cadence=(int(args.regen_cadence)
+                           if str(args.regen_cadence) != "auto" else "auto"),
+            on_device_augment=on_device_augment,
+            augment_per_epoch=False,  # fused mode: fresh render per block
+        )
+    finally:
+        if streamer is not None:
+            streamer.close()
+
+
+def _setup_streaming(args, dataset_train):
+    """--streaming wiring: fresh-augmentation training for the random-masking
+    experiments (VERDICT r2 directive #1 — the north-star streaming path,
+    reachable from a reference YAML). Returns (streamer, on_device_augment,
+    dataset_for_training)."""
+    if args.streaming == "off":
+        return None, None, dataset_train
+
+    import numpy as np
+
+    from transformergrooveinfilling_tpu.data.datasets import (
+        GrooveMidiDatasetInfillingRandom)
+    from transformergrooveinfilling_tpu.ops.mso import MSOParams
+
+    if not isinstance(dataset_train, GrooveMidiDatasetInfillingRandom):
+        raise SystemExit(
+            "--streaming regenerates random-event maskings and applies to "
+            "the InfillingRandom / InfillingRandomLow experiments; the "
+            "voice-combination experiments train on their pickled "
+            "augmentations (run with --streaming off)")
+
+    base_seqs = dataset_train.hvo_sequences
+    base = np.stack([s.hvo for s in base_seqs]).astype(np.float32)
+    qpms = np.asarray([s.tempos[0].qpm for s in base_seqs], np.float64)
+    fanout = int(args.aug_per_item or dataset_train.max_aug_items)
+    mso_params = MSOParams(**dataset_train.mso_params)
+    sfs = dataset_train.sfs_list or [None]
+    thres = tuple(getattr(dataset_train, "thres_range", (0.4, 0.6)))
+
+    class _ArrayDataset:  # the driver only reads the two arrays + size
+        pass
+
+    ds = _ArrayDataset()
+    if args.streaming == "host":
+        from transformergrooveinfilling_tpu.data.pipeline import (
+            StreamingAugmenter)
+
+        streamer = StreamingAugmenter(
+            base, qpms=qpms, aug_per_item=fanout, mode="audio",
+            thres_range=thres, soundfonts=sfs, mso_params=mso_params,
+            partial=args.regen_partial)
+        # placeholders; the driver sizes off streamer.n_samples and swaps in
+        # the first generation before any use
+        ds.processed_inputs = np.zeros(
+            (streamer.n_samples, 32, mso_params.n_bands), np.float32)
+        ds.processed_outputs = np.zeros(
+            (streamer.n_samples, 32, base.shape[2]), np.float32)
+        print(f"streaming(host): {len(base)} loops x {fanout} fresh "
+              f"augmentations = {streamer.n_samples} items/generation, "
+              f"partial=1/{args.regen_partial}, cadence={args.regen_cadence}")
+        return streamer, None, ds
+
+    # fused: clean grids ship once; masking+synth+MSO run inside the program.
+    # The synth kernel maps 64-item chunks, so the fanned-out count must
+    # align — repeat the corpus and trim to a multiple of 64.
+    from transformergrooveinfilling_tpu.data.device_pipeline import (
+        make_on_device_augment)
+
+    grids = np.repeat(base, fanout, axis=0)
+    qpms_r = np.repeat(qpms, fanout, axis=0)
+    n = (len(grids) // 64) * 64
+    if n == 0:
+        raise SystemExit("--streaming fused needs >= 64 augmented items "
+                         "(corpus x aug_per_item); use --streaming host")
+    if n != len(grids):
+        print(f"streaming(fused): trimming {len(grids)} -> {n} items "
+              f"(64-item synth chunks)")
+    ds.processed_inputs = grids[:n]
+    ds.processed_outputs = grids[:n]
+    augment = make_on_device_augment(
+        qpms=qpms_r[:n], mode="audio", thres_range=thres, soundfonts=sfs,
+        mso_params=mso_params)
+    print(f"streaming(fused): {n} items re-rendered on device per block")
+    return None, augment, ds
 
 
 if __name__ == "__main__":

@@ -439,10 +439,15 @@ def _normalize_legacy_processed(processed: dict) -> dict:
 
 
 def dataset_class_for_experiment(exp: str):
-    """Experiment → dataset class map (reference process_dataset.py:43-48)."""
-    if exp == "InfillingClosedHH_Symbolic":
+    """Experiment → dataset class map (reference process_dataset.py:43-48),
+    extended to prefix matches so the ``*_testing`` experiment names the
+    reference's testing YAMLs carry (e.g. ``InfillingClosedHH_testing``,
+    configs/InfillingClosedHH_testing_training.yaml:1) resolve to the same
+    class as their production experiment — the reference's exact-name
+    dispatch would load ``InfillingRandom_testing`` with the wrong class."""
+    if exp.startswith("InfillingClosedHH_Symbolic"):
         return GrooveMidiDatasetInfillingSymbolic
-    if exp in ("InfillingRandom", "InfillingRandomLow"):
+    if exp.startswith("InfillingRandom"):  # + RandomLow, *_testing variants
         return GrooveMidiDatasetInfillingRandom
     return GrooveMidiDatasetInfilling
 

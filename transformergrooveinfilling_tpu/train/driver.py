@@ -131,6 +131,7 @@ def run_training(
     log_media: bool = True,
     epoch_block: int = 1,
     streamer=None,
+    regen_cadence: int | str = 1,
     on_device_augment=None,
     augment_per_epoch: bool = True,
     watch_log_freq: int | None = 1000,
@@ -145,6 +146,11 @@ def run_training(
     ``streamer``: optional data.pipeline.StreamingAugmenter — fresh augmented
     arrays are swapped in per block, regenerated on the host while the device
     trains (overlapped preprocessing). Shapes stay constant → no recompiles.
+    ``regen_cadence``: swap in a fresh generation every N blocks (amortizes
+    regeneration that no longer hides inside one block at round-3 step
+    speeds); ``"auto"`` picks N per block so generation time ≤ block time
+    (measured live from the streamer's build clock). Combine with the
+    streamer's ``partial`` knob for rolling 1/k-per-block refresh.
     ``on_device_augment``: optional jittable hook from
     data/device_pipeline.py::make_on_device_augment — augmentation (masking,
     and for audio the synth+MSO front end) runs INSIDE the compiled epoch;
@@ -287,6 +293,15 @@ def run_training(
     watch_events = steps_done // watch_log_freq if watch_log_freq else 0
     watch_fn = None
 
+    auto_cadence = regen_cadence == "auto"
+    if not auto_cadence and not (isinstance(regen_cadence, int)
+                                 and regen_cadence >= 1):
+        raise ValueError(
+            f"regen_cadence must be a positive int or 'auto', "
+            f"got {regen_cadence!r}")
+    cadence = 1 if auto_cadence else int(regen_cadence)
+    blocks_run = 0
+
     ep = initial_epoch
     while ep < hp.epochs:
         block = min(epoch_block, hp.epochs - ep)
@@ -300,7 +315,7 @@ def run_training(
                 n, plan=plan, donate=True, n_epochs=block,
                 encoder_only=encoder_only, augment=on_device_augment,
                 augment_per_epoch=augment_per_epoch)
-        if streamer is not None:
+        if streamer is not None and blocks_run % cadence == 0:
             fresh_in, fresh_out = streamer.next_epoch()
             if fresh_in.shape[0] != n or fresh_out.shape[0] != n:
                 raise ValueError(
@@ -320,6 +335,18 @@ def run_training(
         dt = time.time() - t0
         metrics["epoch_time_s"] = dt / block
         metrics["seqs_per_sec"] = n * block / dt if dt > 0 else 0.0
+
+        blocks_run += 1
+        if streamer is not None and auto_cadence:
+            # pick the swap cadence so one generation's build time fits
+            # inside the blocks it serves (gen_s ≤ cadence · block_s)
+            gen_s = getattr(streamer, "last_generation_seconds", 0.0)
+            new_cadence = max(1, int(np.ceil(gen_s / max(dt, 1e-9))))
+            if new_cadence != cadence:
+                print(f"streaming: auto regen cadence -> every "
+                      f"{new_cadence} block(s) (generation {gen_s:.1f}s, "
+                      f"block {dt:.1f}s)")
+            cadence = new_cadence
 
         for name, (hx, hy) in held_out.items():
             hm = eval_loss_fn(state.params, hx, hy)
