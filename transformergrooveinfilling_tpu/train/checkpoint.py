@@ -28,7 +28,7 @@ _async_pool = None
 _async_pending: list = []
 
 
-def _fetch_state_to_host(state) -> dict:
+def fetch_state_to_host(state) -> dict:
     """Copy params/opt_state to host numpy, detached from device buffers.
 
     Must run on the thread that owns the training loop *before* the next step
@@ -36,25 +36,43 @@ def _fetch_state_to_host(state) -> dict:
     buffers backing ``state`` are invalidated by the next dispatch — fetching
     them later (e.g. on a checkpoint worker thread) races with that donation
     and raises "Array has been deleted".
+
+    Multi-host: leaves that are not fully addressable on this process
+    (tensor-parallel shards living on other hosts) are first re-replicated on
+    device — one XLA all-gather over the mesh — so ``device_get`` yields the
+    complete value everywhere. That gather is a collective: when any leaf is
+    non-addressable, EVERY process must call this function (the driver does,
+    then only process 0 writes the file).
     """
+    tree = (state.params, state.opt_state)
+    leaves = [l for l in jax.tree.leaves(tree) if hasattr(l, "sharding")]
+    if any(not l.is_fully_addressable for l in leaves):
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        mesh = next(l.sharding.mesh for l in leaves
+                    if not l.is_fully_addressable)
+        rep = NamedSharding(mesh, PartitionSpec())
+        tree = jax.jit(lambda t: t, out_shardings=rep)(tree)
+    params, opt_state = tree
     return {
         "params": serialization.to_state_dict(
-            jax.tree.map(lambda a: np.array(a), jax.device_get(state.params))),
+            jax.tree.map(lambda a: np.array(a), jax.device_get(params))),
         # optax states are (named)tuples; to_state_dict maps them to plain dicts
         # so msgpack can carry them — restore rebuilds via from_state_dict
         "opt_state": serialization.to_state_dict(
-            jax.tree.map(lambda a: np.array(a), jax.device_get(state.opt_state))),
+            jax.tree.map(lambda a: np.array(a), jax.device_get(opt_state))),
     }
 
 
-def save_checkpoint_async(ckpt_dir: str, run_id: str, epoch: int, state,
-                          loss: float, config: GrooveTransformerConfig):
-    """Non-blocking checkpoint save: the device→host fetch happens here, on
-    the calling thread (required for correctness under buffer donation — see
-    :func:`_fetch_state_to_host`), and only serialization + the file write run
-    on a background thread. Saves are serialized on one worker, preserving
-    order; call :func:`flush_async_saves` before reading checkpoints back —
-    it re-raises any write failure instead of dropping it.
+_fetch_state_to_host = fetch_state_to_host  # backwards-compat alias
+
+
+def save_payload_async(ckpt_dir: str, run_id: str, epoch: int, payload: dict,
+                       loss: float, config: GrooveTransformerConfig):
+    """Queue an already-fetched host payload (:func:`fetch_state_to_host`)
+    for background serialization + write. Saves are serialized on one
+    worker, preserving order; call :func:`flush_async_saves` before reading
+    checkpoints back — it re-raises any write failure instead of dropping it.
     """
     global _async_pool
     import concurrent.futures
@@ -62,11 +80,20 @@ def save_checkpoint_async(ckpt_dir: str, run_id: str, epoch: int, state,
     if _async_pool is None:
         _async_pool = concurrent.futures.ThreadPoolExecutor(
             max_workers=1, thread_name_prefix="ckpt-save")
-    payload = _fetch_state_to_host(state)
     fut = _async_pool.submit(
         _write_checkpoint, ckpt_dir, run_id, epoch, payload, loss, config)
     _async_pending.append(fut)
     return fut
+
+
+def save_checkpoint_async(ckpt_dir: str, run_id: str, epoch: int, state,
+                          loss: float, config: GrooveTransformerConfig):
+    """Non-blocking checkpoint save: the device→host fetch happens here, on
+    the calling thread (required for correctness under buffer donation — see
+    :func:`fetch_state_to_host`), and only serialization + the file write run
+    on a background thread."""
+    return save_payload_async(ckpt_dir, run_id, epoch,
+                              fetch_state_to_host(state), loss, config)
 
 
 def flush_async_saves():
