@@ -43,6 +43,15 @@ class MSOParams:
     f_min: float = 40.0
     mean_filter_size: int = 22
     n_bands: int = 16  # output width == embedding_size_src
+    # band-energy compression law before the flux (VERDICT r2 directive #4):
+    # "log1p" — log1p(10·E), the round-1 re-derivation;
+    # "db"    — librosa-style power-dB (10·log10(E²/peak), top_db 80), the
+    #           law the reference's librosa pipeline applies
+    #           (/root/reference/dataset.py:70-83 via onset_strength).
+    # A/B-trained on the flagship audio config by
+    # scripts/compare_mso_compression.py; the measured winner is the default
+    # (delta recorded in PARITY.md §MSO).
+    compression: str = "log1p"
 
 
 def hann_window(n: int) -> jnp.ndarray:
@@ -136,8 +145,21 @@ def onset_strength_bands(mag: jnp.ndarray, fb: jnp.ndarray,
 
 
 def _flux_from_bands(bands: jnp.ndarray, params: MSOParams) -> jnp.ndarray:
-    """Log compression + moving-average adaptive-threshold flux."""
-    s = jnp.log1p(10.0 * bands)
+    """Band-energy compression + moving-average adaptive-threshold flux."""
+    if params.compression == "db":
+        # librosa power_to_db: per-item peak-referenced log-power, floored
+        # 80 dB below the peak (tests/mso_oracle.py:61-64 pins the formula)
+        power = jnp.square(bands)
+        ref = jnp.maximum(power, 1e-10)
+        peak = jnp.max(ref, axis=(-2, -1), keepdims=True)
+        s = 10.0 * jnp.log10(ref / peak)
+        s = jnp.maximum(s, -80.0)
+    elif params.compression == "log1p":
+        s = jnp.log1p(10.0 * bands)
+    else:
+        raise ValueError(
+            f"unknown MSO compression {params.compression!r}; "
+            "expected 'log1p' or 'db'")
     # centered moving average over mean_filter_size frames, via cumsum
     # (works for any batch rank, fuses cleanly)
     k = params.mean_filter_size
