@@ -35,6 +35,10 @@ def main(argv=None):
     p.add_argument("--epoch-block", type=int, default=50)
     p.add_argument("--val-frac", type=float, default=0.25)
     p.add_argument("--out", default=None)
+    p.add_argument("--laws", nargs="*", default=["log1p", "db"],
+                   help="run a subset of arms (one per process keeps runs "
+                        "inside tight wall-clock budgets; results merge "
+                        "into --out if it already exists)")
     args = p.parse_args(argv)
 
     import jax
@@ -90,7 +94,10 @@ def main(argv=None):
     model = build_model(cfg)
 
     results = {}
-    for compression in ("log1p", "db"):
+    if args.out and os.path.exists(args.out):
+        with open(args.out) as f:
+            results = json.load(f).get("results", {})
+    for compression in args.laws:
         params = MSOParams(compression=compression)
         t0 = time.time()
         inputs = mso_batch_from_hvo(kept, [None] * len(kept), qpms_r,
@@ -136,16 +143,18 @@ def main(argv=None):
         print(f"{compression}: {json.dumps(results[compression])}",
               flush=True)
 
-    d = results["db"]
-    l_ = results["log1p"]
-    summary = {
-        "winner_by_val_loss": "db" if d["val_loss"] < l_["val_loss"]
-        else "log1p",
-        "val_loss_delta_db_minus_log1p": round(
-            d["val_loss"] - l_["val_loss"], 6),
-        "val_hit_acc_delta_db_minus_log1p": round(
-            d["val_hit_accuracy"] - l_["val_hit_accuracy"], 6),
-    }
+    summary = {}
+    if "db" in results and "log1p" in results:
+        d = results["db"]
+        l_ = results["log1p"]
+        summary = {
+            "winner_by_val_loss": "db" if d["val_loss"] < l_["val_loss"]
+            else "log1p",
+            "val_loss_delta_db_minus_log1p": round(
+                d["val_loss"] - l_["val_loss"], 6),
+            "val_hit_acc_delta_db_minus_log1p": round(
+                d["val_hit_accuracy"] - l_["val_hit_accuracy"], 6),
+        }
     print(json.dumps({"results": results, "summary": summary}))
     if args.out:
         with open(args.out, "w") as f:

@@ -99,3 +99,48 @@ def test_rows_not_divisible_by_8_rejected(operands):
     x, w1, b1, w2, b2 = operands
     with pytest.raises(ValueError, match="not divisible"):
         ffn_train(x[:9], w1, b1, w2, b2, jnp.zeros((1,), jnp.int32), 0.0, True)
+
+
+@pytest.fixture
+def big_operands(rng):
+    # weights past the VMEM-resident budget -> the K/F-tiled kernel path
+    # (small K but F wide enough that 2*K*F*4B > 4 MiB at f32)
+    M, K, F = 64, 1024, 1024
+    x = jnp.asarray(rng.standard_normal((M, K)), jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((K, F)) * 0.03, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal(F) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((F, K)) * 0.03, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal(K) * 0.1, jnp.float32)
+    return x, w1, b1, w2, b2
+
+
+def test_tiled_forward_rate0_exact(big_operands):
+    """GrooveXL-class widths route through the K/F-tiled kernel (weights
+    streamed per ff slab, f32 out accumulator revisited across the sweep)
+    and match the XLA composition exactly at rate 0."""
+    from transformergrooveinfilling_tpu.ops.fused_ffn import (
+        _RESIDENT_WEIGHT_BYTES)
+
+    x, w1, *_ = big_operands
+    assert 2 * w1.shape[0] * w1.shape[1] * 4 > _RESIDENT_WEIGHT_BYTES
+    seed = jnp.zeros((1,), jnp.int32)
+    out = ffn_train(*big_operands, seed, 0.0, True)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(_ref(*big_operands)),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_tiled_custom_vjp_matches_autodiff(big_operands):
+    seed = jnp.zeros((1,), jnp.int32)
+
+    def loss_fused(args):
+        return (ffn_train(*args, seed, 0.0, True) ** 2).sum()
+
+    def loss_ref(args):
+        return (_ref(*args) ** 2).sum()
+
+    g1 = jax.grad(loss_fused)(big_operands)
+    g2 = jax.grad(loss_ref)(big_operands)
+    for a, b, name in zip(g1, g2, ("x", "w1", "b1", "w2", "b2")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-3, atol=3e-3, err_msg=name)
