@@ -40,6 +40,10 @@ def main(argv=None):
     p.add_argument("--configs", nargs="*", default=["lm", "xl"])
     p.add_argument("--steps", type=int, default=6)
     p.add_argument("--epochs-per-call", type=int, default=3)
+    p.add_argument("--remat", type=int, default=None,
+                   help="override the config's remat setting (0/1) — under "
+                        "remat the backward replays the forward, so the "
+                        "kernel's h_drop-only residual saving is moot")
     args = p.parse_args(argv)
 
     import jax
@@ -86,6 +90,8 @@ def main(argv=None):
 
     for name in args.configs:
         d, heads, ff, layers, rate, batch, remat = CONFIGS[name]
+        if args.remat is not None:
+            remat = bool(args.remat)
         n = batch * 4
         rng = np.random.default_rng(1)
         x = jnp.asarray(rng.standard_normal((n, 32, 16)), jnp.float32)
@@ -115,7 +121,7 @@ def main(argv=None):
                 best = min(best, time.perf_counter() - t0)
             seqs = n * args.epochs_per_call / best
             tf = seqs * flops_per_seq(d, ff, layers) / 1e12
-            print(f"{name} d{d}/ff{ff}/{layers}L bs{batch} "
+            print(f"{name} d{d}/ff{ff}/{layers}L bs{batch} remat={remat} "
                   f"fused_ffn={fused}: {seqs:,.0f} seqs/s "
                   f"(~{tf:.0f} TFLOP/s, loss {loss0:.3f}->{final:.3f})",
                   flush=True)

@@ -119,14 +119,27 @@ def main(argv=None):
         state = create_train_state(model, cfg, tx, jax.random.PRNGKey(0))
         fn = make_epoch_fn(model, tx, 0.73, args.batch, n, donate=False,
                            n_epochs=args.epochs_per_block)
+        upd = jax.jit(
+            lambda a, s, i: jax.lax.dynamic_update_slice_in_dim(a, s, i, 0),
+            donate_argnums=(0,))
+        dev = {}
+
         with StreamingAugmenter(np.stack([s.hvo for s in seqs]),
                                 qpms=np.asarray(
                                     [s.tempos[0].qpm for s in seqs]),
                                 aug_per_item=args.fanout, mode="audio",
                                 seed=4, partial=args.partial) as streamer:
-            results["stream"] = run_blocks(
-                fn, state, None, None,
-                fresh=lambda: streamer.next_epoch(timeout=900.0))
+            def fresh():
+                # delta consumption: only the rebuilt slab crosses the link
+                sl, fi, fo = streamer.next_epoch_delta(timeout=900.0)
+                if sl is None:
+                    dev["x"], dev["y"] = jnp.asarray(fi), jnp.asarray(fo)
+                else:
+                    dev["x"] = upd(dev["x"], jnp.asarray(fi), sl.start)
+                    dev["y"] = upd(dev["y"], jnp.asarray(fo), sl.start)
+                return dev["x"], dev["y"]
+
+            results["stream"] = run_blocks(fn, state, None, None, fresh=fresh)
             gen_s = streamer.last_generation_seconds
         label = (f"host streaming (partial=1/{args.partial})"
                  if args.partial > 1 else "host streaming augmentation")

@@ -182,3 +182,38 @@ def test_setup_streaming_fused_builds_aligned_dataset(in_repo):
     assert streamer is None and augment is not None
     assert ds_t.processed_inputs.shape[0] % 64 == 0
     assert ds_t.processed_inputs.shape[0] > 0
+
+
+def test_delta_api_matches_full_view():
+    """next_epoch_delta ships only the rebuilt slab; applying the deltas over
+    the previous full view reproduces next_epoch's arrays exactly."""
+    base = _base(16, seed=61)
+    with StreamingAugmenter(base, aug_per_item=2, mode="symbolic",
+                            seed=9, partial=4) as st:
+        sl0, fi0, fo0 = st.next_epoch_delta()
+        assert sl0 is None  # first generation is always full
+        cur_in, cur_out = fi0.copy(), fo0.copy()
+        for _ in range(4):
+            sl, fi, fo = st.next_epoch_delta()
+            assert sl is not None
+            assert fi.shape[0] == fo.shape[0] == sl.stop - sl.start
+            cur_in[sl] = fi
+            cur_out[sl] = fo
+    stacked = np.repeat(base, 2, axis=0)
+    np.testing.assert_allclose(cur_in + cur_out, stacked)
+
+
+def test_driver_consumes_delta_stream(tmp_path, monkeypatch):
+    """run_training trains through the delta path (partial streamer) with a
+    finite loss — the resident device arrays are slab-updated in place."""
+    monkeypatch.chdir(tmp_path)
+    base = _base(8, seed=62)
+    hp = HyperParams.from_dict(dict(HP, epochs=4))
+    with StreamingAugmenter(base, aug_per_item=2, mode="symbolic",
+                            seed=3, partial=2) as st:
+        class D:
+            processed_inputs = np.zeros((st.n_samples, 32, 27), np.float32)
+            processed_outputs = np.zeros((st.n_samples, 32, 27), np.float32)
+        bundle = run_training(hp, D(), {}, streamer=st, regen_cadence=1,
+                              log_media=False, ckpt_dir=str(tmp_path / "ck"))
+    assert bundle.state is not None

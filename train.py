@@ -44,6 +44,10 @@ def parse_args(argv=None):
     parser.add_argument("--bf16", type=int, default=None,
                         help="matmul compute dtype: 1=bfloat16, 0=float32, "
                         "unset=auto (bf16 on TPU; docs/PERF.md)")
+    parser.add_argument("--fused_ffn", type=int, default=None,
+                        help="fused Pallas FFN kernel: 1=on, 0=off, unset="
+                        "auto (on for TPU training at ff>=2048, +16%% at "
+                        "RandomLow_lm; docs/PERF.md)")
     parser.add_argument("--fast_prng", type=int, default=1,
                         help="use the rbg PRNG for dropout masks (~2x step "
                              "time on TPU at this model size)")
@@ -179,6 +183,9 @@ def _run(args, hp_dict, paths):
             # TPU extra: None = auto (bf16 matmuls on TPU); CLI overrides YAML
             "bf16": (bool(args.bf16) if args.bf16 is not None
                      else cfg.get("bf16")),
+            # TPU extra: None = auto (fused Pallas FFN on TPU at ff >= 2048)
+            "fused_ffn": (bool(args.fused_ffn) if args.fused_ffn is not None
+                          else cfg.get("fused_ffn")),
         },
         "training": {
             "learning_rate": cfg.learning_rate,

@@ -106,36 +106,44 @@ class StreamingAugmenter:
                 removed.astype(np.float32, copy=False))
 
     def _build_generation(self, gen: int):
+        """→ (slice_or_None, fresh_inputs, fresh_outputs).
+
+        ``None`` slice = a full generation (gen 0, or partial == 1); else the
+        fresh arrays cover only the rotating 1/partial slice — the consumer
+        can apply them as a device-side delta update, transferring 1/partial
+        of the bytes (the full-array host→device copy per swap was the
+        measured fixed cost of streaming on a tunneled link)."""
         t0 = time.perf_counter()
         rng = np.random.default_rng(self.seed + gen)
         n = self.n_samples
         if self._current is None or self.partial == 1:
-            arrays = self._build_rows(rng, np.arange(n))
+            sl = None
+            fresh_in, fresh_out = self._build_rows(rng, np.arange(n))
+            self._current = (fresh_in, fresh_out)
         else:
-            # rotating 1/partial slice; the rest carries over. The carried
-            # arrays are COPIED so the consumer's previous generation (still
-            # being transferred / trained on) is never mutated underneath it.
             s0 = (gen % self.partial) * n // self.partial
             s1 = ((gen % self.partial) + 1) * n // self.partial
-            rows = np.arange(s0, s1)
-            fresh_in, fresh_out = self._build_rows(rng, rows)
+            sl = slice(s0, s1)
+            fresh_in, fresh_out = self._build_rows(rng, np.arange(s0, s1))
+            # keep the full host view patched (next_epoch consumers); COPY so
+            # a previous generation already handed out is never mutated
             inputs = self._current[0].copy()
             outputs = self._current[1].copy()
             inputs[s0:s1] = fresh_in
             outputs[s0:s1] = fresh_out
-            arrays = (inputs, outputs)
-        self._current = arrays
+            self._current = (inputs, outputs)
         self.last_generation_seconds = time.perf_counter() - t0
-        return arrays
+        return sl, fresh_in, fresh_out
 
     def _producer(self):
         gen = 0
         try:
             while not self._stop.is_set():
-                arrays = self._build_generation(gen)
+                sl, fresh_in, fresh_out = self._build_generation(gen)
+                item = (gen, sl, fresh_in, fresh_out, self._current)
                 while not self._stop.is_set():
                     try:
-                        self._queue.put((gen, arrays), timeout=0.25)
+                        self._queue.put(item, timeout=0.25)
                         break
                     except queue.Full:
                         continue
@@ -143,11 +151,9 @@ class StreamingAugmenter:
         except BaseException as e:  # surface in next_epoch, don't die silently
             self._producer_error = e
 
-    def next_epoch(self, timeout: float = 300.0):
-        """→ (inputs, outputs) for the next generation; normally returns
-        instantly (the producer runs one generation ahead)."""
+    def _get(self, timeout: float):
         try:
-            gen, arrays = self._queue.get(timeout=timeout)
+            return self._queue.get(timeout=timeout)
         except queue.Empty:
             err = getattr(self, "_producer_error", None)
             if err is not None:
@@ -157,8 +163,25 @@ class StreamingAugmenter:
                 f"streaming producer produced nothing within {timeout}s "
                 "(first audio generations can be slow on CPU — raise the "
                 "timeout or shrink the corpus)") from None
+
+    def next_epoch(self, timeout: float = 300.0):
+        """→ (inputs, outputs) full arrays for the next generation; normally
+        returns instantly (the producer runs one generation ahead)."""
+        gen, _sl, _fi, _fo, full = self._get(timeout)
         self._generation = gen
-        return arrays
+        return full
+
+    def next_epoch_delta(self, timeout: float = 300.0):
+        """→ (slice_or_None, fresh_inputs, fresh_outputs).
+
+        The delta consumption API: with ``partial > 1`` only the rebuilt
+        slice's arrays are returned (apply with a device-side
+        ``dynamic_update_slice`` and transfer 1/partial of the bytes); a
+        ``None`` slice means a full generation (the first one, or
+        ``partial == 1``)."""
+        gen, sl, fresh_in, fresh_out, _full = self._get(timeout)
+        self._generation = gen
+        return sl, fresh_in, fresh_out
 
     def close(self):
         self._stop.set()

@@ -47,6 +47,11 @@ class HyperParams:
     # None = auto (bfloat16 on TPU backends, float32 elsewhere);
     # True/False force it. docs/PERF.md "promotion trap".
     bf16: Optional[bool] = None
+    # TPU extra: fused Pallas FFN kernel (ops/fused_ffn.py). None = auto —
+    # on for TPU training at ff >= 2048, where it measures +16 % whole-step
+    # throughput (RandomLow_lm, docs/PERF.md round 3); off at flagship
+    # widths (measured negative) and off-TPU. True/False force it.
+    fused_ffn: Optional[bool] = None
 
     @classmethod
     def from_dict(cls, d: dict) -> "HyperParams":
@@ -95,12 +100,29 @@ def resolve_compute_dtype(bf16: Optional[bool]):
     return jnp.bfloat16 if bf16 else jnp.float32
 
 
+def resolve_fused_ffn(fused_ffn: Optional[bool], dim_feedforward: int) -> bool:
+    """fused_ffn hyperparameter → kernel switch. ``None`` = auto: on for TPU
+    training at ff >= 2048 (the measured crossover — +16 % at RandomLow_lm's
+    ff 2048, negative at the flagship's ff 512; docs/PERF.md round 3)."""
+    if fused_ffn is not None:
+        return bool(fused_ffn)
+    import jax
+
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:
+        on_tpu = False
+    return on_tpu and dim_feedforward >= 2048
+
+
 def derive_model_config(
     hp: HyperParams, compute_dtype=None
 ) -> GrooveTransformerConfig:
     if compute_dtype is None:
         compute_dtype = resolve_compute_dtype(getattr(hp, "bf16", None))
     return GrooveTransformerConfig(
+        fused_ffn=resolve_fused_ffn(getattr(hp, "fused_ffn", None),
+                                    hp.dim_feedforward),
         d_model=hp.d_model,
         n_heads=hp.n_heads,
         dim_feedforward=hp.dim_feedforward,

@@ -12,6 +12,7 @@ logging would serialize the device.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 import time
 from typing import Any
@@ -34,6 +35,13 @@ from .loop import (
     make_optimizer,
 )
 from .schedule import eval_log_freq
+
+
+# device-side slab write for streaming delta updates: donates the resident
+# array, so the update is in place with only the slab crossing the link
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _slab_update(full, slab, start):
+    return jax.lax.dynamic_update_slice_in_dim(full, slab, start, 0)
 
 
 @dataclasses.dataclass
@@ -64,11 +72,13 @@ def initialize_model(params: dict) -> tuple[ModelBundle, Any, int]:
     ``params = {"model": {...}, "training": {...}, "load_model": None | {...}}``
     → (bundle, optimizer, initial_epoch). The optimizer slot returns the optax
     transformation (it lives inside the bundle too)."""
-    from .config import resolve_compute_dtype
+    from .config import resolve_compute_dtype, resolve_fused_ffn
 
     m = params["model"]
     t = params.get("training", {})
     config = GrooveTransformerConfig(
+        fused_ffn=resolve_fused_ffn(m.get("fused_ffn"),
+                                    m["dim_feedforward"]),
         d_model=m["d_model"],
         n_heads=m["n_heads"],
         dim_feedforward=m["dim_feedforward"],
@@ -333,13 +343,28 @@ def run_training(
                 encoder_only=encoder_only, augment=on_device_augment,
                 augment_per_epoch=augment_per_epoch)
         if streamer is not None and blocks_run % cadence == 0:
-            fresh_in, fresh_out = streamer.next_epoch()
-            if fresh_in.shape[0] != n or fresh_out.shape[0] != n:
-                raise ValueError(
-                    f"streamer generation size {fresh_in.shape[0]} != compiled "
-                    f"n_samples {n}; generations must keep a constant size")
-            inputs = jnp.asarray(fresh_in)
-            outputs = jnp.asarray(fresh_out)
+            if hasattr(streamer, "next_epoch_delta"):
+                # delta consumption: partial generations ship only the fresh
+                # slab and update the resident device arrays in place
+                # (measured: the full-array host→device copy per swap, not
+                # the slice compute, was streaming's fixed cost on a
+                # tunneled link — docs/PERF.md)
+                sl, fresh_in, fresh_out = streamer.next_epoch_delta()
+            else:  # plain next_epoch streamers (tests, custom producers)
+                sl = None
+                fresh_in, fresh_out = streamer.next_epoch()
+            if sl is None:
+                if fresh_in.shape[0] != n or fresh_out.shape[0] != n:
+                    raise ValueError(
+                        f"streamer generation size {fresh_in.shape[0]} != "
+                        f"compiled n_samples {n}; generations must keep a "
+                        f"constant size")
+                inputs = jnp.asarray(fresh_in)
+                outputs = jnp.asarray(fresh_out)
+            else:
+                inputs = _slab_update(inputs, jnp.asarray(fresh_in), sl.start)
+                outputs = _slab_update(outputs, jnp.asarray(fresh_out),
+                                       sl.start)
         if profile_dir and ep == initial_epoch:
             with jax.profiler.trace(profile_dir):
                 state, metrics = run_fn(state, inputs, outputs, epoch_key)
