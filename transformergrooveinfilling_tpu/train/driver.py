@@ -327,6 +327,7 @@ def run_training(
             f"regen_cadence must be a positive int or 'auto', "
             f"got {regen_cadence!r}")
     cadence = 1 if auto_cadence else int(regen_cadence)
+    cadence_pending = None  # decrease hysteresis (see auto-cadence below)
     blocks_run = 0
 
     ep = initial_epoch
@@ -381,9 +382,17 @@ def run_training(
         blocks_run += 1
         if streamer is not None and auto_cadence:
             # pick the swap cadence so one generation's build time fits
-            # inside the blocks it serves (gen_s ≤ cadence · block_s)
+            # inside the blocks it serves (gen_s ≤ cadence · block_s);
+            # increases apply immediately, decreases need two consecutive
+            # agreeing blocks (hysteresis — gen≈block otherwise flaps 1↔2)
             gen_s = getattr(streamer, "last_generation_seconds", 0.0)
-            new_cadence = max(1, int(np.ceil(gen_s / max(dt, 1e-9))))
+            want = max(1, int(np.ceil(gen_s / max(dt, 1e-9))))
+            if want >= cadence:
+                new_cadence, cadence_pending = want, None
+            elif want == cadence_pending:
+                new_cadence, cadence_pending = want, None
+            else:
+                new_cadence, cadence_pending = cadence, want
             if new_cadence != cadence:
                 print(f"streaming: auto regen cadence -> every "
                       f"{new_cadence} block(s) (generation {gen_s:.1f}s, "
