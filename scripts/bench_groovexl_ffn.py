@@ -111,7 +111,7 @@ def main(argv=None):
                                n_epochs=args.epochs_per_call)
             key = jax.random.PRNGKey(2)
             state, m = fn(state, x, y, key)  # compile
-            loss0 = float(np.asarray(m["loss"]))
+            loss0 = final = float(np.asarray(m["loss"]))
             best = float("inf")
             for _ in range(args.steps):
                 key, k = jax.random.split(key)

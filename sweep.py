@@ -100,8 +100,12 @@ def run_trial_sequential(hp: dict, project: str, metric: str, args):
     hp = dict(hp)
     # only_final_eval is a driver flag, not a model hyperparameter
     only_final = bool(hp.pop("only_final_eval", 1))
+    # a validation-referencing sweep metric needs the validation evaluator
+    # loaded, or the trial can never log it and would always score None
+    needs_val = "validation" in metric
     cli = ["--paths", args.paths, "--wandb", "False",
-           "--eval_train", "False", "--eval_validation", "False",
+           "--eval_train", "False",
+           "--eval_validation", "True" if needs_val else "False",
            "--dump_eval", "False",
            "--only_final_eval", "True" if only_final else "False"]
     for key, val in hp.items():
@@ -156,7 +160,9 @@ def run_batched(trials, metric: str, goal: str, project: str, args) -> int:
     """
     import numpy as np
 
-    if goal != "minimize" or metric not in ("loss", "validation_loss"):
+    if goal != "minimize" or metric != "loss":
+        # batched mode ranks on the deterministic full-TRAIN-set loss; any
+        # other metric (validation_loss included) needs the full driver
         print(f"note: --batched ranks on eval loss (minimize); this sweep's "
               f"metric {metric!r} (goal {goal}) needs the full driver — "
               "falling back to sequential trials")
@@ -181,6 +187,7 @@ def run_batched(trials, metric: str, goal: str, project: str, args) -> int:
         paths = _yaml.safe_load(f)
     ds_cache: dict = {}
     losses_by_trial = [None] * len(trials)
+    fallback_trials: list = []
 
     print(f"batched sweep: {len(trials)} trials in {len(groups)} "
           f"architecture group(s), one compiled program per group")
@@ -198,6 +205,7 @@ def run_batched(trials, metric: str, goal: str, project: str, args) -> int:
             for i in idxs:
                 losses_by_trial[i] = run_trial_sequential(
                     trials[i], project, metric, args)
+            fallback_trials.extend(idxs)
             continue
         config = derive_model_config(hp)
         model = build_model(config)
@@ -231,6 +239,11 @@ def run_batched(trials, metric: str, goal: str, project: str, args) -> int:
     if not scored:
         print("no successful trials")
         return 1
+    if 0 < len(fallback_trials) < len(scored):
+        print("note: ranking mixes the batched groups' deterministic "
+              "full-dataset eval loss with the sequential fallbacks' "
+              "last-logged training loss — compare across the two kinds "
+              "with care")
     order = sorted(scored, key=lambda i: losses_by_trial[i])
     for i in order[:5]:
         cfg = trials[i]

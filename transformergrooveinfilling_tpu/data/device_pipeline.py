@@ -73,7 +73,12 @@ def make_on_device_augment(qpms=None, mode: str = "symbolic",
         assert m % chunk == 0, (
             f"audio on-device augmentation needs the base count ({m}) to be "
             f"a multiple of chunk ({chunk}); repeat or trim the corpus")
-        q = np.broadcast_to(qpms, (m,))
+        # a leading-window slice of the corpus (e.g. the watch-histogram
+        # batch) augments with its own items' tempos
+        q = (np.broadcast_to(qpms, (m,)) if qpms.size == 1
+             else np.asarray(qpms)[:m])
+        assert q.shape[0] == m, (
+            f"{m} items but only {qpms.size} per-item tempos")
         sps = jnp.asarray((q / 60.0) * 4.0, jnp.float32)
         length = mso_waveform_length(t, float((q.min() / 60.0) * 4.0), params)
         rng = np.random.default_rng(seed)

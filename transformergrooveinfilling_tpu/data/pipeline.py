@@ -57,7 +57,7 @@ class StreamingAugmenter:
         self.mso_params = mso_params
         self.partial = max(1, int(partial))
         self.last_generation_seconds = 0.0  # drives "auto" regen cadence
-        self._current = None  # (inputs, outputs) persisted across partial gens
+        self._view = None  # consumer-side full view (next_epoch path only)
         self._generation = 0
         self._queue: queue.Queue = queue.Queue(maxsize=1)
         self._stop = threading.Event()
@@ -112,26 +112,21 @@ class StreamingAugmenter:
         fresh arrays cover only the rotating 1/partial slice — the consumer
         can apply them as a device-side delta update, transferring 1/partial
         of the bytes (the full-array host→device copy per swap was the
-        measured fixed cost of streaming on a tunneled link)."""
+        measured fixed cost of streaming on a tunneled link). The producer
+        builds and queues ONLY the slabs — O(n/partial) work and memory per
+        generation; full host views exist only for ``next_epoch`` consumers,
+        reconstructed on their side."""
         t0 = time.perf_counter()
         rng = np.random.default_rng(self.seed + gen)
         n = self.n_samples
-        if self._current is None or self.partial == 1:
+        if gen == 0 or self.partial == 1:
             sl = None
             fresh_in, fresh_out = self._build_rows(rng, np.arange(n))
-            self._current = (fresh_in, fresh_out)
         else:
             s0 = (gen % self.partial) * n // self.partial
             s1 = ((gen % self.partial) + 1) * n // self.partial
             sl = slice(s0, s1)
             fresh_in, fresh_out = self._build_rows(rng, np.arange(s0, s1))
-            # keep the full host view patched (next_epoch consumers); COPY so
-            # a previous generation already handed out is never mutated
-            inputs = self._current[0].copy()
-            outputs = self._current[1].copy()
-            inputs[s0:s1] = fresh_in
-            outputs[s0:s1] = fresh_out
-            self._current = (inputs, outputs)
         self.last_generation_seconds = time.perf_counter() - t0
         return sl, fresh_in, fresh_out
 
@@ -139,8 +134,7 @@ class StreamingAugmenter:
         gen = 0
         try:
             while not self._stop.is_set():
-                sl, fresh_in, fresh_out = self._build_generation(gen)
-                item = (gen, sl, fresh_in, fresh_out, self._current)
+                item = (gen,) + self._build_generation(gen)
                 while not self._stop.is_set():
                     try:
                         self._queue.put(item, timeout=0.25)
@@ -166,10 +160,26 @@ class StreamingAugmenter:
 
     def next_epoch(self, timeout: float = 300.0):
         """→ (inputs, outputs) full arrays for the next generation; normally
-        returns instantly (the producer runs one generation ahead)."""
-        gen, _sl, _fi, _fo, full = self._get(timeout)
+        returns instantly (the producer runs one generation ahead).
+
+        The full view is reconstructed consumer-side by patching the dequeued
+        slab onto a private copy (the production driver uses
+        :meth:`next_epoch_delta` and never pays this); don't mix the two
+        consumption APIs on one instance — each dequeues the generation
+        stream."""
+        gen, sl, fresh_in, fresh_out = self._get(timeout)
         self._generation = gen
-        return full
+        if sl is None:
+            self._view = (fresh_in, fresh_out)
+        else:
+            # copy-on-write: the previous generation already handed out must
+            # never mutate underneath its consumer
+            v_in = self._view[0].copy()
+            v_out = self._view[1].copy()
+            v_in[sl] = fresh_in
+            v_out[sl] = fresh_out
+            self._view = (v_in, v_out)
+        return self._view
 
     def next_epoch_delta(self, timeout: float = 300.0):
         """→ (slice_or_None, fresh_inputs, fresh_outputs).
@@ -179,7 +189,7 @@ class StreamingAugmenter:
         ``dynamic_update_slice`` and transfer 1/partial of the bytes); a
         ``None`` slice means a full generation (the first one, or
         ``partial == 1``)."""
-        gen, sl, fresh_in, fresh_out, _full = self._get(timeout)
+        gen, sl, fresh_in, fresh_out = self._get(timeout)
         self._generation = gen
         return sl, fresh_in, fresh_out
 

@@ -46,11 +46,14 @@ def fetch_state_to_host(state) -> dict:
     """
     tree = (state.params, state.opt_state)
     leaves = [l for l in jax.tree.leaves(tree) if hasattr(l, "sharding")]
-    if any(not l.is_fully_addressable for l in leaves):
+    # fully-replicated arrays (plain dp multi-host) need no collective —
+    # device_get already has a complete local copy; only genuinely sharded
+    # state (multi-host tp) pays the gather
+    if any(not getattr(l, "is_fully_replicated", True) for l in leaves):
         from jax.sharding import NamedSharding, PartitionSpec
 
         mesh = next(l.sharding.mesh for l in leaves
-                    if not l.is_fully_addressable)
+                    if not l.is_fully_replicated)
         rep = NamedSharding(mesh, PartitionSpec())
         tree = jax.jit(lambda t: t, out_shardings=rep)(tree)
     params, opt_state = tree

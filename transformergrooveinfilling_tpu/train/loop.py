@@ -216,8 +216,15 @@ def make_watch_fn(model, hit_loss_penalty: float, batch_size: int,
                 leaf.astype(jnp.float32), bins=bins)
         return out
 
+    # augment only a leading window, not the whole corpus: one batch of
+    # histograms needs one batch of augmented items (rounded up to the
+    # on-device synth kernel's 64-item chunk alignment)
+    window = batch_size if augment is None else -(-batch_size // 64) * 64
+
     @jax.jit
     def watch(params, inputs, outputs, key):
+        inputs = inputs[:window]
+        outputs = outputs[:window]
         if augment is not None:  # same front end the training step sees
             aug_key, key = jax.random.split(key)
             inputs, outputs = augment(aug_key, inputs, outputs)
