@@ -35,6 +35,9 @@ def main(argv=None):
     p.add_argument("--epoch-block", type=int, default=50)
     p.add_argument("--val-frac", type=float, default=0.25)
     p.add_argument("--out", default=None)
+    p.add_argument("--seed", type=int, default=0,
+                   help="varies corpus/mask/model-init seeds together "
+                        "(multi-seed replication of the study)")
     p.add_argument("--laws", nargs="*", default=["log1p", "db"],
                    help="run a subset of arms (one per process keeps runs "
                         "inside tight wall-clock budgets; results merge "
@@ -63,12 +66,12 @@ def main(argv=None):
         y = yaml.safe_load(f)
 
     # corpus + one fixed set of maskings shared by both arms
-    seqs = synthetic_gmd_sequences(args.loops, seed=11)
+    seqs = synthetic_gmd_sequences(args.loops, seed=11 + args.seed)
     base = np.stack([s.hvo for s in seqs]).astype(np.float32)
     qpms = np.asarray([s.tempos[0].qpm for s in seqs], np.float64)
     stacked = np.repeat(base, args.fanout, axis=0)
     qpms_r = np.repeat(qpms, args.fanout)
-    rng = np.random.default_rng(5)
+    rng = np.random.default_rng(5 + args.seed)
     thres = rng.uniform(0.4, 0.6, (len(stacked), 1, 1))
     h = stacked[:, :, :N_VOICES]
     remove = (rng.random(h.shape) < thres) & (h > 0)
@@ -110,12 +113,13 @@ def main(argv=None):
 
         tx = make_optimizer(y.get("optimizer_algorithm", "sgd"),
                             y["learning_rate"])
-        state = create_train_state(model, cfg, tx, jax.random.PRNGKey(0))
+        state = create_train_state(model, cfg, tx,
+                                   jax.random.PRNGKey(args.seed))
         epoch_fn = make_epoch_fn(model, tx, y["hit_loss_penalty"],
                                  y["batch_size"], n_train, donate=True,
                                  n_epochs=args.epoch_block)
         eval_fn = make_eval_loss_fn(model, y["hit_loss_penalty"])
-        key = jax.random.PRNGKey(1)
+        key = jax.random.PRNGKey(1 + args.seed)
         t0 = time.time()
         done = 0
         while done < args.epochs:
