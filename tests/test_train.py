@@ -454,3 +454,147 @@ def test_async_checkpoint_save(tmp_path):
     assert latest == 2
     params, _opt, epoch, loss = ckpt.load_checkpoint(path)
     assert epoch == 2 and abs(loss - 3.0) < 1e-9
+
+
+def _graceful_hp(epochs=8):
+    from transformergrooveinfilling_tpu.train.config import HyperParams
+
+    return HyperParams.from_dict({
+        "experiment": "InfillingClosedHH_Symbolic", "encoder_only": 1,
+        "optimizer_algorithm": "sgd", "d_model": 16, "n_heads": 2,
+        "dropout": 0.1, "num_encoder_decoder_layers": 1,
+        "hit_loss_penalty": 0.5, "batch_size": 8, "dim_feedforward": 16,
+        "learning_rate": 0.05, "epochs": epochs})
+
+
+class _ArrayDataset:
+    pass
+
+
+def _toy_dataset(rng, n=16):
+    x, y = _toy_data(rng, n=n)
+    ds = _ArrayDataset()
+    ds.processed_inputs = np.asarray(x)
+    ds.processed_outputs = np.asarray(y)
+    # widen src to the symbolic 27 columns the experiment id implies
+    ds.processed_inputs = ds.processed_outputs.copy()
+    return ds
+
+
+def test_graceful_stop_sigterm(tmp_path, rng):
+    """SIGTERM mid-run → finish the block, save an unscheduled checkpoint,
+    return cleanly (preemption notice; SURVEY.md §5.3)."""
+    import os
+    import signal
+
+    from transformergrooveinfilling_tpu.train.driver import run_training
+
+    ds = _toy_dataset(rng)
+
+    class SignalOnSecondGen:
+        """Streamer that delivers a real SIGTERM during generation 2."""
+
+        n_samples = 16
+
+        def __init__(self):
+            self.calls = 0
+
+        def next_epoch(self):
+            self.calls += 1
+            if self.calls == 2:
+                os.kill(os.getpid(), signal.SIGTERM)
+            return ds.processed_inputs, ds.processed_outputs
+
+    streamer = SignalOnSecondGen()
+    bundle = run_training(
+        _graceful_hp(epochs=50), ds, {}, epoch_block=1, streamer=streamer,
+        only_final_eval=True, log_media=False,
+        ckpt_dir=str(tmp_path / "ck"))
+    assert bundle.state is not None
+    # stopped after block 2 (epoch index 1): only_final_eval schedules a save
+    # at epoch 49 alone, so an epoch-1 checkpoint proves the stop-save
+    path, latest = ckpt.find_latest(str(tmp_path / "ck"))
+    assert latest == 1, f"expected stop checkpoint at epoch 1, got {latest}"
+    assert streamer.calls == 2  # training really ended at the signal
+    # SIGTERM handler restored after run_training
+    assert signal.getsignal(signal.SIGTERM) == signal.SIG_DFL
+
+
+def test_graceful_stop_max_wall_s(tmp_path, rng):
+    """A zero wall budget stops after the first block with a checkpoint."""
+    from transformergrooveinfilling_tpu.train.driver import run_training
+
+    ds = _toy_dataset(rng)
+    run_training(
+        _graceful_hp(epochs=50), ds, {}, epoch_block=2,
+        only_final_eval=True, log_media=False, max_wall_s=0.0,
+        ckpt_dir=str(tmp_path / "ck"))
+    path, latest = ckpt.find_latest(str(tmp_path / "ck"))
+    assert latest == 1  # one 2-epoch block ran (epochs 0-1), then stopped
+    # the saved state resumes at epoch 2
+    params, _opt, initial = ckpt.restore(
+        {"location": "local", "dir": str(tmp_path / "ck")},
+        GrooveTransformerConfig(
+            d_model=16, n_heads=2, dim_feedforward=16, dropout=0.1,
+            num_encoder_layers=1, embedding_size_src=27))
+    assert initial == 2
+
+
+def test_resume_is_bit_exact(tmp_path, rng):
+    """Interrupt + resume reproduces the uninterrupted run exactly: per-block
+    dropout keys fold in the epoch index (driver.py), so the resumed key
+    stream realigns, and checkpoints round-trip f32 params losslessly."""
+    from flax import serialization
+
+    from transformergrooveinfilling_tpu.models import build_model as _bm
+    from transformergrooveinfilling_tpu.train.config import derive_model_config
+    from transformergrooveinfilling_tpu.train.driver import (
+        ModelBundle, _GracefulStop, run_training)
+
+    ds = _toy_dataset(rng)
+    hp = _graceful_hp(epochs=4)
+
+    # run A: 4 epochs uninterrupted
+    full = run_training(hp, ds, {}, epoch_block=1, only_final_eval=True,
+                        log_media=False, ckpt_dir=str(tmp_path / "a"))
+
+    # run B: stop after 2 blocks, restore, train the remaining 2
+    class StopAfterTwoReads(_GracefulStop):
+        def __init__(self):
+            super().__init__()
+            self._reads = 0
+
+        @property
+        def requested(self):
+            self._reads += 1
+            return self._reads >= 2
+
+        @requested.setter
+        def requested(self, v):
+            pass
+
+    run_training(hp, ds, {}, epoch_block=1, only_final_eval=True,
+                 log_media=False, ckpt_dir=str(tmp_path / "b"),
+                 _stopper=StopAfterTwoReads())
+    config = derive_model_config(hp)
+    restored, opt_state, initial = ckpt.restore(
+        {"location": "local", "dir": str(tmp_path / "b")}, config)
+    assert initial == 2
+    model = _bm(config)
+    tx = make_optimizer(hp.optimizer_algorithm, hp.learning_rate)
+    init_state = create_train_state(model, config, tx, jax.random.PRNGKey(0))
+    params = jax.tree.map(
+        jnp.asarray, serialization.from_state_dict(init_state.params, restored))
+    opt = serialization.from_state_dict(tx.init(params), opt_state)
+    bundle = ModelBundle(model=model, config=config, tx=tx,
+                         state=TrainState(step=init_state.step, params=params,
+                                          opt_state=opt))
+    resumed = run_training(hp, ds, {}, bundle=bundle, initial_epoch=2,
+                           epoch_block=1, only_final_eval=True,
+                           log_media=False, ckpt_dir=str(tmp_path / "b2"))
+
+    flat_a = jax.tree_util.tree_leaves(full.state.params)
+    flat_b = jax.tree_util.tree_leaves(resumed.state.params)
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -41,6 +41,10 @@ def parse_args(argv=None):
     parser.add_argument("--ckpt_dir", default="checkpoints")
     parser.add_argument("--epoch_block", type=int, default=1,
                         help="epochs fused per device dispatch (scan-of-epochs)")
+    parser.add_argument("--max_wall_s", type=float, default=None,
+                        help="wall-clock budget: stop gracefully (checkpoint + "
+                        "clean exit) after the first epoch block that crosses "
+                        "it; SIGTERM/SIGINT trigger the same path")
     parser.add_argument("--bf16", type=int, default=None,
                         help="matmul compute dtype: 1=bfloat16, 0=float32, "
                         "unset=auto (bf16 on TPU; docs/PERF.md)")
@@ -240,6 +244,7 @@ def _run(args, hp_dict, paths):
                            if str(args.regen_cadence) != "auto" else "auto"),
             on_device_augment=on_device_augment,
             augment_per_epoch=False,  # fused mode: fresh render per block
+            max_wall_s=args.max_wall_s,
         )
     finally:
         if streamer is not None:

@@ -122,12 +122,16 @@ def _write_checkpoint(ckpt_dir: str, run_id: str, epoch: int, payload: dict,
                       loss: float, config: GrooveTransformerConfig) -> str:
     os.makedirs(ckpt_dir, exist_ok=True)
     path = os.path.join(ckpt_dir, CKPT_PATTERN.format(run_id, epoch))
-    with open(path, "wb") as f:
+    # temp + atomic rename: a crash/preemption kill mid-write must never
+    # leave a truncated .ckpt as the newest file find_latest would resume from
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(serialization.msgpack_serialize(
             {"state": payload,
              "meta": {"epoch": epoch, "loss": float(loss), "run_id": run_id,
                       "config": json.dumps(_config_dict(config))}}
         ))
+    os.replace(tmp, path)
     _blob_cache.clear()  # never serve a pre-overwrite parse of this path
     return path
 

@@ -14,6 +14,8 @@ from __future__ import annotations
 import dataclasses
 import functools
 import os
+import signal
+import threading
 import time
 from typing import Any
 
@@ -42,6 +44,45 @@ from .schedule import eval_log_freq
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _slab_update(full, slab, start):
     return jax.lax.dynamic_update_slice_in_dim(full, slab, start, 0)
+
+
+class _GracefulStop:
+    """Preemption-safe stop: SIGTERM/SIGINT finish the current epoch block,
+    checkpoint, and return cleanly (SURVEY.md §5.3 — the reference has no
+    failure handling beyond resumable checkpoints; TPU pods deliver SIGTERM
+    on maintenance/preemption events with a short grace window).
+
+    A second SIGINT raises ``KeyboardInterrupt`` (immediate abort, the
+    familiar double-Ctrl-C contract). Prior handlers are restored on exit.
+    Outside the main thread (e.g. run_training driven from a test harness
+    thread) signal handlers can't be installed; the stop flag can still be
+    set directly via ``request()``.
+    """
+
+    def __init__(self):
+        self.requested = False
+        self._prev = {}
+
+    def request(self):
+        self.requested = True
+
+    def _handle(self, signum, frame):
+        if self.requested and signum == signal.SIGINT:
+            raise KeyboardInterrupt
+        self.requested = True
+        print("graceful stop: signal received — finishing the current epoch "
+              "block, then checkpointing", flush=True)
+
+    def __enter__(self):
+        if threading.current_thread() is threading.main_thread():
+            for sig in (signal.SIGTERM, signal.SIGINT):
+                self._prev[sig] = signal.signal(sig, self._handle)
+        return self
+
+    def __exit__(self, *exc):
+        for sig, h in self._prev.items():
+            signal.signal(sig, h)
+        return False
 
 
 @dataclasses.dataclass
@@ -145,6 +186,8 @@ def run_training(
     on_device_augment=None,
     augment_per_epoch: bool = True,
     watch_log_freq: int | None = 1000,
+    max_wall_s: float | None = None,
+    _stopper: "_GracefulStop | None" = None,
 ) -> ModelBundle:
     """Full training run: the reference epoch loop, compiled.
 
@@ -171,6 +214,13 @@ def run_training(
     training steps (the reference's ``wandb.watch(model, log_freq=1000)``,
     /root/reference/train.py:150), logged under ``gradients/<path>`` /
     ``parameters/<path>``; ``None`` disables.
+    ``max_wall_s``: optional wall-clock budget — training stops gracefully
+    (checkpoint + clean return) after the first epoch block that crosses it.
+    SIGTERM/SIGINT trigger the same path (TPU preemption notice). On
+    multi-host runs the stop decision is agreed via a collective (any
+    process stopping stops all — a one-sided stop would deadlock the next
+    compiled block), so the signal may arrive at any subset of processes.
+    ``_stopper``: test hook — inject a pre-built ``_GracefulStop``.
     """
     from ..eval.evaluator import log_eval
 
@@ -304,7 +354,12 @@ def run_training(
     run = xlog.run
     run_id = run.id if run is not None else time.strftime("%H%M%S")
     state = bundle.state
-    key = jax.random.PRNGKey(seed + 1)
+    # per-block dropout keys are folded from a base key by the block's first
+    # epoch index (NOT a sequential split chain): a run resumed from a
+    # checkpoint at epoch E regenerates the identical key stream an
+    # uninterrupted run would have used, so interrupt + resume is bit-exact
+    # (given the same epoch_block; tests/test_train.py pins this)
+    base_key = jax.random.PRNGKey(seed + 1)
 
     # observability (SURVEY.md §5.1): per-epoch wall/throughput always logged;
     # TGI_PROFILE=1 additionally captures an XLA device trace of the first
@@ -330,124 +385,156 @@ def run_training(
     cadence_pending = None  # decrease hysteresis (see auto-cadence below)
     blocks_run = 0
 
-    ep = initial_epoch
-    while ep < hp.epochs:
-        block = min(epoch_block, hp.epochs - ep)
-        t0 = time.time()
-        key, epoch_key = jax.random.split(key)
-        if block == epoch_block:
-            run_fn = epoch_fn
-        else:  # trailing partial block
-            run_fn = make_epoch_fn(
-                bundle.model, bundle.tx, hp.hit_loss_penalty, hp.batch_size,
-                n, plan=plan, donate=True, n_epochs=block,
-                encoder_only=encoder_only, augment=on_device_augment,
-                augment_per_epoch=augment_per_epoch)
-        if streamer is not None and blocks_run % cadence == 0:
-            if hasattr(streamer, "next_epoch_delta"):
-                # delta consumption: partial generations ship only the fresh
-                # slab and update the resident device arrays in place
-                # (measured: the full-array host→device copy per swap, not
-                # the slice compute, was streaming's fixed cost on a
-                # tunneled link — docs/PERF.md)
-                sl, fresh_in, fresh_out = streamer.next_epoch_delta()
-            else:  # plain next_epoch streamers (tests, custom producers)
-                sl = None
-                fresh_in, fresh_out = streamer.next_epoch()
-            if sl is None:
-                if fresh_in.shape[0] != n or fresh_out.shape[0] != n:
-                    raise ValueError(
-                        f"streamer generation size {fresh_in.shape[0]} != "
-                        f"compiled n_samples {n}; generations must keep a "
-                        f"constant size")
-                inputs = jnp.asarray(fresh_in)
-                outputs = jnp.asarray(fresh_out)
+    stopper = _stopper or _GracefulStop()
+    run_start = time.time()
+    with stopper:
+        ep = initial_epoch
+        while ep < hp.epochs:
+            block = min(epoch_block, hp.epochs - ep)
+            t0 = time.time()
+            epoch_key = jax.random.fold_in(base_key, ep)
+            if block == epoch_block:
+                run_fn = epoch_fn
+            else:  # trailing partial block
+                run_fn = make_epoch_fn(
+                    bundle.model, bundle.tx, hp.hit_loss_penalty, hp.batch_size,
+                    n, plan=plan, donate=True, n_epochs=block,
+                    encoder_only=encoder_only, augment=on_device_augment,
+                    augment_per_epoch=augment_per_epoch)
+            if streamer is not None and blocks_run % cadence == 0:
+                if hasattr(streamer, "next_epoch_delta"):
+                    # delta consumption: partial generations ship only the fresh
+                    # slab and update the resident device arrays in place
+                    # (measured: the full-array host→device copy per swap, not
+                    # the slice compute, was streaming's fixed cost on a
+                    # tunneled link — docs/PERF.md)
+                    sl, fresh_in, fresh_out = streamer.next_epoch_delta()
+                else:  # plain next_epoch streamers (tests, custom producers)
+                    sl = None
+                    fresh_in, fresh_out = streamer.next_epoch()
+                if sl is None:
+                    if fresh_in.shape[0] != n or fresh_out.shape[0] != n:
+                        raise ValueError(
+                            f"streamer generation size {fresh_in.shape[0]} != "
+                            f"compiled n_samples {n}; generations must keep a "
+                            f"constant size")
+                    inputs = jnp.asarray(fresh_in)
+                    outputs = jnp.asarray(fresh_out)
+                else:
+                    inputs = _slab_update(inputs, jnp.asarray(fresh_in), sl.start)
+                    outputs = _slab_update(outputs, jnp.asarray(fresh_out),
+                                           sl.start)
+            if profile_dir and ep == initial_epoch:
+                with jax.profiler.trace(profile_dir):
+                    state, metrics = run_fn(state, inputs, outputs, epoch_key)
+                    jax.block_until_ready(metrics["loss"])
             else:
-                inputs = _slab_update(inputs, jnp.asarray(fresh_in), sl.start)
-                outputs = _slab_update(outputs, jnp.asarray(fresh_out),
-                                       sl.start)
-        if profile_dir and ep == initial_epoch:
-            with jax.profiler.trace(profile_dir):
                 state, metrics = run_fn(state, inputs, outputs, epoch_key)
-                jax.block_until_ready(metrics["loss"])
-        else:
-            state, metrics = run_fn(state, inputs, outputs, epoch_key)
-        metrics = {k: float(v) for k, v in metrics.items()}
-        bundle.state = state
-        ep += block  # `ep` is now one past the last completed epoch
-        dt = time.time() - t0
-        metrics["epoch_time_s"] = dt / block
-        metrics["seqs_per_sec"] = n * block / dt if dt > 0 else 0.0
+            metrics = {k: float(v) for k, v in metrics.items()}
+            bundle.state = state
+            ep += block  # `ep` is now one past the last completed epoch
+            dt = time.time() - t0
+            metrics["epoch_time_s"] = dt / block
+            metrics["seqs_per_sec"] = n * block / dt if dt > 0 else 0.0
 
-        blocks_run += 1
-        if streamer is not None and auto_cadence:
-            # pick the swap cadence so one generation's build time fits
-            # inside the blocks it serves (gen_s ≤ cadence · block_s);
-            # increases apply immediately, decreases need two consecutive
-            # agreeing blocks (hysteresis — gen≈block otherwise flaps 1↔2)
-            gen_s = getattr(streamer, "last_generation_seconds", 0.0)
-            want = max(1, int(np.ceil(gen_s / max(dt, 1e-9))))
-            if want >= cadence:
-                new_cadence, cadence_pending = want, None
-            elif want == cadence_pending:
-                new_cadence, cadence_pending = want, None
+            blocks_run += 1
+            if streamer is not None and auto_cadence:
+                # pick the swap cadence so one generation's build time fits
+                # inside the blocks it serves (gen_s ≤ cadence · block_s);
+                # increases apply immediately, decreases need two consecutive
+                # agreeing blocks (hysteresis — gen≈block otherwise flaps 1↔2)
+                gen_s = getattr(streamer, "last_generation_seconds", 0.0)
+                want = max(1, int(np.ceil(gen_s / max(dt, 1e-9))))
+                if want >= cadence:
+                    new_cadence, cadence_pending = want, None
+                elif want == cadence_pending:
+                    new_cadence, cadence_pending = want, None
+                else:
+                    new_cadence, cadence_pending = cadence, want
+                if new_cadence != cadence:
+                    print(f"streaming: auto regen cadence -> every "
+                          f"{new_cadence} block(s) (generation {gen_s:.1f}s, "
+                          f"block {dt:.1f}s)")
+                cadence = new_cadence
+
+            for name, (hx, hy) in held_out.items():
+                hm = eval_loss_fn(state.params, hx, hy)
+                metrics.update({f"{name}_{k}": float(v) for k, v in hm.items()})
+
+            # preemption / wall-budget check — agreed across processes (a
+            # one-sided stop would leave peers blocked in the next compiled
+            # block's collectives)
+            stop_local = stopper.requested or (
+                max_wall_s is not None and time.time() - run_start > max_wall_s)
+            if n_proc > 1:
+                from jax.experimental import multihost_utils
+
+                stop_now = bool(multihost_utils.process_allgather(
+                    np.asarray(stop_local)).any())
             else:
-                new_cadence, cadence_pending = cadence, want
-            if new_cadence != cadence:
-                print(f"streaming: auto regen cadence -> every "
-                      f"{new_cadence} block(s) (generation {gen_s:.1f}s, "
-                      f"block {dt:.1f}s)")
-            cadence = new_cadence
+                stop_now = stop_local
+            if stop_now:
+                metrics["graceful_stop"] = 1.0
 
-        for name, (hx, hy) in held_out.items():
-            hm = eval_loss_fn(state.params, hx, hy)
-            metrics.update({f"{name}_{k}": float(v) for k, v in hm.items()})
+            last_ep = ep - 1  # epoch index the metrics/evals belong to
+            block_epochs = range(ep - block, ep)
+            xlog.log({**metrics, "epoch": last_ep}, commit=False)
 
-        last_ep = ep - 1  # epoch index the metrics/evals belong to
-        block_epochs = range(ep - block, ep)
-        xlog.log({**metrics, "epoch": last_ep}, commit=False)
+            steps_done += block * steps_per_epoch
+            if (not stop_now and watch_log_freq and inputs is not None
+                    and steps_done // watch_log_freq > watch_events):
+                watch_events = steps_done // watch_log_freq
+                if watch_fn is None:
+                    from .loop import make_watch_fn
 
-        steps_done += block * steps_per_epoch
-        if (watch_log_freq and inputs is not None
-                and steps_done // watch_log_freq > watch_events):
-            watch_events = steps_done // watch_log_freq
-            if watch_fn is None:
-                from .loop import make_watch_fn
+                    watch_fn = make_watch_fn(
+                        bundle.model, hp.hit_loss_penalty, hp.batch_size,
+                        encoder_only=encoder_only, augment=on_device_augment)
+                # distinct domain from the epoch keys (epoch indices are
+                # < 2**31; steps_done rides in the upper range)
+                watch_key = jax.random.fold_in(
+                    base_key, np.uint32(2**31 + watch_events))
+                hists = watch_fn(state.params, inputs, outputs, watch_key)
+                xlog.log(
+                    {k: xlog.Histogram(np.asarray(c), np.asarray(e))
+                     for k, (c, e) in hists.items()},
+                    commit=False)
 
-                watch_fn = make_watch_fn(
-                    bundle.model, hp.hit_loss_penalty, hp.batch_size,
-                    encoder_only=encoder_only, augment=on_device_augment)
-            key, watch_key = jax.random.split(key)
-            hists = watch_fn(state.params, inputs, outputs, watch_key)
-            xlog.log(
-                {k: xlog.Histogram(np.asarray(c), np.asarray(e))
-                 for k, (c, e) in hists.items()},
-                commit=False)
+            save_now = stop_now or any(
+                e in epoch_save_partial or e in epoch_save_all
+                for e in block_epochs)
+            if save_now:
+                # fetch on EVERY process: with tp-sharded multi-host params the
+                # fetch all-gathers on device (a collective — process 0 alone
+                # would deadlock); the file write stays single-writer
+                payload = ckpt.fetch_state_to_host(state)
+                if jax.process_index() == 0:
+                    # async: serialization + write run on a background thread
+                    # while the next block trains (flushed before returning)
+                    ckpt.save_payload_async(ckpt_dir, run_id, last_ep, payload,
+                                            metrics["loss"], bundle.config)
+                    if export_legacy and bundle.config.encoder_only:
+                        ckpt.export_legacy(ckpt_dir, run_id, last_ep,
+                                           payload["params"],
+                                           bundle.config, metrics["loss"])
 
-        save_now = any(e in epoch_save_partial or e in epoch_save_all
-                       for e in block_epochs)
-        if save_now:
-            # fetch on EVERY process: with tp-sharded multi-host params the
-            # fetch all-gathers on device (a collective — process 0 alone
-            # would deadlock); the file write stays single-writer
-            payload = ckpt.fetch_state_to_host(state)
-            if jax.process_index() == 0:
-                # async: serialization + write run on a background thread
-                # while the next block trains (flushed before returning)
-                ckpt.save_payload_async(ckpt_dir, run_id, last_ep, payload,
-                                        metrics["loss"], bundle.config)
-                if export_legacy and bundle.config.encoder_only:
-                    ckpt.export_legacy(ckpt_dir, run_id, last_ep,
-                                       payload["params"],
-                                       bundle.config, metrics["loss"])
+            # on graceful stop skip the evaluator/media pass: preemption
+            # grace windows are short, and the checkpoint (above) is the
+            # part that must land
+            if not stop_now:
+                media_now = log_media and any(
+                    e in epoch_save_all for e in block_epochs)
+                for name, ev in evaluators.items():
+                    ev._identifier = f"{name.capitalize()}_Set"
+                    log_eval(ev, bundle, log_media=media_now, epoch=last_ep,
+                             dump=dump_eval)
 
-        media_now = log_media and any(e in epoch_save_all for e in block_epochs)
-        for name, ev in evaluators.items():
-            ev._identifier = f"{name.capitalize()}_Set"
-            log_eval(ev, bundle, log_media=media_now, epoch=last_ep,
-                     dump=dump_eval)
-
-        xlog.log({"epoch": last_ep}, commit=True)
+            xlog.log({"epoch": last_ep}, commit=True)
+            if stop_now:
+                print(f"graceful stop: checkpoint saved at epoch {last_ep} "
+                      f"({run_id}); resume with load_model "
+                      f"location=local dir={ckpt_dir}", flush=True)
+                break
 
     ckpt.flush_async_saves()
     return bundle
