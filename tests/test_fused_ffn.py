@@ -144,3 +144,22 @@ def test_tiled_custom_vjp_matches_autodiff(big_operands):
     for a, b, name in zip(g1, g2, ("x", "w1", "b1", "w2", "b2")):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=3e-3, atol=3e-3, err_msg=name)
+
+
+def test_resolve_fused_ffn_auto_boundary(monkeypatch):
+    """Auto mode enables the kernel only in its measured win region: TPU
+    backend, ff >= 2048, AND weights small enough for the VMEM-resident
+    layout (docs/PERF.md round 3: +16 % at d256/ff2048, negative at the
+    flagship's ff 512 and at tiled GrooveXL widths d1024/ff4096)."""
+    import jax
+
+    from transformergrooveinfilling_tpu.train.config import resolve_fused_ffn
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert resolve_fused_ffn(None, 2048, 256) is True
+    assert resolve_fused_ffn(None, 512, 256) is False      # below crossover
+    assert resolve_fused_ffn(None, 4096, 1024) is False    # tiled regime
+    assert resolve_fused_ffn(True, 4096, 1024) is True     # explicit override
+    assert resolve_fused_ffn(False, 2048, 256) is False
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    assert resolve_fused_ffn(None, 2048, 256) is False     # TPU-only auto

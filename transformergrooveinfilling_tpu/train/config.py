@@ -100,19 +100,25 @@ def resolve_compute_dtype(bf16: Optional[bool]):
     return jnp.bfloat16 if bf16 else jnp.float32
 
 
-def resolve_fused_ffn(fused_ffn: Optional[bool], dim_feedforward: int) -> bool:
+def resolve_fused_ffn(fused_ffn: Optional[bool], dim_feedforward: int,
+                      d_model: int = 256) -> bool:
     """fused_ffn hyperparameter → kernel switch. ``None`` = auto: on for TPU
-    training at ff >= 2048 (the measured crossover — +16 % at RandomLow_lm's
-    ff 2048, negative at the flagship's ff 512; docs/PERF.md round 3)."""
+    training at ff >= 2048 *while the weights still fit the VMEM-resident
+    kernel* (the measured win region — +16 % at RandomLow_lm's d256/ff2048,
+    negative at the flagship's ff 512, and −1…−4 % at GrooveXL-class widths
+    where the K/F-tiled streaming layout takes over; docs/PERF.md round 3)."""
     if fused_ffn is not None:
         return bool(fused_ffn)
     import jax
+
+    from ..ops.fused_ffn import _RESIDENT_WEIGHT_BYTES
 
     try:
         on_tpu = jax.default_backend() == "tpu"
     except Exception:
         on_tpu = False
-    return on_tpu and dim_feedforward >= 2048
+    resident = 2 * d_model * dim_feedforward * 2 <= _RESIDENT_WEIGHT_BYTES
+    return on_tpu and dim_feedforward >= 2048 and resident
 
 
 def derive_model_config(
@@ -122,7 +128,7 @@ def derive_model_config(
         compute_dtype = resolve_compute_dtype(getattr(hp, "bf16", None))
     return GrooveTransformerConfig(
         fused_ffn=resolve_fused_ffn(getattr(hp, "fused_ffn", None),
-                                    hp.dim_feedforward),
+                                    hp.dim_feedforward, hp.d_model),
         d_model=hp.d_model,
         n_heads=hp.n_heads,
         dim_feedforward=hp.dim_feedforward,

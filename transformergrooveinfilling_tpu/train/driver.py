@@ -119,7 +119,7 @@ def initialize_model(params: dict) -> tuple[ModelBundle, Any, int]:
     t = params.get("training", {})
     config = GrooveTransformerConfig(
         fused_ffn=resolve_fused_ffn(m.get("fused_ffn"),
-                                    m["dim_feedforward"]),
+                                    m["dim_feedforward"], m["d_model"]),
         d_model=m["d_model"],
         n_heads=m["n_heads"],
         dim_feedforward=m["dim_feedforward"],
