@@ -158,3 +158,63 @@ def test_pipeline_honors_remat(setup):
     assert np.isfinite(float(m["loss"]))
     assert any(not np.allclose(np.asarray(a), np.asarray(b))
                for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(params)))
+
+
+def test_forward_tp_inside_stages_matches_plain_model(setup):
+    """Full dp×pp×tp (2×2×2 over 8 devices): tensor parallelism rides
+    *inside* each pipeline stage — the "model" mesh axis is GSPMD-auto while
+    the pipeline schedule stays manual (pipeline.py::make_pipeline_mesh
+    n_model>1). Forward must equal the plain single-device model, and the
+    compiled program must actually communicate over the model axis (a
+    silently-replicated layout would pass parity)."""
+    model, params, x = setup
+    plan = make_pipeline_mesh(n_stages=2, n_data=2, n_model=2, n_micro=4)
+    assert plan.n_model == 2
+    ref = model.apply({"params": params}, x, deterministic=True)
+    fwd = jax.jit(
+        lambda p, v: pipeline_forward(p, v, plan, CFG, deterministic=True))
+    out = fwd(params, x)
+    for r, o in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(r), np.asarray(o),
+                                   rtol=5e-4, atol=1e-5)
+    hlo = fwd.lower(params, x).compile().as_text()
+    assert ("all-reduce" in hlo or "all-gather" in hlo
+            or "reduce-scatter" in hlo), (
+        "no cross-model-shard collective in the compiled dp×pp×tp forward")
+
+
+def test_train_step_tp_inside_stages_matches_direct_grad(setup):
+    """One SGD step of the dp×pp×tp composition == direct jax.grad of the
+    plain model (dropout off): tp changes the layout, not the math."""
+    import dataclasses
+
+    import optax
+
+    from transformergrooveinfilling_tpu.models.losses import calculate_loss
+
+    cfg = dataclasses.replace(CFG, dropout=0.0)
+    model = build_model(cfg)
+    x = jnp.asarray(
+        np.random.default_rng(1).standard_normal((16, 32, 16)), jnp.float32)
+    h = (np.random.default_rng(2).random((16, 32, 9)) < 0.3).astype(np.float32)
+    y = jnp.asarray(np.concatenate([h, h * 0.6, h * 0.1], 2), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+
+    tx = optax.sgd(0.05)
+    plan = make_pipeline_mesh(n_stages=2, n_data=2, n_model=2, n_micro=4)
+    step = make_pipeline_train_step(cfg, plan, tx, hit_loss_penalty=0.5)
+    p_pipe, _, metrics = step(params, tx.init(params), x, y,
+                              jax.random.PRNGKey(3))
+
+    def direct_loss(p):
+        preds = model.apply({"params": p}, x, deterministic=True)
+        return calculate_loss(preds, y, 0.5).total_loss
+
+    np.testing.assert_allclose(float(metrics["loss"]), float(direct_loss(params)),
+                               rtol=1e-5)
+    grads = jax.grad(direct_loss)(params)
+    p_ref = optax.apply_updates(params, tx.update(grads, tx.init(params),
+                                                  params)[0])
+    for a, b in zip(jax.tree.leaves(p_pipe), jax.tree.leaves(p_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)

@@ -41,7 +41,7 @@ from ..models.transformer import (
 
 @dataclasses.dataclass(frozen=True)
 class PipelinePlan:
-    """A ("data", "pipe") mesh and the pipeline split."""
+    """A ("data", "pipe"[, "model"]) mesh and the pipeline split."""
 
     mesh: Mesh
     n_micro: int  # microbatches per global batch
@@ -54,20 +54,35 @@ class PipelinePlan:
     def n_stages(self) -> int:
         return self.mesh.shape["pipe"]
 
+    @property
+    def n_model(self) -> int:
+        return self.mesh.shape.get("model", 1)
+
 
 def make_pipeline_mesh(n_stages: int, n_data: int | None = None,
-                       n_micro: int | None = None, devices=None) -> PipelinePlan:
-    """Mesh with "pipe" innermost so stage hops ride nearest-neighbor ICI."""
+                       n_micro: int | None = None, n_model: int = 1,
+                       devices=None) -> PipelinePlan:
+    """Mesh with "model" innermost (per-layer tp collectives are the hottest
+    traffic), "pipe" next (one ring hop per schedule step), "data" outermost
+    (one gradient all-reduce per step).
+
+    ``n_model > 1`` adds tensor parallelism *inside* each pipeline stage: the
+    full dp×pp×tp composition. The pipeline loop stays manual
+    (``shard_map`` over "data"/"pipe") while the "model" axis is left to
+    GSPMD — sharding constraints on each stage's layer parameters make XLA
+    partition the layer matmuls and insert the tp collectives, exactly as in
+    the non-pipelined tensor-parallel path (mesh.py partition rules).
+    """
     devices = devices if devices is not None else jax.devices()
     if n_data is None:
-        n_data = len(devices) // n_stages
+        n_data = len(devices) // (n_stages * n_model)
     assert n_data >= 1, (
-        f"need at least {n_stages} devices for {n_stages} stages, "
-        f"have {len(devices)}")
-    n = n_data * n_stages
+        f"need at least {n_stages * n_model} devices for {n_stages} stages "
+        f"x {n_model} model shards, have {len(devices)}")
+    n = n_data * n_stages * n_model
     assert n <= len(devices), f"need {n} devices, have {len(devices)}"
-    dev_array = np.asarray(devices[:n]).reshape(n_data, n_stages)
-    return PipelinePlan(Mesh(dev_array, axis_names=("data", "pipe")),
+    dev_array = np.asarray(devices[:n]).reshape(n_data, n_stages, n_model)
+    return PipelinePlan(Mesh(dev_array, axis_names=("data", "pipe", "model")),
                         n_micro=n_micro or 2 * n_stages)
 
 
@@ -92,17 +107,43 @@ def merge_encoder_params(rest: dict, stacked, n_layers: int) -> dict:
     return params
 
 
+def _stacked_tp_specs(stacked):
+    """mesh.py tensor-parallel PartitionSpecs for the stacked layer tree.
+
+    Leaves are the *per-layer* specs (no leading axis): callers prepend
+    "pipe" (outside the shard_map) or None (inside it) for the stacked-layer
+    dimension."""
+    from .mesh import _spec_for_path
+
+    flat, treedef = jax.tree_util.tree_flatten_with_path(stacked)
+
+    def path_str(kp):
+        return "/".join(
+            str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
+
+    return jax.tree_util.tree_unflatten(
+        treedef, [_spec_for_path(path_str(kp)) for kp, _ in flat])
+
+
 def _stage_fn(stacked_local, h_micro, key, *, cfg: GrooveTransformerConfig,
-              n_stages: int, deterministic: bool):
+              n_stages: int, deterministic: bool, tp_specs=None):
     """SPMD body over the "pipe" axis (runs under shard_map).
 
     stacked_local: (L/S, ...) this stage's layer params
     h_micro: (M, mb, T, d) embedded microbatch stream (every stage sees it;
         only stage 0 reads from it)
+    tp_specs: when tensor parallelism rides inside the stage (n_model > 1 —
+        the "model" mesh axis is then *auto*, not manual), a PartitionSpec
+        pytree matching ``stacked_local`` that pins each layer weight's tp
+        layout; GSPMD partitions the layer matmuls over "model" from these
+        constraints and inserts the collectives.
     returns: (M+S-1, mb, T, d) — this stage's outputs per step; stage S-1's
         rows [S-1, S-1+M) are the pipeline's final activations.
     """
     S, M = n_stages, h_micro.shape[0]
+    if tp_specs is not None:
+        stacked_local = jax.tree.map(
+            jax.lax.with_sharding_constraint, stacked_local, tp_specs)
     stage = jax.lax.axis_index("pipe")
     data_idx = jax.lax.axis_index("data")
     layers_per_stage = jax.tree.leaves(stacked_local)[0].shape[0]
@@ -139,6 +180,10 @@ def _stage_fn(stacked_local, h_micro, key, *, cfg: GrooveTransformerConfig,
         # values that fall outside every stage's valid window)
         inp = jnp.where(stage == 0, h_micro[jnp.minimum(t, M - 1)], buf)
         out = apply_local(inp, t)
+        if tp_specs is not None:
+            # activations leave each stage replicated over "model", so the
+            # pipe-ring transfer ships one copy, not a tp-sharded layout
+            out = jax.lax.with_sharding_constraint(out, P())
         nxt = jax.lax.ppermute(out, "pipe", perm)
         return nxt, out
 
@@ -179,15 +224,38 @@ def pipeline_forward(params: dict, x: jax.Array, plan: PipelinePlan,
         {"params": rest["input"]}, h, deterministic=deterministic, rngs=rngs)
 
     h_micro = h.reshape(M, mb, T, cfg.d_model)
-    stacked_sharded = jax.lax.with_sharding_constraint(
-        stacked, NamedSharding(plan.mesh, P("pipe")))
-    outs = jax.shard_map(
-        functools.partial(_stage_fn, cfg=cfg, n_stages=S,
-                          deterministic=deterministic),
-        mesh=plan.mesh,
-        in_specs=(P("pipe"), P(None, "data"), P()),
-        out_specs=P("pipe", "data"),
-    )(stacked_sharded, h_micro, key)
+    if plan.n_model > 1:
+        # dp×pp×tp: the pipeline schedule stays manual over ("data", "pipe")
+        # while the "model" axis is left to GSPMD (shard_map axis_names) —
+        # stage params carry the mesh.py tensor-parallel layout (leading
+        # stacked-layer axis prepended) both outside the shard_map (placement)
+        # and inside it (the auto-axis constraint GSPMD partitions from)
+        stacked_tp_specs = _stacked_tp_specs(stacked)
+        stacked_sharded = jax.tree.map(
+            lambda x, s: jax.lax.with_sharding_constraint(
+                x, NamedSharding(plan.mesh, P("pipe", *s))),
+            stacked, stacked_tp_specs)
+        outs = jax.shard_map(
+            functools.partial(
+                _stage_fn, cfg=cfg, n_stages=S,
+                deterministic=deterministic,
+                tp_specs=jax.tree.map(lambda s: P(None, *s),
+                                      stacked_tp_specs)),
+            mesh=plan.mesh,
+            in_specs=(P("pipe"), P(None, "data"), P()),
+            out_specs=P("pipe", "data"),
+            axis_names={"data", "pipe"},
+        )(stacked_sharded, h_micro, key)
+    else:
+        stacked_sharded = jax.lax.with_sharding_constraint(
+            stacked, NamedSharding(plan.mesh, P("pipe")))
+        outs = jax.shard_map(
+            functools.partial(_stage_fn, cfg=cfg, n_stages=S,
+                              deterministic=deterministic),
+            mesh=plan.mesh,
+            in_specs=(P("pipe"), P(None, "data"), P()),
+            out_specs=P("pipe", "data"),
+        )(stacked_sharded, h_micro, key)
     # outs: (S*(M+S-1), mb, T, d); stage S-1's valid rows are the final
     # activations of microbatches 0..M-1 at steps S-1..S-1+M
     base = (S - 1) * (M + S - 1) + (S - 1)
