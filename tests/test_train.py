@@ -598,3 +598,37 @@ def test_resume_is_bit_exact(tmp_path, rng):
     assert len(flat_a) == len(flat_b)
     for a, b in zip(flat_a, flat_b):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_crash_mid_write_never_corrupts_resume(tmp_path):
+    """A crash/preemption kill mid-checkpoint-write must never break resume:
+    writes go to a ``.tmp`` then atomically rename (checkpoint.py
+    _write_checkpoint), so a leftover truncated temp file is invisible to
+    find_latest and the last complete checkpoint still loads."""
+    import os
+
+    model = build_model(CFG)
+    tx = make_optimizer("sgd", 0.05)
+    state = create_train_state(model, CFG, tx, jax.random.PRNGKey(1))
+    good = ckpt.save_checkpoint(str(tmp_path), "crash", 3, state, 2.5, CFG)
+
+    # simulate a kill mid-write of the NEXT (epoch-7) checkpoint: the temp
+    # file exists, truncated, and the rename never happened
+    with open(good, "rb") as f:
+        blob = f.read()
+    crashed = os.path.join(
+        str(tmp_path), ckpt.CKPT_PATTERN.format("crash", 7) + ".tmp")
+    with open(crashed, "wb") as f:
+        f.write(blob[: len(blob) // 3])
+
+    path, latest = ckpt.find_latest(str(tmp_path))
+    assert latest == 3, f"truncated temp file won elected resume: {path}"
+    params, _opt, epoch, loss = ckpt.load_checkpoint(path)
+    assert epoch == 3 and abs(loss - 2.5) < 1e-9
+
+    # and a fresh save of epoch 7 replaces the leftover cleanly
+    ckpt.save_checkpoint(str(tmp_path), "crash", 7, state, 1.5, CFG)
+    path, latest = ckpt.find_latest(str(tmp_path))
+    assert latest == 7
+    _params, _opt, epoch, loss = ckpt.load_checkpoint(path)
+    assert epoch == 7 and abs(loss - 1.5) < 1e-9
