@@ -161,5 +161,9 @@ def test_resolve_fused_ffn_auto_boundary(monkeypatch):
     assert resolve_fused_ffn(None, 4096, 1024) is False    # tiled regime
     assert resolve_fused_ffn(True, 4096, 1024) is True     # explicit override
     assert resolve_fused_ffn(False, 2048, 256) is False
+    # residency is judged at the compute dtype the kernel will see: bf16 off
+    # doubles the weight bytes, pushing d256/ff4096 into the tiled regime
+    assert resolve_fused_ffn(None, 4096, 256, jnp.bfloat16) is True
+    assert resolve_fused_ffn(None, 4096, 256, jnp.float32) is False
     monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
     assert resolve_fused_ffn(None, 2048, 256) is False     # TPU-only auto

@@ -70,14 +70,28 @@ def _run_group(n_proc, ckpt_dir, tmp_path, tag, extra=(), attempts=3) -> list:
             try:
                 stdout, stderr = p.communicate(timeout=timeout_s)
             except subprocess.TimeoutExpired:
+                tails = []
                 for q in procs:
                     q.kill()
-                    q.communicate()
+                    _, q_err = q.communicate()
+                    tails.append((q.returncode, q_err.decode()[-2000:]))
+                # a worker that died on its own (rc > 0) while peers hung in
+                # the collective is a REAL failure wearing a timeout: surface
+                # it instead of classifying the attempt as starvation
+                real = [(rc, e) for rc, e in tails
+                        if rc is not None and rc > 0
+                        and "DEADLINE_EXCEEDED" not in e
+                        and "timed out" not in e]
+                if real:
+                    pytest.fail(f"worker exited rc={real[0][0]} while the "
+                                f"group hung:\n{real[0][1]}")
                 timed_out = True
                 last_err = f"group wall timeout ({timeout_s}s)"
                 break
             errs.append((p.returncode, stderr.decode()[-2000:]))
         if timed_out:
+            if attempt >= 1:
+                break  # two timeouts: the host is starved, stop burning wall
             continue
         if all(rc == 0 for rc, _ in errs):
             return [json.load(open(o)) for o in outs]

@@ -178,9 +178,14 @@ def test_forward_tp_inside_stages_matches_plain_model(setup):
         np.testing.assert_allclose(np.asarray(r), np.asarray(o),
                                    rtol=5e-4, atol=1e-5)
     hlo = fwd.lower(params, x).compile().as_text()
-    assert ("all-reduce" in hlo or "all-gather" in hlo
-            or "reduce-scatter" in hlo), (
-        "no cross-model-shard collective in the compiled dp×pp×tp forward")
+    # "all-reduce" is tp's signature (the row-parallel matmul psum): the same
+    # program compiled with n_model=1 contains ZERO all-reduces (only
+    # all-gathers + collective-permutes from the pipeline machinery), so a
+    # silently replicated model axis fails here — generic collective tokens
+    # would not discriminate
+    assert "all-reduce" in hlo, (
+        "no cross-model-shard all-reduce in the compiled dp×pp×tp forward — "
+        "the model axis is not actually partitioned")
 
 
 def test_train_step_tp_inside_stages_matches_direct_grad(setup):

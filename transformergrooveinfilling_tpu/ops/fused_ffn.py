@@ -127,6 +127,14 @@ def _pick_tile_f(f: int) -> int:
 _RESIDENT_WEIGHT_BYTES = 4 * 1024 * 1024
 
 
+def fits_resident(d_model: int, dim_feedforward: int, itemsize: int) -> bool:
+    """True when both FFN weight matrices fit the VMEM-resident kernel (the
+    layout with the measured training win; docs/PERF.md). The single source
+    of the residency formula — kernel dispatch and the auto-enable rule
+    (train/config.py::resolve_fused_ffn) both call this."""
+    return 2 * d_model * dim_feedforward * itemsize <= _RESIDENT_WEIGHT_BYTES
+
+
 def _fwd_kernel_tiled(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                       out_ref, h_ref, *, thresh: int, interpret: bool,
                       n_f_tiles: int):
@@ -212,7 +220,7 @@ def _fwd_call_tiled(x, w1, b1, w2, b2, seed, *, rate: float, interpret: bool):
 def _fwd_call(x, w1, b1, w2, b2, seed, *, rate: float, interpret: bool):
     m, k = x.shape
     f = w1.shape[1]
-    if 2 * k * f * w1.dtype.itemsize > _RESIDENT_WEIGHT_BYTES:
+    if not fits_resident(k, f, w1.dtype.itemsize):
         return _fwd_call_tiled(x, w1, b1, w2, b2, seed, rate=rate,
                                interpret=interpret)
     tile = _pick_tile(m)
@@ -318,8 +326,7 @@ _BWD_IMPL = os.environ.get("TGI_FUSED_FFN_BWD", "xla")
 
 def _ffn_bwd(rate, interpret, res, dy):
     x, h, w1, w2 = res
-    resident = (2 * w1.shape[0] * w1.shape[1] * w1.dtype.itemsize
-                <= _RESIDENT_WEIGHT_BYTES)
+    resident = fits_resident(w1.shape[0], w1.shape[1], w1.dtype.itemsize)
     if _BWD_IMPL == "pallas" and resident:
         dx, dw1, dw2, db1, db2 = _bwd_call(dy, x, h, w1, w2, rate=rate,
                                            interpret=interpret)

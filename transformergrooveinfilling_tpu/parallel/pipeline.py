@@ -112,17 +112,12 @@ def _stacked_tp_specs(stacked):
 
     Leaves are the *per-layer* specs (no leading axis): callers prepend
     "pipe" (outside the shard_map) or None (inside it) for the stacked-layer
-    dimension."""
-    from .mesh import _spec_for_path
+    dimension. Delegates to the same path-rule machinery the non-pipelined
+    tp path uses (mesh.py::param_partition_specs works on any param subtree —
+    the stacked tree's paths are the layer-relative ones the rules match)."""
+    from .mesh import param_partition_specs
 
-    flat, treedef = jax.tree_util.tree_flatten_with_path(stacked)
-
-    def path_str(kp):
-        return "/".join(
-            str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
-
-    return jax.tree_util.tree_unflatten(
-        treedef, [_spec_for_path(path_str(kp)) for kp, _ in flat])
+    return param_partition_specs(stacked)
 
 
 def _stage_fn(stacked_local, h_micro, key, *, cfg: GrooveTransformerConfig,
@@ -235,27 +230,22 @@ def pipeline_forward(params: dict, x: jax.Array, plan: PipelinePlan,
             lambda x, s: jax.lax.with_sharding_constraint(
                 x, NamedSharding(plan.mesh, P("pipe", *s))),
             stacked, stacked_tp_specs)
-        outs = jax.shard_map(
-            functools.partial(
-                _stage_fn, cfg=cfg, n_stages=S,
-                deterministic=deterministic,
-                tp_specs=jax.tree.map(lambda s: P(None, *s),
-                                      stacked_tp_specs)),
-            mesh=plan.mesh,
-            in_specs=(P("pipe"), P(None, "data"), P()),
-            out_specs=P("pipe", "data"),
-            axis_names={"data", "pipe"},
-        )(stacked_sharded, h_micro, key)
+        tp_kwargs = dict(
+            tp_specs=jax.tree.map(lambda s: P(None, *s), stacked_tp_specs))
+        sm_kwargs = dict(axis_names={"data", "pipe"})
     else:
         stacked_sharded = jax.lax.with_sharding_constraint(
             stacked, NamedSharding(plan.mesh, P("pipe")))
-        outs = jax.shard_map(
-            functools.partial(_stage_fn, cfg=cfg, n_stages=S,
-                              deterministic=deterministic),
-            mesh=plan.mesh,
-            in_specs=(P("pipe"), P(None, "data"), P()),
-            out_specs=P("pipe", "data"),
-        )(stacked_sharded, h_micro, key)
+        tp_kwargs = {}
+        sm_kwargs = {}  # manual over every axis ("model" is size 1)
+    outs = jax.shard_map(
+        functools.partial(_stage_fn, cfg=cfg, n_stages=S,
+                          deterministic=deterministic, **tp_kwargs),
+        mesh=plan.mesh,
+        in_specs=(P("pipe"), P(None, "data"), P()),
+        out_specs=P("pipe", "data"),
+        **sm_kwargs,
+    )(stacked_sharded, h_micro, key)
     # outs: (S*(M+S-1), mb, T, d); stage S-1's valid rows are the final
     # activations of microbatches 0..M-1 at steps S-1..S-1+M
     base = (S - 1) * (M + S - 1) + (S - 1)

@@ -101,24 +101,29 @@ def resolve_compute_dtype(bf16: Optional[bool]):
 
 
 def resolve_fused_ffn(fused_ffn: Optional[bool], dim_feedforward: int,
-                      d_model: int = 256) -> bool:
+                      d_model: int, compute_dtype=None) -> bool:
     """fused_ffn hyperparameter → kernel switch. ``None`` = auto: on for TPU
     training at ff >= 2048 *while the weights still fit the VMEM-resident
     kernel* (the measured win region — +16 % at RandomLow_lm's d256/ff2048,
     negative at the flagship's ff 512, and −1…−4 % at GrooveXL-class widths
-    where the K/F-tiled streaming layout takes over; docs/PERF.md round 3)."""
+    where the K/F-tiled streaming layout takes over; docs/PERF.md round 3).
+    Residency is judged at the *compute* dtype the kernel will actually see
+    (bf16 off doubles the weight bytes), via the same ``fits_resident``
+    formula the kernel dispatch uses."""
     if fused_ffn is not None:
         return bool(fused_ffn)
     import jax
+    import jax.numpy as jnp
 
-    from ..ops.fused_ffn import _RESIDENT_WEIGHT_BYTES
+    from ..ops.fused_ffn import fits_resident
 
     try:
         on_tpu = jax.default_backend() == "tpu"
     except Exception:
         on_tpu = False
-    resident = 2 * d_model * dim_feedforward * 2 <= _RESIDENT_WEIGHT_BYTES
-    return on_tpu and dim_feedforward >= 2048 and resident
+    itemsize = jnp.dtype(compute_dtype or jnp.bfloat16).itemsize
+    return (on_tpu and dim_feedforward >= 2048
+            and fits_resident(d_model, dim_feedforward, itemsize))
 
 
 def derive_model_config(
@@ -128,7 +133,8 @@ def derive_model_config(
         compute_dtype = resolve_compute_dtype(getattr(hp, "bf16", None))
     return GrooveTransformerConfig(
         fused_ffn=resolve_fused_ffn(getattr(hp, "fused_ffn", None),
-                                    hp.dim_feedforward, hp.d_model),
+                                    hp.dim_feedforward, hp.d_model,
+                                    compute_dtype),
         d_model=hp.d_model,
         n_heads=hp.n_heads,
         dim_feedforward=hp.dim_feedforward,

@@ -117,9 +117,11 @@ def initialize_model(params: dict) -> tuple[ModelBundle, Any, int]:
 
     m = params["model"]
     t = params.get("training", {})
+    compute_dtype = resolve_compute_dtype(m.get("bf16"))
     config = GrooveTransformerConfig(
         fused_ffn=resolve_fused_ffn(m.get("fused_ffn"),
-                                    m["dim_feedforward"], m["d_model"]),
+                                    m["dim_feedforward"], m["d_model"],
+                                    compute_dtype),
         d_model=m["d_model"],
         n_heads=m["n_heads"],
         dim_feedforward=m["dim_feedforward"],
@@ -129,7 +131,7 @@ def initialize_model(params: dict) -> tuple[ModelBundle, Any, int]:
         max_len=m.get("max_len", 32),
         embedding_size_src=m.get("embedding_size_src", 16),
         embedding_size_tgt=m.get("embedding_size_tgt", 27),
-        compute_dtype=resolve_compute_dtype(m.get("bf16")),
+        compute_dtype=compute_dtype,
     )
     model = build_model(config)
     tx = make_optimizer(m.get("optimizer", "sgd"), t.get("learning_rate", 0.05))
