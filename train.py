@@ -36,6 +36,13 @@ def parse_args(argv=None):
     # TPU-stack extras (absent flags keep reference defaults)
     parser.add_argument("--n_model_shards", type=int, default=1,
                         help="tensor-parallel mesh axis size")
+    parser.add_argument("--pp_stages", type=int, default=1,
+                        help="pipeline-parallel stages (GPipe over a "
+                        "('data','pipe'[,'model']) mesh; encoder-only family; "
+                        "composes with --n_model_shards for dp×pp×tp)")
+    parser.add_argument("--pp_micro", type=int, default=None,
+                        help="microbatches per global batch "
+                        "(default 2×pp_stages; must divide batch_size)")
     parser.add_argument("--export_legacy", default=False,
                         help="also write torch-format .Model checkpoints")
     parser.add_argument("--ckpt_dir", default="checkpoints")
@@ -224,7 +231,14 @@ def _run(args, hp_dict, paths):
     maybe_eval("validation", args.eval_validation)
 
     hp = HyperParams.from_dict(dict(cfg))
-    plan = make_mesh(n_model=args.n_model_shards)
+    if args.pp_stages > 1:
+        from transformergrooveinfilling_tpu.parallel.pipeline import (
+            make_pipeline_mesh)
+
+        plan = make_pipeline_mesh(args.pp_stages, n_micro=args.pp_micro,
+                                  n_model=args.n_model_shards)
+    else:
+        plan = make_mesh(n_model=args.n_model_shards)
 
     streamer, on_device_augment, dataset_for_training = _setup_streaming(
         args, dataset_train)

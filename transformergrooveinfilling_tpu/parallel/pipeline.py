@@ -258,6 +258,65 @@ def pipeline_forward(params: dict, x: jax.Array, plan: PipelinePlan,
         {"params": rest["output"]}, h)
 
 
+def make_pipeline_step(cfg: GrooveTransformerConfig, plan: PipelinePlan,
+                       tx, hit_loss_penalty: float):
+    """Drop-in replacement for train.loop.make_train_step with the encoder
+    stack pipelined: ``step(state, x, y, w, dropout_key) -> (state, metrics)``
+    on the standard TrainState / unsplit parameter tree, with the same metric
+    keys and sample-weight semantics (index-padded partial batches) as the
+    plain step. This is what makes pipeline parallelism reachable from the
+    production driver (``train.py --pp_stages N``) rather than a library-only
+    path.
+    """
+    import optax
+
+    from ..models.losses import calculate_loss
+    from ..train.loop import TrainState
+
+    def step(state: TrainState, x, y, w, dropout_key):
+        def loss_fn(params):
+            pred = pipeline_forward(params, x, plan, cfg,
+                                    deterministic=False, key=dropout_key)
+            out = calculate_loss(pred, y, hit_loss_penalty, sample_weights=w)
+            return out.total_loss, out
+
+        grads, out = jax.grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {
+            "grad_norm": optax.global_norm(grads),
+            "loss": out.total_loss,
+            "hit_accuracy": out.hit_accuracy,
+            "hit_perplexity": out.hit_perplexity,
+            "bce_hits": out.bce_hits,
+            "mse_velocities": out.mse_velocities,
+            "mse_offsets": out.mse_offsets,
+        }
+        return TrainState(step=state.step + 1, params=params,
+                          opt_state=opt_state), metrics
+
+    return step
+
+
+def check_pipeline_batch(plan: PipelinePlan, batch_size: int,
+                         n_layers: int) -> None:
+    """Eager validation of the static pipeline constraints, so a bad CLI
+    combination fails with a clear message instead of a trace-time assert."""
+    if n_layers % plan.n_stages:
+        raise ValueError(
+            f"num_encoder_layers {n_layers} not divisible by "
+            f"--pp_stages {plan.n_stages}")
+    if batch_size % plan.n_micro:
+        raise ValueError(
+            f"batch_size {batch_size} not divisible by n_micro "
+            f"{plan.n_micro} (set --pp_micro to a divisor)")
+    mb = batch_size // plan.n_micro
+    if mb % plan.n_data:
+        raise ValueError(
+            f"microbatch {mb} (batch_size {batch_size} / n_micro "
+            f"{plan.n_micro}) not divisible by the data axis {plan.n_data}")
+
+
 def make_pipeline_train_step(cfg: GrooveTransformerConfig, plan: PipelinePlan,
                              tx, hit_loss_penalty: float = 1.0):
     """One jitted SGD/Adam step with the encoder stack pipelined.

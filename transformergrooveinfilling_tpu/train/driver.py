@@ -230,6 +230,18 @@ def run_training(
     if plan is None:
         plan = make_mesh(n_model=1)
 
+    # pipeline parallelism (parallel/pipeline.py): the pp (or dp×pp×tp) plan
+    # swaps the per-batch step inside the same compiled epoch program; params
+    # stay in the standard unsplit tree, so checkpoints / eval / watch are
+    # untouched. Reachable from the CLI via ``train.py --pp_stages N``.
+    from ..parallel.pipeline import PipelinePlan
+
+    is_pp = isinstance(plan, PipelinePlan)
+    if is_pp and jax.process_count() > 1:
+        raise NotImplementedError(
+            "pipeline parallelism is single-process; across hosts use "
+            "dp or dp×tp (parallel/multihost.py)")
+
     if bundle is None:
         config = derive_model_config(hp)
         model = build_model(config)
@@ -239,7 +251,21 @@ def run_training(
                              optimizer_algorithm=hp.optimizer_algorithm,
                              learning_rate=hp.learning_rate)
 
-    if plan.n_model > 1 and jax.process_count() == 1:
+    pp_step = None
+    if is_pp:
+        from ..parallel.pipeline import check_pipeline_batch, make_pipeline_step
+
+        if not bundle.config.encoder_only:
+            raise NotImplementedError(
+                "pipeline parallelism covers the encoder-only family; the "
+                "encoder-decoder family fits one chip at every shipped size "
+                "(docs/PERF.md)")
+        check_pipeline_batch(plan, hp.batch_size,
+                             bundle.config.num_encoder_layers)
+        pp_step = make_pipeline_step(bundle.config, plan, bundle.tx,
+                                     hp.hit_loss_penalty)
+
+    if not is_pp and plan.n_model > 1 and jax.process_count() == 1:
         # tensor-parallel runs: place parameters with the tp partition specs
         # (attention/FFN wide dims over "model"); optimizer state follows as
         # replicated — jit re-lays it out against the param shardings.
@@ -330,7 +356,7 @@ def run_training(
         bundle.model, bundle.tx, hp.hit_loss_penalty, hp.batch_size, n,
         plan=plan, donate=True, n_epochs=epoch_block,
         encoder_only=encoder_only, augment=on_device_augment,
-        augment_per_epoch=augment_per_epoch)
+        augment_per_epoch=augment_per_epoch, step_fn=pp_step)
     eval_loss_fn = make_eval_loss_fn(bundle.model, hp.hit_loss_penalty,
                                      encoder_only=encoder_only)
 
@@ -402,7 +428,7 @@ def run_training(
                     bundle.model, bundle.tx, hp.hit_loss_penalty, hp.batch_size,
                     n, plan=plan, donate=True, n_epochs=block,
                     encoder_only=encoder_only, augment=on_device_augment,
-                    augment_per_epoch=augment_per_epoch)
+                    augment_per_epoch=augment_per_epoch, step_fn=pp_step)
             if streamer is not None and blocks_run % cadence == 0:
                 if hasattr(streamer, "next_epoch_delta"):
                     # delta consumption: partial generations ship only the fresh

@@ -99,6 +99,7 @@ def make_epoch_fn(
     encoder_only: bool = True,
     augment=None,
     augment_per_epoch: bool = True,
+    step_fn=None,
 ):
     """Compile a whole-epoch function ``(state, inputs, outputs, key) ->
     (state, metrics)``.
@@ -115,9 +116,14 @@ def make_epoch_fn(
     clean base grids as inputs/outputs and every epoch (or block, with
     ``augment_per_epoch=False``) trains on a fresh masking/render without any
     host or transfer involvement.
+
+    ``step_fn``: optional ``(state, x, y, w, dropout_key) -> (state, metrics)``
+    replacing the plain train step — how the pipeline-parallel step
+    (parallel.pipeline.make_pipeline_step) rides the same epoch program.
     """
-    step_fn = make_train_step(model, tx, hit_loss_penalty,
-                              encoder_only=encoder_only)
+    if step_fn is None:
+        step_fn = make_train_step(model, tx, hit_loss_penalty,
+                                  encoder_only=encoder_only)
     n_batches = -(-n_samples // batch_size)
     padded = n_batches * batch_size
 
