@@ -35,9 +35,15 @@ def main():
 
     import jax
 
+    # the shutdown barrier opens when the FIRST process exits; on a 1-core
+    # host n_proc time-sliced workers can finish >300 s (the default) apart,
+    # and a barrier timeout kills the laggards MID-RUN (fatal coordination
+    # error), losing their results. Give the spread room instead.
     jax.distributed.initialize(coordinator_address=args.coordinator,
                                num_processes=args.n_proc,
-                               process_id=args.pid)
+                               process_id=args.pid,
+                               initialization_timeout=600,
+                               shutdown_timeout_seconds=1200)
     import numpy as np
 
     from transformergrooveinfilling_tpu.data.synthetic import (

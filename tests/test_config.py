@@ -182,3 +182,24 @@ def test_encoder_decoder_cli_end_to_end(tmp_path, monkeypatch):
                          "--dump_eval", "False", "--eval_test", "False",
                          "--only_final_eval", "True"])
     assert rc in (0, None)
+
+
+def test_resolve_remat_auto_and_forced():
+    """Auto-remat engages only when the activation estimate overflows HBM:
+    GrooveXL at bs 128 fits (remat off — measured +26 % faster, docs/PERF.md)
+    while bs 1024 does not; explicit 0/1 always wins."""
+    import jax.numpy as jnp
+
+    from transformergrooveinfilling_tpu.train.config import resolve_remat
+
+    xl = dict(d_model=1024, n_heads=16, dim_feedforward=4096, n_layers=12,
+              compute_dtype=jnp.bfloat16, hbm_bytes=16 * 1024**3)
+    assert resolve_remat(None, batch_size=128, **xl) is False
+    assert resolve_remat(None, batch_size=1024, **xl) is True
+    assert resolve_remat(True, batch_size=128, **xl) is True
+    assert resolve_remat(False, batch_size=1024, **xl) is False
+    # flagship config: far under budget
+    assert resolve_remat(None, d_model=256, n_heads=2, dim_feedforward=512,
+                         n_layers=6, batch_size=512,
+                         compute_dtype=jnp.bfloat16,
+                         hbm_bytes=16 * 1024**3) is False

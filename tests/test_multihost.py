@@ -73,8 +73,10 @@ def _run_group(n_proc, ckpt_dir, tmp_path, tag, extra=(), attempts=3) -> list:
     is asserting on completed before the barrier."""
     last_err = ""
     timed_out = False
-    # n_proc cold JAX startups (~40 s each) serialize on this 1-core host
-    timeout_s = 300 + 120 * n_proc
+    # n_proc cold JAX startups (~40 s each) serialize on this 1-core host;
+    # the worker's shutdown barrier (1200 s) lets early finishers wait for
+    # laggards, so the group wall budget must cover the slowest one
+    timeout_s = 300 + 180 * n_proc
     initial_ckpts = set(os.listdir(ckpt_dir)) if os.path.isdir(ckpt_dir) \
         else set()
     for attempt in range(attempts):

@@ -55,6 +55,11 @@ def parse_args(argv=None):
     parser.add_argument("--bf16", type=int, default=None,
                         help="matmul compute dtype: 1=bfloat16, 0=float32, "
                         "unset=auto (bf16 on TPU; docs/PERF.md)")
+    parser.add_argument("--remat", type=int, default=None,
+                        help="encoder-layer rematerialization: 1/0 force; "
+                        "absent = auto (on only when the estimated backward "
+                        "residuals would overflow HBM — remat costs +26%% at "
+                        "GrooveXL scale when memory does not force it)")
     parser.add_argument("--fused_ffn", type=int, default=None,
                         help="fused Pallas FFN kernel: 1=on, 0=off, unset="
                         "auto (on for TPU training at ff>=2048, +16%% at "
@@ -197,6 +202,9 @@ def _run(args, hp_dict, paths):
             # TPU extra: None = auto (fused Pallas FFN on TPU at ff >= 2048)
             "fused_ffn": (bool(args.fused_ffn) if args.fused_ffn is not None
                           else cfg.get("fused_ffn")),
+            # TPU extra: None = auto (remat only when HBM would overflow)
+            "remat": (bool(args.remat) if args.remat is not None
+                      else cfg.get("remat")),
         },
         "training": {
             "learning_rate": cfg.learning_rate,

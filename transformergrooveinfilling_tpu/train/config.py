@@ -52,6 +52,10 @@ class HyperParams:
     # throughput (RandomLow_lm, docs/PERF.md round 3); off at flagship
     # widths (measured negative) and off-TPU. True/False force it.
     fused_ffn: Optional[bool] = None
+    # TPU extra: encoder-layer rematerialization. None = auto — off unless
+    # the estimated backward residuals would overflow HBM (resolve_remat;
+    # remat costs +26 % at GrooveXL scale when memory does NOT force it).
+    remat: Optional[bool] = None
 
     @classmethod
     def from_dict(cls, d: dict) -> "HyperParams":
@@ -126,15 +130,62 @@ def resolve_fused_ffn(fused_ffn: Optional[bool], dim_feedforward: int,
             and fits_resident(d_model, dim_feedforward, itemsize))
 
 
+def resolve_remat(remat: Optional[bool], *, d_model: int, n_heads: int,
+                  dim_feedforward: int, n_layers: int, batch_size: int,
+                  max_len: int = MAX_LEN, compute_dtype=None,
+                  hbm_bytes: Optional[int] = None) -> bool:
+    """remat hyperparameter → layer rematerialization. ``None`` = auto:
+    OFF unless the stored backward residuals would not fit HBM. Measured
+    (docs/PERF.md round 3): at GrooveXL scale (d1024/ff4096/12L, bs 128) the
+    activations fit v5e HBM and remat's forward replay costs 26 % — remat
+    should only turn on when memory actually forces it.
+
+    The estimate counts per-token per-layer residuals at the compute dtype
+    (x into attention, packed qkv, attention probs, attention out, the two
+    post-LN tensors, the FFN hidden) plus the u8 dropout masks, and budgets
+    params+grads+optimizer in f32; auto-remat engages when that total
+    exceeds ~60 % of device memory (leaving room for XLA scratch and
+    donation double-buffering)."""
+    if remat is not None:
+        return bool(remat)
+    import jax
+    import jax.numpy as jnp
+
+    itemsize = jnp.dtype(compute_dtype or jnp.bfloat16).itemsize
+    d, ff, T = d_model, dim_feedforward, max_len
+    act_per_layer_token = (itemsize * (7 * d + ff + n_heads * T)
+                           + (2 * d + ff + n_heads * T))  # + u8 masks
+    act_bytes = batch_size * T * n_layers * act_per_layer_token
+    param_count = n_layers * (4 * d * d + 2 * d * ff + 9 * d)
+    # params + grads + sgd momentum / adam moments, all f32
+    static_bytes = 3 * 4 * param_count
+    if hbm_bytes is None:
+        try:
+            stats = jax.devices()[0].memory_stats() or {}
+            hbm_bytes = stats.get("bytes_limit")
+        except Exception:
+            hbm_bytes = None
+        if not hbm_bytes:
+            hbm_bytes = 16 * 1024**3  # v5e default
+    return act_bytes + static_bytes > 0.6 * hbm_bytes
+
+
 def derive_model_config(
     hp: HyperParams, compute_dtype=None
 ) -> GrooveTransformerConfig:
     if compute_dtype is None:
         compute_dtype = resolve_compute_dtype(getattr(hp, "bf16", None))
+    n_dec = 0 if hp.encoder_only else hp.num_encoder_decoder_layers
     return GrooveTransformerConfig(
         fused_ffn=resolve_fused_ffn(getattr(hp, "fused_ffn", None),
                                     hp.dim_feedforward, hp.d_model,
                                     compute_dtype),
+        remat=resolve_remat(getattr(hp, "remat", None),
+                            d_model=hp.d_model, n_heads=hp.n_heads,
+                            dim_feedforward=hp.dim_feedforward,
+                            n_layers=hp.num_encoder_decoder_layers + n_dec,
+                            batch_size=hp.batch_size,
+                            compute_dtype=compute_dtype),
         d_model=hp.d_model,
         n_heads=hp.n_heads,
         dim_feedforward=hp.dim_feedforward,

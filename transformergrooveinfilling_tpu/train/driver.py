@@ -113,7 +113,7 @@ def initialize_model(params: dict) -> tuple[ModelBundle, Any, int]:
     ``params = {"model": {...}, "training": {...}, "load_model": None | {...}}``
     → (bundle, optimizer, initial_epoch). The optimizer slot returns the optax
     transformation (it lives inside the bundle too)."""
-    from .config import resolve_compute_dtype, resolve_fused_ffn
+    from .config import resolve_compute_dtype, resolve_fused_ffn, resolve_remat
 
     m = params["model"]
     t = params.get("training", {})
@@ -122,6 +122,12 @@ def initialize_model(params: dict) -> tuple[ModelBundle, Any, int]:
         fused_ffn=resolve_fused_ffn(m.get("fused_ffn"),
                                     m["dim_feedforward"], m["d_model"],
                                     compute_dtype),
+        remat=resolve_remat(
+            m.get("remat"), d_model=m["d_model"], n_heads=m["n_heads"],
+            dim_feedforward=m["dim_feedforward"],
+            n_layers=m["num_encoder_layers"] + m.get("num_decoder_layers", 0),
+            batch_size=t.get("batch_size", 16),
+            max_len=m.get("max_len", 32), compute_dtype=compute_dtype),
         d_model=m["d_model"],
         n_heads=m["n_heads"],
         dim_feedforward=m["dim_feedforward"],
