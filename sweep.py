@@ -70,7 +70,7 @@ def main(argv=None):
                         help="vmap-batched trials: trials are grouped by "
                              "architecture (every sampled parameter except "
                              "learning_rate/hit_loss_penalty) and each group "
-                             "runs as ONE compiled program; sgd only")
+                             "runs as ONE compiled program (sgd and adam)")
     args = parser.parse_args(argv)
 
     with open(args.sweep) as f:
@@ -155,7 +155,7 @@ def run_batched(trials, metric: str, goal: str, project: str, args) -> int:
     the sampled search space is exactly the sequential mode's.
 
     Sweeps batched mode can't rank (a non-loss metric or maximize goal) and
-    groups it can't train (non-sgd optimizers) **fall back to sequential
+    groups it can't train (optimizers beyond sgd/adam) **fall back to sequential
     execution** with a note — every sweep YAML runs to a ranking either way.
     """
     import numpy as np
@@ -195,10 +195,10 @@ def run_batched(trials, metric: str, goal: str, project: str, args) -> int:
         base = {k: v for k, v in trials[idxs[0]].items()
                 if k not in _PER_TRIAL_KEYS}
         hp = HyperParams.from_dict(base)
-        if hp.optimizer_algorithm != "sgd":
-            # per-trial lrs can't enter an optax state as data — run these
-            # trials through the sequential driver instead (the logged
-            # final loss is the same quantity this mode ranks on)
+        if hp.optimizer_algorithm not in ("sgd", "adam"):
+            # an optimizer the vmapped step has no data-lr update rule for —
+            # run these trials through the sequential driver instead (the
+            # logged final loss is the same quantity this mode ranks on)
             print(f"--- group {gi}: optimizer "
                   f"{hp.optimizer_algorithm!r} can't batch; running its "
                   f"{len(idxs)} trial(s) sequentially")
@@ -225,7 +225,7 @@ def run_batched(trials, metric: str, goal: str, project: str, args) -> int:
         params, _last_batch_losses = batched_sweep(
             model, config, x, y, lrs, pens, rates=rates,
             epochs=hp.epochs, batch_size=hp.batch_size,
-            seed=args.seed + gi)
+            seed=args.seed + gi, optimizer=hp.optimizer_algorithm)
         # rank on the deterministic full-dataset loss, not the last training
         # batch (matches the sequential runner's logged-loss semantics)
         from transformergrooveinfilling_tpu.train.vmap_sweep import (

@@ -14,8 +14,11 @@ continuous ``dropout`` distribution no longer fragments trials into singleton
 architecture groups — only genuinely shape-changing parameters
 (d_model/ff/heads/layers/batch) force separate compilations.
 
-SGD only (the reference's default optimizer): per-trial learning rates enter
-the update as data, not as optax state.
+Optimizers: sgd and adam (the reference's full optimizer menu,
+/root/reference/train.py:41-42). Per-trial learning rates enter the update
+as *data* — sgd directly, adam via an explicit bias-corrected moment update
+(identical math to ``optax.adam``'s ``scale_by_adam``; pinned by test) whose
+(mu, nu, count) state is stacked on the trial axis like the parameters.
 """
 
 from __future__ import annotations
@@ -37,11 +40,42 @@ def init_stacked_params(model, config, n_trials: int, rng):
         lambda k: model.init(k, sample, deterministic=True)["params"])(keys)
 
 
+def adam_update(params, opt, grads, lr,
+                b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8):
+    """One bias-corrected adam step with the learning rate as DATA.
+
+    Identical math to ``optax.adam`` (scale_by_adam with eps_root=0 followed
+    by scale(-lr)); written out so a traced per-trial ``lr`` never has to
+    enter an optax schedule/state. ``opt = (mu, nu, count)``."""
+    mu, nu, count = opt
+    count = count + 1
+    mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g, mu, grads)
+    nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * (g * g), nu, grads)
+    c1 = 1.0 - b1 ** count
+    c2 = 1.0 - b2 ** count
+    params = jax.tree.map(
+        lambda p, m, v: p - lr * (m / c1) / (jnp.sqrt(v / c2) + eps),
+        params, mu, nu)
+    return params, (mu, nu, count)
+
+
+def init_stacked_opt(stacked_params, optimizer: str):
+    """Stacked per-trial optimizer state: () for sgd, zeroed (mu, nu, count)
+    shaped like the stacked parameters for adam."""
+    if optimizer == "sgd":
+        return ()
+    n_trials = jax.tree.leaves(stacked_params)[0].shape[0]
+    zeros = jax.tree.map(jnp.zeros_like, stacked_params)
+    return (zeros, jax.tree.map(jnp.zeros_like, stacked_params),
+            jnp.zeros((n_trials,), jnp.float32))
+
+
 def make_batched_sweep_fn(model, batch_size: int, n_samples: int,
                           n_epochs: int, encoder_only: bool = True,
-                          config=None, rates_as_data: bool = True):
-    """Compile ``(stacked_params, lrs, penalties, rates, inputs, outputs,
-    key) -> (stacked_params, final_losses)``.
+                          config=None, rates_as_data: bool = True,
+                          optimizer: str = "sgd"):
+    """Compile ``(stacked_params, stacked_opt, lrs, penalties, rates, inputs,
+    outputs, key) -> (stacked_params, final_losses)``.
 
     Every trial sees the same shuffled batches; dropout streams differ per
     trial (fold_in on the trial index). With ``rates_as_data`` (per-trial
@@ -55,10 +89,12 @@ def make_batched_sweep_fn(model, batch_size: int, n_samples: int,
     """
     from ..models import build_model
 
+    if optimizer not in ("sgd", "adam"):
+        raise ValueError(f"unknown optimizer_algorithm: {optimizer}")
     n_batches = -(-n_samples // batch_size)
     padded = n_batches * batch_size
 
-    def trial_step(params, lr, penalty, rate, x, y, w, dropout_key):
+    def trial_step(params, opt, lr, penalty, rate, x, y, w, dropout_key):
         model_t = model
         if config is not None and rates_as_data:
             model_t = build_model(dataclasses.replace(config, dropout=rate))
@@ -70,12 +106,16 @@ def make_batched_sweep_fn(model, batch_size: int, n_samples: int,
             return calculate_loss(pred, y, penalty, sample_weights=w).total_loss
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
-        params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
-        return params, loss
+        if optimizer == "adam":
+            params, opt = adam_update(params, opt, grads, lr)
+        else:
+            params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
+        return params, opt, loss
 
-    def sweep(stacked_params, lrs, penalties, rates, inputs, outputs, key):
+    def sweep(stacked_params, stacked_opt, lrs, penalties, rates,
+              inputs, outputs, key):
         def epoch(carry, epoch_key):
-            stacked = carry
+            stacked, opt = carry
             perm_key, dropout_key = jax.random.split(epoch_key)
             perm = jax.random.permutation(perm_key, n_samples)
             idx = jnp.concatenate(
@@ -84,7 +124,8 @@ def make_batched_sweep_fn(model, batch_size: int, n_samples: int,
             weights = (jnp.arange(padded) < n_samples).astype(
                 jnp.float32).reshape(n_batches, batch_size)
 
-            def body(stacked, batch):
+            def body(carry_b, batch):
+                stacked, opt = carry_b
                 idx_b, w_b, i = batch
                 x = jnp.take(inputs, idx_b, axis=0)
                 y = jnp.take(outputs, idx_b, axis=0)
@@ -93,25 +134,27 @@ def make_batched_sweep_fn(model, batch_size: int, n_samples: int,
                     lambda t: jax.random.fold_in(
                         jax.random.fold_in(dropout_key, i), t)
                 )(jnp.arange(n_trials))
-                stacked, losses = jax.vmap(
-                    trial_step, in_axes=(0, 0, 0, 0, None, None, None, 0)
-                )(stacked, lrs, penalties, rates, x, y, w_b, keys)
-                return stacked, losses
+                stacked, opt, losses = jax.vmap(
+                    trial_step, in_axes=(0, 0, 0, 0, 0, None, None, None, 0)
+                )(stacked, opt, lrs, penalties, rates, x, y, w_b, keys)
+                return (stacked, opt), losses
 
-            stacked, losses = jax.lax.scan(
-                body, stacked, (idx, weights, jnp.arange(n_batches)))
-            return stacked, losses[-1]  # (K,) last-batch losses
+            (stacked, opt), losses = jax.lax.scan(
+                body, (stacked, opt), (idx, weights, jnp.arange(n_batches)))
+            return (stacked, opt), losses[-1]  # (K,) last-batch losses
 
         keys = jax.random.split(key, n_epochs)
-        stacked_params, losses = jax.lax.scan(epoch, stacked_params, keys)
+        (stacked_params, _), losses = jax.lax.scan(
+            epoch, (stacked_params, stacked_opt), keys)
         return stacked_params, losses[-1]
 
     return jax.jit(sweep)
 
 
 def batched_sweep(model, config, inputs, outputs, lrs, penalties,
-                  epochs: int, batch_size: int, seed: int = 0, rates=None):
-    """Run K SGD trials in one program → (stacked_params, final_losses).
+                  epochs: int, batch_size: int, seed: int = 0, rates=None,
+                  optimizer: str = "sgd"):
+    """Run K sgd/adam trials in one program → (stacked_params, final_losses).
 
     ``rates``: optional per-trial dropout rates (defaults to the config's
     rate for every trial). Uniform rates stay static — the model keeps its
@@ -136,9 +179,11 @@ def batched_sweep(model, config, inputs, outputs, lrs, penalties,
                                   jax.random.PRNGKey(seed))
     fn = make_batched_sweep_fn(model, batch_size, inputs.shape[0], epochs,
                                encoder_only=config.encoder_only,
-                               config=config, rates_as_data=not uniform)
-    return fn(stacked, lrs, penalties, rates, jnp.asarray(inputs),
-              jnp.asarray(outputs), jax.random.PRNGKey(seed + 1))
+                               config=config, rates_as_data=not uniform,
+                               optimizer=optimizer)
+    return fn(stacked, init_stacked_opt(stacked, optimizer), lrs, penalties,
+              rates, jnp.asarray(inputs), jnp.asarray(outputs),
+              jax.random.PRNGKey(seed + 1))
 
 
 def stacked_eval_loss(model, stacked_params, inputs, outputs, penalties,
