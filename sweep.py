@@ -208,6 +208,23 @@ def run_batched(trials, metric: str, goal: str, project: str, args) -> int:
             fallback_trials.extend(idxs)
             continue
         config = derive_model_config(hp)
+        if getattr(hp, "remat", None) is None:
+            # the auto-remat estimate must see the BATCHED picture: K stacked
+            # trials of params/optimizer state/batch share ONE device (vmap,
+            # no mesh), not the per-device share of a dp run
+            import dataclasses as _dc
+
+            from transformergrooveinfilling_tpu.train.config import (
+                resolve_remat)
+
+            config = _dc.replace(config, remat=resolve_remat(
+                None, d_model=hp.d_model, n_heads=hp.n_heads,
+                dim_feedforward=hp.dim_feedforward,
+                n_layers=hp.num_encoder_decoder_layers,
+                n_decoder_layers=config.num_decoder_layers,
+                optimizer=hp.optimizer_algorithm,
+                batch_size=hp.batch_size, n_data_shards=1,
+                n_replicas=len(idxs)))
         model = build_model(config)
         lrs = [float(trials[i].get("learning_rate", 0.05)) for i in idxs]
         pens = [float(trials[i].get("hit_loss_penalty", 1.0)) for i in idxs]

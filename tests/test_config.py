@@ -193,13 +193,26 @@ def test_resolve_remat_auto_and_forced():
     from transformergrooveinfilling_tpu.train.config import resolve_remat
 
     xl = dict(d_model=1024, n_heads=16, dim_feedforward=4096, n_layers=12,
-              compute_dtype=jnp.bfloat16, hbm_bytes=16 * 1024**3)
+              compute_dtype=jnp.bfloat16, hbm_bytes=16 * 1024**3,
+              n_data_shards=1)
     assert resolve_remat(None, batch_size=128, **xl) is False
     assert resolve_remat(None, batch_size=1024, **xl) is True
     assert resolve_remat(True, batch_size=128, **xl) is True
     assert resolve_remat(False, batch_size=1024, **xl) is False
+    # the estimate is PER DEVICE: global batch 1024 over an 8-chip dp mesh
+    # is the measured bs-128 per-chip case — remat must stay off
+    xl8 = dict(xl, n_data_shards=8)
+    assert resolve_remat(None, batch_size=1024, **xl8) is False
+    # K stacked sweep replicas on one device multiply everything
+    assert resolve_remat(None, batch_size=128, n_replicas=16, **xl) is True
+    # adam's extra optimizer copy and decoder layers both count
+    near = dict(d_model=1024, n_heads=16, dim_feedforward=4096, n_layers=12,
+                compute_dtype=jnp.bfloat16, hbm_bytes=16 * 1024**3,
+                n_data_shards=1, batch_size=640)
+    assert resolve_remat(None, **near) is False
+    assert resolve_remat(None, n_decoder_layers=6, **near) is True
     # flagship config: far under budget
     assert resolve_remat(None, d_model=256, n_heads=2, dim_feedforward=512,
-                         n_layers=6, batch_size=512,
+                         n_layers=6, batch_size=512, n_data_shards=1,
                          compute_dtype=jnp.bfloat16,
                          hbm_bytes=16 * 1024**3) is False

@@ -97,6 +97,9 @@ def _run_group(n_proc, ckpt_dir, tmp_path, tag, extra=(), attempts=3) -> list:
                 os.remove(os.path.join(ckpt_dir, f))
         coordinator = f"127.0.0.1:{_free_port()}"
         outs = [str(tmp_path / f"{tag}_{i}.json") for i in range(n_proc)]
+        for o in outs:  # stale results from a failed attempt must not count
+            if os.path.exists(o):
+                os.remove(o)
         procs = [_launch(coordinator, n_proc, i, ckpt_dir, outs[i], extra,
                          cache_dir=str(tmp_path / "xla_cache"))
                  for i in range(n_proc)]
@@ -148,11 +151,16 @@ def _run_group(n_proc, ckpt_dir, tmp_path, tag, extra=(), attempts=3) -> list:
                      or "timed out" in last_err)
         if not retryable:
             pytest.fail(last_err)
-    if timed_out or "DEADLINE_EXCEEDED" in last_err or "timed out" in last_err:
-        # every attempt died in a third-party fixed deadline (Gloo's ~30 s
-        # first-collective key-value timeout, or the coordination-service
-        # barrier) — scheduling starvation on a 1-core host, not a
-        # correctness signal; wrong numbers / real exceptions still fail
+    bootstrap_starved = ("Gloo context initialization failed" in last_err
+                         or "GetKeyValue" in last_err
+                         or _shutdown_class(last_err))
+    if timed_out or bootstrap_starved:
+        # every attempt died in a third-party fixed STARTUP/EXIT deadline
+        # (Gloo's ~30 s first-collective key-value bootstrap, or the
+        # coordination-service shutdown barrier) — scheduling starvation on
+        # a 1-core host, not a correctness signal. A DEADLINE_EXCEEDED from
+        # a collective hang MID-RUN (the deadlock class this suite pins)
+        # still fails.
         pytest.skip(f"multihost group starved on this host: {last_err[-300:]} "
                     f"(environmental — {n_proc} JAX processes on one core)")
     pytest.fail(last_err)

@@ -81,6 +81,13 @@ def make_pipeline_mesh(n_stages: int, n_data: int | None = None,
         f"x {n_model} model shards, have {len(devices)}")
     n = n_data * n_stages * n_model
     assert n <= len(devices), f"need {n} devices, have {len(devices)}"
+    if n < len(devices):
+        # too-few-devices asserts above; too-MANY silently idling chips is
+        # the invisible misconfiguration — say so
+        print(f"pipeline mesh: using {n} of {len(devices)} devices "
+              f"({n_data} data x {n_stages} pipe x {n_model} model); "
+              f"{len(devices) - n} device(s) idle — adjust --pp_stages/"
+              f"--pp_micro/--n_model_shards to use the full machine")
     dev_array = np.asarray(devices[:n]).reshape(n_data, n_stages, n_model)
     return PipelinePlan(Mesh(dev_array, axis_names=("data", "pipe", "model")),
                         n_micro=n_micro or 2 * n_stages)
@@ -263,39 +270,18 @@ def make_pipeline_step(cfg: GrooveTransformerConfig, plan: PipelinePlan,
     """Drop-in replacement for train.loop.make_train_step with the encoder
     stack pipelined: ``step(state, x, y, w, dropout_key) -> (state, metrics)``
     on the standard TrainState / unsplit parameter tree, with the same metric
-    keys and sample-weight semantics (index-padded partial batches) as the
-    plain step. This is what makes pipeline parallelism reachable from the
-    production driver (``train.py --pp_stages N``) rather than a library-only
-    path.
+    keys and sample-weight semantics as the plain step (it IS the plain step,
+    with the pipelined forward injected). This is what makes pipeline
+    parallelism reachable from the production driver (``train.py
+    --pp_stages N``) rather than a library-only path.
     """
-    import optax
+    from ..train.loop import make_train_step
 
-    from ..models.losses import calculate_loss
-    from ..train.loop import TrainState
+    def forward(params, x, y, dropout_key):
+        return pipeline_forward(params, x, plan, cfg, deterministic=False,
+                                key=dropout_key)
 
-    def step(state: TrainState, x, y, w, dropout_key):
-        def loss_fn(params):
-            pred = pipeline_forward(params, x, plan, cfg,
-                                    deterministic=False, key=dropout_key)
-            out = calculate_loss(pred, y, hit_loss_penalty, sample_weights=w)
-            return out.total_loss, out
-
-        grads, out = jax.grad(loss_fn, has_aux=True)(state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        metrics = {
-            "grad_norm": optax.global_norm(grads),
-            "loss": out.total_loss,
-            "hit_accuracy": out.hit_accuracy,
-            "hit_perplexity": out.hit_perplexity,
-            "bce_hits": out.bce_hits,
-            "mse_velocities": out.mse_velocities,
-            "mse_offsets": out.mse_offsets,
-        }
-        return TrainState(step=state.step + 1, params=params,
-                          opt_state=opt_state), metrics
-
-    return step
+    return make_train_step(None, tx, hit_loss_penalty, forward_fn=forward)
 
 
 def check_pipeline_batch(plan: PipelinePlan, batch_size: int,

@@ -132,6 +132,8 @@ def resolve_fused_ffn(fused_ffn: Optional[bool], dim_feedforward: int,
 
 def resolve_remat(remat: Optional[bool], *, d_model: int, n_heads: int,
                   dim_feedforward: int, n_layers: int, batch_size: int,
+                  n_decoder_layers: int = 0, optimizer: str = "sgd",
+                  n_data_shards: Optional[int] = None, n_replicas: int = 1,
                   max_len: int = MAX_LEN, compute_dtype=None,
                   hbm_bytes: Optional[int] = None) -> bool:
     """remat hyperparameter → layer rematerialization. ``None`` = auto:
@@ -143,22 +145,40 @@ def resolve_remat(remat: Optional[bool], *, d_model: int, n_heads: int,
     The estimate counts per-token per-layer residuals at the compute dtype
     (x into attention, packed qkv, attention probs, attention out, the two
     post-LN tensors, the FFN hidden) plus the u8 dropout masks, and budgets
-    params+grads+optimizer in f32; auto-remat engages when that total
-    exceeds ~60 % of device memory (leaving room for XLA scratch and
-    donation double-buffering)."""
+    params+grads+optimizer in f32 (adam holds one more full copy than sgd);
+    decoder layers cost ~2× an encoder layer (cross-attention params +
+    probs on top of self-attention). ``batch_size`` is the GLOBAL batch:
+    ``n_data_shards`` (default: the visible device count — the production
+    driver shards the batch over every device) divides the per-device share.
+    Auto-remat engages when the per-device total exceeds ~60 % of device
+    memory (leaving room for XLA scratch and donation double-buffering)."""
     if remat is not None:
         return bool(remat)
     import jax
     import jax.numpy as jnp
 
+    if n_data_shards is None:
+        try:
+            n_data_shards = jax.device_count()
+        except Exception:
+            n_data_shards = 1
+    per_device_batch = max(1, batch_size // max(1, n_data_shards))
     itemsize = jnp.dtype(compute_dtype or jnp.bfloat16).itemsize
     d, ff, T = d_model, dim_feedforward, max_len
+    # decoder layers: self-attn + cross-attn + FFN ≈ 2× an encoder layer in
+    # both residuals and parameters
+    layer_cost = n_layers + 2 * n_decoder_layers
     act_per_layer_token = (itemsize * (7 * d + ff + n_heads * T)
                            + (2 * d + ff + n_heads * T))  # + u8 masks
-    act_bytes = batch_size * T * n_layers * act_per_layer_token
-    param_count = n_layers * (4 * d * d + 2 * d * ff + 9 * d)
-    # params + grads + sgd momentum / adam moments, all f32
-    static_bytes = 3 * 4 * param_count
+    act_bytes = per_device_batch * T * layer_cost * act_per_layer_token
+    param_count = layer_cost * (4 * d * d + 2 * d * ff + 9 * d)
+    # params + grads + momentum (sgd) / mu and nu (adam), all f32
+    copies = 4 if optimizer == "adam" else 3
+    static_bytes = copies * 4 * param_count
+    # n_replicas: independent model copies sharing one device (the vmapped
+    # batched sweep stacks K trials of params, optimizer state AND batch)
+    act_bytes *= n_replicas
+    static_bytes *= n_replicas
     if hbm_bytes is None:
         try:
             stats = jax.devices()[0].memory_stats() or {}
@@ -183,7 +203,9 @@ def derive_model_config(
         remat=resolve_remat(getattr(hp, "remat", None),
                             d_model=hp.d_model, n_heads=hp.n_heads,
                             dim_feedforward=hp.dim_feedforward,
-                            n_layers=hp.num_encoder_decoder_layers + n_dec,
+                            n_layers=hp.num_encoder_decoder_layers,
+                            n_decoder_layers=n_dec,
+                            optimizer=hp.optimizer_algorithm,
                             batch_size=hp.batch_size,
                             compute_dtype=compute_dtype),
         d_model=hp.d_model,

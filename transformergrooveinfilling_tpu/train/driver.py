@@ -125,7 +125,9 @@ def initialize_model(params: dict) -> tuple[ModelBundle, Any, int]:
         remat=resolve_remat(
             m.get("remat"), d_model=m["d_model"], n_heads=m["n_heads"],
             dim_feedforward=m["dim_feedforward"],
-            n_layers=m["num_encoder_layers"] + m.get("num_decoder_layers", 0),
+            n_layers=m["num_encoder_layers"],
+            n_decoder_layers=m.get("num_decoder_layers", 0),
+            optimizer=m.get("optimizer", "sgd"),
             batch_size=t.get("batch_size", 16),
             max_len=m.get("max_len", 32), compute_dtype=compute_dtype),
         d_model=m["d_model"],

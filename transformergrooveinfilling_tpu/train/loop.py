@@ -49,21 +49,29 @@ def create_train_state(model, config, tx, rng) -> TrainState:
 
 
 def make_train_step(model, tx, hit_loss_penalty: float,
-                    encoder_only: bool = True) -> Callable:
+                    encoder_only: bool = True,
+                    forward_fn: Callable | None = None) -> Callable:
     """One SGD step: forward (train-mode dropout) → penalty-masked 3-term loss →
     grads → update. Returns (state, metrics-dict).
 
     ``encoder_only=False`` trains the encoder-decoder family with teacher
     forcing: the target grid feeds the decoder (shifted inside the model).
+
+    ``forward_fn``: optional ``(params, x, y, dropout_key) -> preds``
+    replacing the plain ``model.apply`` (the pipeline-parallel step injects
+    its pipelined forward here — one copy of the grad/update/metrics body).
     """
 
     def step(state: TrainState, x, y, w, dropout_key):
         def loss_fn(params):
-            args = (x,) if encoder_only else (x, y)
-            pred = model.apply(
-                {"params": params}, *args, deterministic=False,
-                rngs={"dropout": dropout_key},
-            )
+            if forward_fn is not None:
+                pred = forward_fn(params, x, y, dropout_key)
+            else:
+                args = (x,) if encoder_only else (x, y)
+                pred = model.apply(
+                    {"params": params}, *args, deterministic=False,
+                    rngs={"dropout": dropout_key},
+                )
             out = calculate_loss(pred, y, hit_loss_penalty, sample_weights=w)
             return out.total_loss, out
 
