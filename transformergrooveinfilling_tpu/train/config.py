@@ -13,6 +13,7 @@ map. Hyperparameters map onto :class:`HyperParams`, and
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Optional
 
 import jax.numpy as jnp
@@ -180,13 +181,11 @@ def resolve_remat(remat: Optional[bool], *, d_model: int, n_heads: int,
     act_bytes *= n_replicas
     static_bytes *= n_replicas
     if hbm_bytes is None:
-        try:
-            stats = jax.devices()[0].memory_stats() or {}
-            hbm_bytes = stats.get("bytes_limit")
-        except Exception:
-            hbm_bytes = None
-        if not hbm_bytes:
-            hbm_bytes = 16 * 1024**3  # v5e default
+        # deliberately NOT device.memory_stats(): that RPC hangs on tunneled
+        # backends (measured on this image's axon relay — it never returns,
+        # and even a daemon-thread probe blocks interpreter exit). A static
+        # per-chip default with an env override is hang-proof.
+        hbm_bytes = int(os.environ.get("TGI_HBM_BYTES", 16 * 1024**3))
     return act_bytes + static_bytes > 0.6 * hbm_bytes
 
 
