@@ -13,10 +13,17 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 import numpy as np
+
+# the accelerator bench runs in a CHILD process under this timeout: the
+# tunneled TPU backend can become unresponsive (observed: even a trivial op
+# blocks forever with ~0 CPU), and a hung bench records nothing for the
+# round. Generous: first compile is 20-40 s and the measured phase ~15 s.
+CHILD_TIMEOUT_S = 900.0
 
 BATCH = 512
 N_SAMPLES = 4096
@@ -192,8 +199,63 @@ def bench_torch_baseline() -> float:
     return BASELINE_BATCH / best
 
 
-def main():
+def _child_main():
+    """--jax-child: run the accelerator bench in this (child) process and
+    report machine-readably on stdout. Kept out of the parent so a hung
+    device RPC can be killed by the parent's timeout."""
+    import jax
+
     value = bench_jax()
+    print(f"JAXRESULT {jax.default_backend()} {value!r}", flush=True)
+
+
+def _run_jax_subprocess(force_cpu: bool):
+    env = dict(os.environ)
+    if force_cpu:
+        env["TGI_PLATFORM"] = "cpu"
+        env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--jax-child"],
+        env=env, timeout=CHILD_TIMEOUT_S, capture_output=True, text=True)
+    for line in reversed(proc.stdout.splitlines()):
+        if line.startswith("JAXRESULT "):
+            _, platform, raw = line.split(" ", 2)
+            return platform, float(raw)
+    raise RuntimeError(
+        f"bench child exited {proc.returncode} without a result:\n"
+        f"{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}")
+
+
+def _accelerator_responsive() -> bool:
+    """Cheap child-process probe: one tiny matmul with a forced value fetch.
+    A dead tunnel blocks it forever; the timeout (generous vs ~20-40 s
+    backend init) is the detector."""
+    probe = ("import jax, numpy as np\n"
+             "x = jax.numpy.ones((8, 8))\n"
+             "print('PROBE_OK', float(np.asarray((x @ x).sum())))\n")
+    try:
+        proc = subprocess.run([sys.executable, "-c", probe], timeout=150,
+                              capture_output=True, text=True)
+        return "PROBE_OK" in proc.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def main():
+    if "--jax-child" in sys.argv:
+        return _child_main()
+    cpu_requested = (os.environ.get("TGI_PLATFORM") == "cpu"
+                     or os.environ.get("JAX_PLATFORMS") == "cpu")
+    try:
+        if not cpu_requested and not _accelerator_responsive():
+            raise RuntimeError("accelerator probe timed out")
+        platform, value = _run_jax_subprocess(force_cpu=False)
+    except (subprocess.TimeoutExpired, RuntimeError) as e:
+        print(f"bench: accelerator run failed ({type(e).__name__}); "
+              "falling back to CPU — the value below is NOT the TPU headline",
+              file=sys.stderr)
+        platform, value = _run_jax_subprocess(force_cpu=True)
+        platform = f"{platform}-fallback-accelerator-unresponsive"
     baseline = bench_torch_baseline()
     vs = value / baseline if baseline and np.isfinite(baseline) else None
     print(json.dumps({
@@ -206,6 +268,7 @@ def main():
         # numbers and no GPU exists here; BASELINE.md protocol) — it is NOT a
         # reference-GPU comparison
         "baseline": "torch-cpu-1core",
+        "platform": platform,
     }))
 
 
