@@ -244,14 +244,19 @@ def _accelerator_responsive() -> bool:
 def main():
     if "--jax-child" in sys.argv:
         return _child_main()
-    cpu_requested = (os.environ.get("TGI_PLATFORM") == "cpu"
-                     or os.environ.get("JAX_PLATFORMS") == "cpu")
+    # only TGI_PLATFORM counts as a CPU request: this image exports
+    # JAX_PLATFORMS=axon globally and its sitecustomize overrides the env
+    # var anyway, so JAX_PLATFORMS says nothing about the user's intent
+    cpu_requested = os.environ.get("TGI_PLATFORM") == "cpu"
     try:
         if not cpu_requested and not _accelerator_responsive():
             raise RuntimeError("accelerator probe timed out")
         platform, value = _run_jax_subprocess(force_cpu=False)
     except (subprocess.TimeoutExpired, RuntimeError) as e:
-        print(f"bench: accelerator run failed ({type(e).__name__}); "
+        # print the full error (a RuntimeError carries the child's captured
+        # stdout/stderr tails): a real child crash must stay diagnosable, not
+        # vanish into the CPU fallback
+        print(f"bench: accelerator run failed ({type(e).__name__}): {e}\n"
               "falling back to CPU — the value below is NOT the TPU headline",
               file=sys.stderr)
         platform, value = _run_jax_subprocess(force_cpu=True)

@@ -216,3 +216,37 @@ def test_resolve_remat_auto_and_forced():
                          n_layers=6, batch_size=512, n_data_shards=1,
                          compute_dtype=jnp.bfloat16,
                          hbm_bytes=16 * 1024**3) is False
+
+
+def test_device_hbm_bytes(monkeypatch):
+    """HBM capacity comes from the device_kind string (local PJRT attribute
+    — never memory_stats(), which hangs on tunneled backends) with a
+    validated TGI_HBM_BYTES override."""
+    from types import SimpleNamespace
+
+    import jax
+    import pytest
+
+    from transformergrooveinfilling_tpu.train import config as cfg
+
+    monkeypatch.delenv("TGI_HBM_BYTES", raising=False)
+    # cpu backend: unknown kind → conservative v5e default
+    assert cfg.device_hbm_bytes() == 16 * 1024**3
+    # generation mapping, incl. v5p winning over the plain-v5 match
+    for kind, gib in [("TPU v5p", 95), ("TPU v5 lite", 16), ("TPU v4", 32),
+                      ("TPU v6 lite", 32), ("TPU v3", 16), ("TPU v2", 8)]:
+        monkeypatch.setattr(jax, "devices", lambda k=kind: [
+            SimpleNamespace(device_kind=k)])
+        assert cfg.device_hbm_bytes() == gib * 1024**3, kind
+    # env override: plain bytes and scientific notation
+    monkeypatch.setenv("TGI_HBM_BYTES", "32e9")
+    assert cfg.device_hbm_bytes() == 32_000_000_000
+    # invalid / non-positive values warn and fall back to detection
+    for bad in ("16G", "0", ""):
+        monkeypatch.setenv("TGI_HBM_BYTES", bad)
+        if bad:
+            with pytest.warns(UserWarning):
+                v = cfg.device_hbm_bytes()
+        else:
+            v = cfg.device_hbm_bytes()
+        assert v == 8 * 1024**3  # still the (monkeypatched v2) detection

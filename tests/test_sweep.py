@@ -58,6 +58,32 @@ def test_sequential_sweep_reference_yaml(in_repo, capsys, monkeypatch):
     assert "best loss = " in out
 
 
+def test_batched_falls_back_sequential_for_unknown_optimizer(
+        in_repo, tmp_path, capsys, monkeypatch):
+    """Optimizer groups beyond the sgd/adam menu can't batch (no lr-as-data
+    update rule in train/vmap_sweep.py) — they run through the sequential
+    driver with a note and still get ranked. The menu currently equals the
+    batchable set, so the branch is exercised with a stubbed sequential
+    runner standing in for a future optimizer."""
+    import yaml
+
+    import sweep as sweep_cli
+
+    monkeypatch.setattr(sweep_cli, "run_trial_sequential",
+                        lambda hp, project, metric, args: 0.5)
+    with open(REF_SWEEP) as f:
+        spec = yaml.safe_load(f)
+    spec["parameters"]["optimizer_algorithm"] = {"value": "rmsprop"}
+    path = tmp_path / "rmsprop_sweep.yaml"
+    path.write_text(yaml.safe_dump(spec))
+    rc = sweep_cli.main(["--sweep", str(path), "--count", "1", "--seed",
+                         "206", "--epochs", "1", "--batched"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "can't batch" in out and "sequentially" in out
+    assert "loss " in out  # still ranked
+
+
 def test_batched_supports_adam(in_repo, tmp_path, capsys):
     """Adam sweeps now BATCH (lr-as-data bias-corrected update in
     train/vmap_sweep.py, optax-parity-pinned) instead of falling back to

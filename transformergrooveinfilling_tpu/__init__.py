@@ -26,7 +26,10 @@ import os as _os
 if _os.environ.get("TGI_PLATFORM"):
     # explicit backend override (e.g. TGI_PLATFORM=cpu for host-only runs);
     # needed because this image's sitecustomize force-selects the tunneled TPU
-    # regardless of JAX_PLATFORMS
+    # regardless of JAX_PLATFORMS. Deliberately NOT honoring JAX_PLATFORMS
+    # here: the image exports JAX_PLATFORMS=axon globally, so treating it as
+    # a user request would re-route explicitly CPU-pinned processes (e.g.
+    # the test suite's jax.config.update) back to the tunnel.
     import jax as _jax
 
     try:

@@ -131,6 +131,47 @@ def resolve_fused_ffn(fused_ffn: Optional[bool], dim_feedforward: int,
             and fits_resident(d_model, dim_feedforward, itemsize))
 
 
+# per-chip HBM by TPU generation, matched against the PJRT device_kind
+# string (substring, first match wins — v5p before the plain-v5 kinds)
+_HBM_GIB_BY_KIND = (
+    ("v6", 32), ("v5p", 95), ("v5", 16), ("v4", 32), ("v3", 16), ("v2", 8),
+)
+
+
+def device_hbm_bytes() -> int:
+    """Per-chip HBM capacity for the auto-remat estimate.
+
+    Reads the PJRT ``device_kind`` string — a local attribute populated at
+    client init — deliberately NOT ``device.memory_stats()``: that RPC hangs
+    forever on tunneled backends (measured on this image's axon relay; even
+    a daemon-thread probe blocks interpreter exit). ``TGI_HBM_BYTES``
+    overrides (plain integer bytes; scientific notation accepted); invalid
+    or non-positive values are ignored with a warning. Unknown kinds (CPU,
+    new chips) fall back to the 16 GiB v5e figure."""
+    env = os.environ.get("TGI_HBM_BYTES")
+    if env:
+        try:
+            override = int(float(env))
+        except ValueError:
+            override = 0
+        if override > 0:
+            return override
+        import warnings
+
+        warnings.warn(f"ignoring invalid TGI_HBM_BYTES={env!r} "
+                      "(need a positive byte count)")
+    import jax
+
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        kind = ""
+    for tag, gib in _HBM_GIB_BY_KIND:
+        if tag in kind:
+            return gib * 1024**3
+    return 16 * 1024**3
+
+
 def resolve_remat(remat: Optional[bool], *, d_model: int, n_heads: int,
                   dim_feedforward: int, n_layers: int, batch_size: int,
                   n_decoder_layers: int = 0, optimizer: str = "sgd",
@@ -181,11 +222,7 @@ def resolve_remat(remat: Optional[bool], *, d_model: int, n_heads: int,
     act_bytes *= n_replicas
     static_bytes *= n_replicas
     if hbm_bytes is None:
-        # deliberately NOT device.memory_stats(): that RPC hangs on tunneled
-        # backends (measured on this image's axon relay — it never returns,
-        # and even a daemon-thread probe blocks interpreter exit). A static
-        # per-chip default with an env override is hang-proof.
-        hbm_bytes = int(os.environ.get("TGI_HBM_BYTES", 16 * 1024**3))
+        hbm_bytes = device_hbm_bytes()
     return act_bytes + static_bytes > 0.6 * hbm_bytes
 
 
