@@ -158,6 +158,24 @@ class InfillServer:
             x = jnp.zeros((b, self.config.max_len, e), jnp.float32)
             np.asarray(self._compiled[b](self.params, x))
 
+    @classmethod
+    def from_exported(cls, path: str, **kwargs) -> "InfillServer":
+        """Build a full server (coalescing, HTTP, stats) from an artifact
+        written by ``export.export_infill``. Rebuilds the in-package model
+        from the artifact's embedded config+params — use
+        ``export.load_infill`` instead when the model code must stay out of
+        the deployment (it runs the serialized StableHLO directly)."""
+        from .export import load_infill
+
+        loaded = load_infill(path)
+        d = dict(loaded.config_dict)
+        d["compute_dtype"] = np.dtype(d.get("compute_dtype", "float32")).type
+        config = GrooveTransformerConfig(**d)
+        kwargs.setdefault("batch_sizes", tuple(loaded.batch_sizes))
+        kwargs.setdefault("use_thres", loaded.meta["use_thres"])
+        kwargs.setdefault("thres", loaded.meta["thres"])
+        return cls(loaded.params, config, **kwargs)
+
     def _bucket(self, n: int) -> int:
         for b in self.batch_sizes:
             if b >= n:
