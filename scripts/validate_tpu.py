@@ -72,6 +72,21 @@ def main():
     print(f"{ms:.3f} ms per infill (target < 20 ms)")
     assert ms < 20
 
+    section("exported artifact runs on the chip (cpu-host export → tpu)")
+    import tempfile
+
+    from transformergrooveinfilling_tpu.export import export_infill, load_infill
+    art = os.path.join(tempfile.mkdtemp(), "m.tgix")
+    export_infill(p, cfg, art, batch_sizes=(1, 8))  # platforms=(cpu, tpu)
+    loaded = load_infill(art)
+    xs = rng.standard_normal((3, 32, 16)).astype(np.float32)
+    _h, v, o = model.apply({"params": p}, jnp.asarray(xs), deterministic=True)
+    direct = np.concatenate([np.asarray(v), np.asarray(o)], axis=-1)
+    got = loaded.predict(xs)
+    vel_off = float(np.max(np.abs(got[..., 9:] - direct)))
+    print("artifact vs direct max |Δ| (vel/off heads):", vel_off)
+    assert vel_off < 1e-3  # loose bound for MXU matmul passes
+
     print("\nALL TPU VALIDATIONS OK")
 
 

@@ -297,3 +297,38 @@ def test_encdec_with_pallas_attention_matches_einsum(rng):
     out = model_p.apply({"params": params}, x, y, deterministic=True)
     for a, b in zip(out, base):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+
+def test_serve_cli_artifact_branch(tmp_path, monkeypatch, capsys):
+    """``python -m ...serve --artifact model.tgix`` builds the server from an
+    exported artifact; --ckpt/--artifact are mutually exclusive and one is
+    required."""
+    import pytest
+
+    from transformergrooveinfilling_tpu import serve as serve_mod
+    from transformergrooveinfilling_tpu.export import export_infill
+    from transformergrooveinfilling_tpu.models import build_model
+    from transformergrooveinfilling_tpu.models.transformer import (
+        GrooveTransformerConfig,
+    )
+
+    config = GrooveTransformerConfig(
+        d_model=16, n_heads=2, dim_feedforward=24, dropout=0.0,
+        num_encoder_layers=1, max_len=32, embedding_size_src=16)
+    model = build_model(config)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 16)),
+                        deterministic=True)["params"]
+    path = str(tmp_path / "m.tgix")
+    export_infill(params, config, path, batch_sizes=(1,), platforms=("cpu",))
+
+    served = {}
+    monkeypatch.setattr(
+        serve_mod.InfillServer, "serve_http",
+        lambda self, **kw: served.setdefault("kw", kw))
+    serve_mod.main(["--artifact", path, "--port", "0", "--no-pallas"])
+    assert served["kw"]["block"] is True
+    assert "serving artifact" in capsys.readouterr().out
+
+    for bad in ([], ["--artifact", path, "--ckpt", "x.ckpt"]):
+        with pytest.raises(SystemExit):
+            serve_mod.main(bad + (["--port", "0"] if bad else []))

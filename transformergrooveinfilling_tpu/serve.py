@@ -465,8 +465,11 @@ def main(argv=None):
     from .train import checkpoint as ckpt
 
     p = argparse.ArgumentParser()
-    p.add_argument("--ckpt", required=True,
+    p.add_argument("--ckpt",
                    help=".ckpt/.Model file, or a directory (newest epoch wins)")
+    p.add_argument("--artifact",
+                   help="serve an export.py artifact (.tgix) instead of a "
+                        "checkpoint — config/params/thresholds come from it")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8327)
     p.add_argument("--batch-sizes", type=int, nargs="*", default=[1, 8, 32])
@@ -482,6 +485,18 @@ def main(argv=None):
     p.add_argument("--num_encoder_layers", type=int, default=6)
     p.add_argument("--embedding_size_src", type=int, default=16)
     args = p.parse_args(argv)
+    if bool(args.ckpt) == bool(args.artifact):
+        p.error("exactly one of --ckpt / --artifact is required")
+
+    if args.artifact:
+        server = InfillServer.from_exported(
+            args.artifact,
+            use_pallas=False if args.no_pallas else None,
+            coalesce=args.coalesce)
+        print(f"serving artifact {args.artifact} "
+              f"(buckets {server.batch_sizes}) "
+              f"on http://{args.host}:{args.port}/infill")
+        return server.serve_http(host=args.host, port=args.port, block=True)
 
     path = args.ckpt
     if os.path.isdir(path):
