@@ -144,6 +144,32 @@ def test_artifact_guards(tmp_path):
     assert meta["platforms"] == ["cpu", "tpu"]
 
 
+def test_export_frozendict_params(tmp_path):
+    """FrozenDict params must normalize to the plain-dict pytree the loader
+    restores — otherwise the exported in_tree never matches at call time
+    and every shipped artifact is unusable."""
+    from flax.core import freeze
+
+    from transformergrooveinfilling_tpu.export import export_infill, load_infill
+
+    config, params = _small_setup()
+    path = str(tmp_path / "frozen.tgix")
+    export_infill(freeze(params), config, path, batch_sizes=(2,),
+                  platforms=("cpu",))
+    y = load_infill(path).predict(np.zeros((2, 32, 16), np.float32))
+    assert y.shape == (2, 32, 27)
+
+
+def test_export_cli_no_checkpoint(tmp_path):
+    from transformergrooveinfilling_tpu import export as export_cli
+
+    empty = tmp_path / "nothing"
+    empty.mkdir()
+    with pytest.raises(SystemExit, match="no checkpoint found"):
+        export_cli.main(["--checkpoint", str(empty),
+                         "--out", str(tmp_path / "x.tgix")])
+
+
 def test_export_cli_from_checkpoint(tmp_path, capsys):
     import jax
 

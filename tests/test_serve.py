@@ -324,10 +324,17 @@ def test_serve_cli_artifact_branch(tmp_path, monkeypatch, capsys):
     served = {}
     monkeypatch.setattr(
         serve_mod.InfillServer, "serve_http",
-        lambda self, **kw: served.setdefault("kw", kw))
+        lambda self, **kw: served.update(srv=self, kw=kw))
     serve_mod.main(["--artifact", path, "--port", "0", "--no-pallas"])
     assert served["kw"]["block"] is True
+    assert served["srv"].batch_sizes == [1]  # artifact's buckets
     assert "serving artifact" in capsys.readouterr().out
+
+    # explicitly passed flags beat the artifact's embedded settings
+    serve_mod.main(["--artifact", path, "--port", "0", "--no-pallas",
+                    "--batch-sizes", "1", "2", "--thres", "0.3"])
+    assert served["srv"].batch_sizes == [1, 2]
+    assert served["srv"].thres == 0.3
 
     for bad in ([], ["--artifact", path, "--ckpt", "x.ckpt"]):
         with pytest.raises(SystemExit):

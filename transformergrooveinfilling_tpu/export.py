@@ -80,7 +80,10 @@ def export_infill(params, config, path: str,
                                  fused_ffn=False)
     model = build_model(config)
     predict = _predict_fn(model, use_thres, thres)
-    params = jax.tree.map(np.asarray, params)
+    # normalize to plain nested dicts of numpy BEFORE tracing: the exported
+    # in_tree must match what msgpack_restore hands back at load time (a
+    # FrozenDict-shaped in_tree would make every loaded artifact unusable)
+    params = jax.tree.map(np.asarray, serialization.to_state_dict(params))
 
     batch_sizes = sorted(set(int(b) for b in batch_sizes))
     if not batch_sizes or batch_sizes[0] < 1:
@@ -89,9 +92,11 @@ def export_infill(params, config, path: str,
     p_spec = jax.tree.map(
         lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), params)
 
+    from .train.checkpoint import _config_dict
+
     meta = {
         "artifact_version": ARTIFACT_VERSION,
-        "config": _config_to_json_dict(config),
+        "config": _config_dict(config),
         "batch_sizes": batch_sizes,
         "use_thres": bool(use_thres),
         "thres": float(thres),
@@ -110,12 +115,6 @@ def export_infill(params, config, path: str,
             z.writestr(f"bucket_{b}.jexp", exp.serialize())
     os.replace(tmp, path)  # atomic: never leave a half-written artifact
     return path
-
-
-def _config_to_json_dict(config) -> dict:
-    d = dict(config.__dict__)
-    d["compute_dtype"] = str(np.dtype(d["compute_dtype"]))
-    return d
 
 
 class ExportedInfill:
@@ -220,10 +219,10 @@ def main(argv=None):
 
     ckpt = args.checkpoint
     if os.path.isdir(ckpt):
-        found = find_latest(ckpt)
-        if found is None:
-            raise SystemExit(f"no checkpoint found under {ckpt}")
-        ckpt = found[0] if isinstance(found, tuple) else found
+        try:
+            ckpt, _epoch = find_latest(ckpt)
+        except FileNotFoundError as e:
+            raise SystemExit(f"no checkpoint found under {ckpt}: {e}")
     if ckpt.endswith(".Model"):
         raise SystemExit(
             "legacy torch .Model checkpoints must be imported first: load "

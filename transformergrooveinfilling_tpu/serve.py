@@ -166,11 +166,10 @@ class InfillServer:
         ``export.load_infill`` instead when the model code must stay out of
         the deployment (it runs the serialized StableHLO directly)."""
         from .export import load_infill
+        from .train.checkpoint import config_from_json_dict
 
         loaded = load_infill(path)
-        d = dict(loaded.config_dict)
-        d["compute_dtype"] = np.dtype(d.get("compute_dtype", "float32")).type
-        config = GrooveTransformerConfig(**d)
+        config = config_from_json_dict(loaded.config_dict)
         kwargs.setdefault("batch_sizes", tuple(loaded.batch_sizes))
         kwargs.setdefault("use_thres", loaded.meta["use_thres"])
         kwargs.setdefault("thres", loaded.meta["thres"])
@@ -469,11 +468,14 @@ def main(argv=None):
                    help=".ckpt/.Model file, or a directory (newest epoch wins)")
     p.add_argument("--artifact",
                    help="serve an export.py artifact (.tgix) instead of a "
-                        "checkpoint — config/params/thresholds come from it")
+                        "checkpoint — config/params/buckets/threshold come "
+                        "from it unless --batch-sizes/--thres override")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8327)
-    p.add_argument("--batch-sizes", type=int, nargs="*", default=[1, 8, 32])
-    p.add_argument("--thres", type=float, default=0.5)
+    # None defaults: with --artifact, unset flags defer to the artifact's
+    # embedded buckets/threshold; explicitly passed values always win
+    p.add_argument("--batch-sizes", type=int, nargs="*", default=None)
+    p.add_argument("--thres", type=float, default=None)
     p.add_argument("--no-pallas", action="store_true")
     p.add_argument("--coalesce", action="store_true",
                    help="dynamic-batch concurrent requests into one device "
@@ -489,10 +491,13 @@ def main(argv=None):
         p.error("exactly one of --ckpt / --artifact is required")
 
     if args.artifact:
-        server = InfillServer.from_exported(
-            args.artifact,
-            use_pallas=False if args.no_pallas else None,
-            coalesce=args.coalesce)
+        kw = dict(use_pallas=False if args.no_pallas else None,
+                  coalesce=args.coalesce)
+        if args.batch_sizes is not None:
+            kw["batch_sizes"] = args.batch_sizes
+        if args.thres is not None:
+            kw["thres"] = args.thres
+        server = InfillServer.from_exported(args.artifact, **kw)
         print(f"serving artifact {args.artifact} "
               f"(buckets {server.batch_sizes}) "
               f"on http://{args.host}:{args.port}/infill")
@@ -519,10 +524,13 @@ def main(argv=None):
             deterministic=True)["params"]
         params = _ser.from_state_dict(template, raw_params)
 
-    server = InfillServer(params, config, batch_sizes=args.batch_sizes,
-                          thres=args.thres,
-                          use_pallas=False if args.no_pallas else None,
-                          coalesce=args.coalesce)
+    server = InfillServer(
+        params, config,
+        batch_sizes=args.batch_sizes if args.batch_sizes is not None
+        else (1, 8, 32),
+        thres=args.thres if args.thres is not None else 0.5,
+        use_pallas=False if args.no_pallas else None,
+        coalesce=args.coalesce)
     print(f"serving {path} ({config.d_model}d/{config.num_encoder_layers}L) "
           f"on http://{args.host}:{args.port}/infill")
     server.serve_http(host=args.host, port=args.port, block=True)

@@ -174,14 +174,20 @@ def load_checkpoint(path: str):
     return fresh[0], fresh[1], int(meta["epoch"]), float(meta["loss"])
 
 
+def config_from_json_dict(d: dict) -> GrooveTransformerConfig:
+    """Inverse of :func:`_config_dict` — the one place the JSON form of a
+    model config (checkpoint metadata AND export artifacts) turns back into
+    the dataclass, so a future field needing special JSON handling is fixed
+    once for both formats."""
+    d = dict(d)
+    d["compute_dtype"] = np.dtype(d.get("compute_dtype", "float32")).type
+    return GrooveTransformerConfig(**d)
+
+
 def load_checkpoint_config(path: str) -> GrooveTransformerConfig:
     """Recover the model config embedded in a native checkpoint's metadata."""
-    import numpy as _np
-
     blob = _read_blob(path)
-    d = json.loads(blob["meta"]["config"])
-    d["compute_dtype"] = _np.dtype(d.get("compute_dtype", "float32")).type
-    return GrooveTransformerConfig(**d)
+    return config_from_json_dict(json.loads(blob["meta"]["config"]))
 
 
 def find_latest(ckpt_dir: str, file_pattern: str = CKPT_PATTERN):
