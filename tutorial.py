@@ -156,4 +156,17 @@ if jax.device_count() >= 4:
 else:
     print("    (pipeline demo needs >= 4 devices; run under "
           "XLA_FLAGS=--xla_force_host_platform_device_count=8)")
+# -- 7. deployment: portable serving artifacts --------------------------------
+# A checkpoint's serving predict exports to ONE multi-platform StableHLO
+# artifact (jax.export) that loads and runs with no model code at all —
+# export on this host, serve the same file on a TPU chip (export.py).
+from transformergrooveinfilling_tpu.export import export_infill, load_infill
+
+art = os.path.join(tempfile.mkdtemp(), "tutorial.tgix")
+export_infill(bundle.state.params, bundle.config, art, batch_sizes=(1, 4))
+loaded = load_infill(art)
+pred = loaded.predict(np.asarray(dataset[0][0], np.float32))
+print(f"\n[7] exported artifact: {os.path.getsize(art)/1e6:.1f} MB, "
+      f"buckets {loaded.batch_sizes}, predict -> {pred.shape}")
+
 print("\ntutorial complete.")
