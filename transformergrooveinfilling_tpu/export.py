@@ -191,6 +191,17 @@ def load_infill(path: str) -> ExportedInfill:
             raise ValueError(
                 f"{path}: artifact version {version} unsupported "
                 f"(this build reads version {ARTIFACT_VERSION})")
+        import jax
+
+        if meta.get("jax_version") != jax.__version__:
+            import warnings
+
+            warnings.warn(
+                f"{path}: artifact was exported under jax "
+                f"{meta.get('jax_version')} but this runtime is "
+                f"{jax.__version__}; StableHLO serialization is "
+                "forward-compatible within jax's guarantees, but re-export "
+                "if deserialization fails")
         params = serialization.msgpack_restore(z.read(_PARAMS))
         buckets = {}
         for b in meta["batch_sizes"]:
