@@ -203,6 +203,42 @@ def test_delta_api_matches_full_view():
     np.testing.assert_allclose(cur_in + cur_out, stacked)
 
 
+@pytest.mark.parametrize("axis", ["tp", "pp"])
+def test_streaming_composes_with_model_sharding(axis, tmp_path, monkeypatch):
+    """Streaming augmentation composes with the model-sharding axes: the
+    delta-updated data arrays feed a tensor-parallel (dp×tp) and a pipelined
+    (dp×pp) epoch program without resharding errors (the driver places
+    streamed generations with plain jnp.asarray and lets the sharded program
+    consume them — this pins that that stays valid for every plan kind)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    if axis == "tp":
+        from transformergrooveinfilling_tpu.parallel.mesh import make_mesh
+
+        plan = make_mesh(n_data=4, n_model=2)
+    else:
+        from transformergrooveinfilling_tpu.parallel.pipeline import (
+            make_pipeline_mesh,
+        )
+
+        plan = make_pipeline_mesh(n_stages=2, n_data=2, n_micro=2)
+    monkeypatch.chdir(tmp_path)
+    base = _base(8, seed=63)
+    hp = HyperParams.from_dict(dict(HP, epochs=2,
+                                    num_encoder_decoder_layers=2))
+    with StreamingAugmenter(base, aug_per_item=2, mode="symbolic",
+                            seed=3, partial=2) as st:
+        class D:
+            processed_inputs = np.zeros((st.n_samples, 32, 27), np.float32)
+            processed_outputs = np.zeros((st.n_samples, 32, 27), np.float32)
+        bundle = run_training(hp, D(), {}, streamer=st, regen_cadence=1,
+                              plan=plan, log_media=False,
+                              ckpt_dir=str(tmp_path / "ck"))
+    assert bundle.state is not None
+
+
 def test_driver_consumes_delta_stream(tmp_path, monkeypatch):
     """run_training trains through the delta path (partial streamer) with a
     finite loss — the resident device arrays are slab-updated in place."""
