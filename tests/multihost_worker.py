@@ -27,6 +27,7 @@ def main():
     p.add_argument("--n_model", type=int, default=1)
     p.add_argument("--epochs", type=int, default=3)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--streaming", action="store_true")
     args = p.parse_args()
 
     os.environ["TGI_PLATFORM"] = "cpu"
@@ -88,10 +89,38 @@ def main():
         }
         bundle, _tx, initial_epoch = initialize_model(params)
 
-    bundle = run_training(hp, DS(), {}, plan=plan, bundle=bundle,
-                          initial_epoch=initial_epoch, log_media=False,
-                          ckpt_dir=args.ckpt_dir, seed=0,
-                          only_final_eval=True)
+    streamer = None
+    ds = DS()
+    run_kwargs = {}
+    if args.streaming:
+        # multi-host streaming: each process streams fresh random-masking
+        # augmentations for its own equal shard of the corpus; run_training
+        # assembles each generation into the global data-sharded array
+        from transformergrooveinfilling_tpu.data.pipeline import (
+            StreamingAugmenter)
+
+        per = len(hvos) // args.n_proc
+        shard = hvos[args.pid * per:(args.pid + 1) * per]
+        streamer = StreamingAugmenter(shard, aug_per_item=2, mode="symbolic",
+                                      seed=args.pid, partial=2)
+
+        class SDS:
+            processed_inputs = np.zeros((streamer.n_samples, 32, 27),
+                                        np.float32)
+            processed_outputs = np.zeros((streamer.n_samples, 32, 27),
+                                         np.float32)
+
+        ds = SDS()
+        run_kwargs = dict(streamer=streamer, regen_cadence=1)
+
+    try:
+        bundle = run_training(hp, ds, {}, plan=plan, bundle=bundle,
+                              initial_epoch=initial_epoch, log_media=False,
+                              ckpt_dir=args.ckpt_dir, seed=0,
+                              only_final_eval=True, **run_kwargs)
+    finally:
+        if streamer is not None:
+            streamer.close()
 
     # final loss on the full dataset (replicated, deterministic)
     eval_fn = make_eval_loss_fn(bundle.model, hp.hit_loss_penalty)

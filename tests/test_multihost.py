@@ -200,6 +200,23 @@ def test_four_process_group_matches_two(tmp_path):
     assert len([f for f in os.listdir(ck4) if f.endswith(".ckpt")]) == 1
 
 
+def test_two_process_streaming_augmentation(tmp_path):
+    """Multi-host streaming: each process streams fresh augmentations for its
+    own corpus shard; the driver assembles every generation into the global
+    data-sharded array. All processes must end with bit-identical params
+    (identical host-side eval loss) — a broken per-process assembly would
+    diverge them — and the model must actually learn from the streamed data."""
+    ck = tmp_path / "ck_stream"
+    ck.mkdir()
+    res = _run_group(2, str(ck), tmp_path, "stream", extra=("--streaming",))
+    losses = [r["loss"] for r in res]
+    assert np.isfinite(losses).all()
+    np.testing.assert_allclose(losses[1], losses[0], rtol=1e-6)
+    assert losses[0] < 3.0  # well below the untrained ~4 starting loss
+    # single-writer invariant holds on the streaming path too
+    assert len([f for f in os.listdir(ck) if f.endswith(".ckpt")]) == 1
+
+
 def test_multihost_tensor_parallel_and_checkpoint_resume(tmp_path):
     """dp×tp over processes (2 procs × 2 devices → data=2 × model=2): the
     tp-sharded global params train to the dp-only loss, the checkpoint is

@@ -298,12 +298,30 @@ def run_training(
     assert n > 0, "dataset is empty"
 
     n_proc = jax.process_count()
-    if n_proc > 1:
+    if n_proc > 1 and streamer is not None:
+        # multi-host streaming: the caller hands every process a streamer
+        # over its own corpus shard (train.py._setup_streaming slices the
+        # loaded corpus by process); each generation is assembled into the
+        # global data-sharded array from the process-local shards. Swaps use
+        # the full local generation (next_epoch) — partial regeneration still
+        # amortizes the *build* cost, while the host→device copy is the local
+        # shard either way (PCIe on a real pod, not the dev tunnel).
+        from jax.experimental import multihost_utils
+
+        n_local = int(streamer.n_samples)
+        sizes = np.asarray(multihost_utils.process_allgather(
+            np.asarray(n_local)))
+        if not (sizes == n_local).all():
+            raise ValueError(
+                f"multi-host streaming needs equal per-process generation "
+                f"sizes, got {sizes.tolist()} — shard the corpus into equal "
+                f"parts (train.py does this automatically)")
+        n = n_local * n_proc
+        inputs = outputs = None  # first generation fills the global arrays
+    elif n_proc > 1:
         # multi-host: each process contributes only its slice of the batch
         # axis; the global array is assembled from process-local shards (no
         # full-array replication on any device). SURVEY.md §5.8.
-        assert streamer is None, \
-            "streaming augmentation is single-process; shard the corpus instead"
         if n % n_proc:
             n -= n % n_proc  # equal shards; drop the remainder explicitly
             print(f"multi-host: trimming dataset to {n} samples "
@@ -438,28 +456,43 @@ def run_training(
                     encoder_only=encoder_only, augment=on_device_augment,
                     augment_per_epoch=augment_per_epoch, step_fn=pp_step)
             if streamer is not None and blocks_run % cadence == 0:
-                if hasattr(streamer, "next_epoch_delta"):
-                    # delta consumption: partial generations ship only the fresh
-                    # slab and update the resident device arrays in place
-                    # (measured: the full-array host→device copy per swap, not
-                    # the slice compute, was streaming's fixed cost on a
-                    # tunneled link — docs/PERF.md)
-                    sl, fresh_in, fresh_out = streamer.next_epoch_delta()
-                else:  # plain next_epoch streamers (tests, custom producers)
-                    sl = None
+                if n_proc > 1:
+                    from ..parallel.mesh import data_sharding
+
                     fresh_in, fresh_out = streamer.next_epoch()
-                if sl is None:
-                    if fresh_in.shape[0] != n or fresh_out.shape[0] != n:
+                    if fresh_in.shape[0] * n_proc != n:
                         raise ValueError(
-                            f"streamer generation size {fresh_in.shape[0]} != "
-                            f"compiled n_samples {n}; generations must keep a "
-                            f"constant size")
-                    inputs = jnp.asarray(fresh_in)
-                    outputs = jnp.asarray(fresh_out)
+                            f"streamer generation size {fresh_in.shape[0]} "
+                            f"!= local shard size {n // n_proc}; generations "
+                            f"must keep a constant per-process size")
+                    inputs = jax.make_array_from_process_local_data(
+                        data_sharding(plan, fresh_in.ndim), fresh_in)
+                    outputs = jax.make_array_from_process_local_data(
+                        data_sharding(plan, fresh_out.ndim), fresh_out)
                 else:
-                    inputs = _slab_update(inputs, jnp.asarray(fresh_in), sl.start)
-                    outputs = _slab_update(outputs, jnp.asarray(fresh_out),
-                                           sl.start)
+                    if hasattr(streamer, "next_epoch_delta"):
+                        # delta consumption: partial generations ship only the
+                        # fresh slab and update the resident device arrays in
+                        # place (measured: the full-array host→device copy per
+                        # swap, not the slice compute, was streaming's fixed
+                        # cost on a tunneled link — docs/PERF.md)
+                        sl, fresh_in, fresh_out = streamer.next_epoch_delta()
+                    else:  # plain next_epoch streamers (tests, custom producers)
+                        sl = None
+                        fresh_in, fresh_out = streamer.next_epoch()
+                    if sl is None:
+                        if fresh_in.shape[0] != n or fresh_out.shape[0] != n:
+                            raise ValueError(
+                                f"streamer generation size {fresh_in.shape[0]} "
+                                f"!= compiled n_samples {n}; generations must "
+                                f"keep a constant size")
+                        inputs = jnp.asarray(fresh_in)
+                        outputs = jnp.asarray(fresh_out)
+                    else:
+                        inputs = _slab_update(inputs, jnp.asarray(fresh_in),
+                                              sl.start)
+                        outputs = _slab_update(outputs, jnp.asarray(fresh_out),
+                                               sl.start)
             if profile_dir and ep == initial_epoch:
                 with jax.profiler.trace(profile_dir):
                     state, metrics = run_fn(state, inputs, outputs, epoch_key)
@@ -481,6 +514,14 @@ def run_training(
                 # agreeing blocks (hysteresis — gen≈block otherwise flaps 1↔2)
                 gen_s = getattr(streamer, "last_generation_seconds", 0.0)
                 want = max(1, int(np.ceil(gen_s / max(dt, 1e-9))))
+                if n_proc > 1:
+                    # per-host build/block times differ; agree on the slowest
+                    # host's cadence so every process swaps on the same blocks
+                    # (identical `want` streams → identical cadence evolution)
+                    from jax.experimental import multihost_utils
+
+                    want = int(multihost_utils.process_allgather(
+                        np.asarray(want)).max())
                 if want >= cadence:
                     new_cadence, cadence_pending = want, None
                 elif want == cadence_pending:
