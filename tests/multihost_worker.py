@@ -101,8 +101,11 @@ def main():
 
         per = len(hvos) // args.n_proc
         shard = hvos[args.pid * per:(args.pid + 1) * per]
+        # seeds spaced >> generation count: generation g draws from
+        # default_rng(seed + g), so adjacent per-process seeds would replay
+        # a neighbor's masking stream one swap later
         streamer = StreamingAugmenter(shard, aug_per_item=2, mode="symbolic",
-                                      seed=args.pid, partial=2)
+                                      seed=args.pid * (1 << 20), partial=2)
 
         class SDS:
             processed_inputs = np.zeros((streamer.n_samples, 32, 27),
@@ -111,7 +114,9 @@ def main():
                                          np.float32)
 
         ds = SDS()
-        run_kwargs = dict(streamer=streamer, regen_cadence=1)
+        # "auto" exercises the collective cadence agreement (allgather of
+        # the per-host want) under real jax.distributed
+        run_kwargs = dict(streamer=streamer, regen_cadence="auto")
 
     try:
         bundle = run_training(hp, ds, {}, plan=plan, bundle=bundle,

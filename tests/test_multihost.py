@@ -205,7 +205,10 @@ def test_two_process_streaming_augmentation(tmp_path):
     own corpus shard; the driver assembles every generation into the global
     data-sharded array. All processes must end with bit-identical params
     (identical host-side eval loss) — a broken per-process assembly would
-    diverge them — and the model must actually learn from the streamed data."""
+    diverge them — and the model must actually learn from the streamed data.
+    The worker runs regen_cadence="auto", so the collective cadence
+    agreement (allgather of the per-host want) executes under real
+    jax.distributed."""
     ck = tmp_path / "ck_stream"
     ck.mkdir()
     res = _run_group(2, str(ck), tmp_path, "stream", extra=("--streaming",))

@@ -298,25 +298,6 @@ def _setup_streaming(args, dataset_train):
     base = np.stack([s.hvo for s in base_seqs]).astype(np.float32)
     qpms = np.asarray([s.tempos[0].qpm for s in base_seqs], np.float64)
 
-    # multi-host: every process loads the same corpus; each streams fresh
-    # augmentations for its own equal shard of it (run_training assembles the
-    # global data-sharded array from the process-local generations)
-    import jax
-
-    n_proc = jax.process_count()
-    if n_proc > 1:
-        per = len(base) // n_proc
-        if per == 0:
-            raise SystemExit(
-                f"--streaming with {n_proc} processes needs a corpus of at "
-                f"least {n_proc} loops (got {len(base)})")
-        if per * n_proc != len(base) and jax.process_index() == 0:
-            print(f"streaming: trimming corpus {len(base)} -> "
-                  f"{per * n_proc} loops ({n_proc} equal process shards)")
-        pid = jax.process_index()
-        base = base[pid * per:(pid + 1) * per]
-        qpms = qpms[pid * per:(pid + 1) * per]
-
     fanout = int(args.aug_per_item or dataset_train.max_aug_items)
     mso_params = MSOParams(**dataset_train.mso_params)
     sfs = dataset_train.sfs_list or [None]
@@ -330,13 +311,35 @@ def _setup_streaming(args, dataset_train):
         from transformergrooveinfilling_tpu.data.pipeline import (
             StreamingAugmenter)
 
+        # multi-host: every process loads the same corpus; each streams
+        # fresh augmentations for its own equal shard of it (run_training
+        # assembles the global data-sharded array from the process-local
+        # generations). Host-streaming only — the fused path's static grids
+        # go through the driver's ordinary per-process dataset slicing.
+        import jax
+
+        n_proc = jax.process_count()
+        if n_proc > 1:
+            per = len(base) // n_proc
+            if per == 0:
+                raise SystemExit(
+                    f"--streaming with {n_proc} processes needs a corpus of "
+                    f"at least {n_proc} loops (got {len(base)})")
+            if per * n_proc != len(base) and jax.process_index() == 0:
+                print(f"streaming: trimming corpus {len(base)} -> "
+                      f"{per * n_proc} loops ({n_proc} equal process shards)")
+            pid = jax.process_index()
+            base = base[pid * per:(pid + 1) * per]
+            qpms = qpms[pid * per:(pid + 1) * per]
+
         streamer = StreamingAugmenter(
             base, qpms=qpms, aug_per_item=fanout, mode="audio",
             thres_range=thres, soundfonts=sfs, mso_params=mso_params,
             partial=args.regen_partial,
-            # distinct per-process masking streams (0 == the single-process
-            # default, so single-host behavior is unchanged)
-            seed=jax.process_index())
+            # distinct per-process masking streams; spaced far apart because
+            # generation g of a streamer draws from default_rng(seed + g) —
+            # adjacent seeds would replay a neighbor's stream one swap later
+            seed=jax.process_index() * (1 << 20))
         # placeholders; the driver sizes off streamer.n_samples and swaps in
         # the first generation before any use
         ds.processed_inputs = np.zeros(

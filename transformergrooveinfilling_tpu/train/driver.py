@@ -316,6 +316,14 @@ def run_training(
                 f"multi-host streaming needs equal per-process generation "
                 f"sizes, got {sizes.tolist()} — shard the corpus into equal "
                 f"parts (train.py does this automatically)")
+        local_data_devices = max(1, plan.n_data // n_proc)
+        if n_local % local_data_devices:
+            # make_array_from_process_local_data would otherwise fail deep
+            # inside JAX with an uneven-sharding error
+            raise ValueError(
+                f"per-process generation size {n_local} must divide evenly "
+                f"over this process's {local_data_devices} data-axis "
+                f"device(s) — adjust the corpus shard size or aug_per_item")
         n = n_local * n_proc
         inputs = outputs = None  # first generation fills the global arrays
     elif n_proc > 1:
@@ -457,14 +465,35 @@ def run_training(
                     augment_per_epoch=augment_per_epoch, step_fn=pp_step)
             if streamer is not None and blocks_run % cadence == 0:
                 if n_proc > 1:
+                    from jax.experimental import multihost_utils
                     from ..parallel.mesh import data_sharding
 
-                    fresh_in, fresh_out = streamer.next_epoch()
-                    if fresh_in.shape[0] * n_proc != n:
-                        raise ValueError(
-                            f"streamer generation size {fresh_in.shape[0]} "
-                            f"!= local shard size {n // n_proc}; generations "
-                            f"must keep a constant per-process size")
+                    # a one-sided generation failure (producer error, audio
+                    # render timeout) must fail the whole group, not leave
+                    # the peers blocked in the next block's collectives —
+                    # same reasoning as the graceful-stop allgather below
+                    swap_err = None
+                    try:
+                        fresh_in, fresh_out = streamer.next_epoch()
+                        if (fresh_in.shape[0] * n_proc != n
+                                or fresh_out.shape[0] * n_proc != n):
+                            raise ValueError(
+                                f"streamer generation sizes "
+                                f"{fresh_in.shape[0]}/{fresh_out.shape[0]} "
+                                f"!= local shard size {n // n_proc}; "
+                                f"generations must keep a constant "
+                                f"per-process size")
+                    except Exception as e:
+                        swap_err = e
+                    ok_all = bool(multihost_utils.process_allgather(
+                        np.asarray(swap_err is None)).all())
+                    if not ok_all:
+                        if swap_err is not None:
+                            raise swap_err
+                        raise RuntimeError(
+                            "streaming generation failed on a peer process "
+                            "(its error is in that process's log); stopping "
+                            "the group before the next compiled block")
                     inputs = jax.make_array_from_process_local_data(
                         data_sharding(plan, fresh_in.ndim), fresh_in)
                     outputs = jax.make_array_from_process_local_data(
