@@ -28,6 +28,7 @@ def main():
     p.add_argument("--epochs", type=int, default=3)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--streaming", action="store_true")
+    p.add_argument("--fused", action="store_true")
     args = p.parse_args()
 
     os.environ["TGI_PLATFORM"] = "cpu"
@@ -92,7 +93,22 @@ def main():
     streamer = None
     ds = DS()
     run_kwargs = {}
-    if args.streaming:
+    if args.fused:
+        # fused augmentation under multi-host: the clean grids ride the
+        # ordinary per-process dataset sharding; fresh random maskings are
+        # generated INSIDE the compiled (GSPMD-partitioned) epoch program
+        from transformergrooveinfilling_tpu.data.device_pipeline import (
+            make_on_device_augment)
+
+        class FDS:
+            processed_inputs = hvos
+            processed_outputs = hvos
+
+        ds = FDS()
+        run_kwargs = dict(
+            on_device_augment=make_on_device_augment(mode="symbolic"),
+            augment_per_epoch=True)
+    elif args.streaming:
         # multi-host streaming: each process streams fresh random-masking
         # augmentations for its own equal shard of the corpus; run_training
         # assembles each generation into the global data-sharded array

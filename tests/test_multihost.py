@@ -220,6 +220,20 @@ def test_two_process_streaming_augmentation(tmp_path):
     assert len([f for f in os.listdir(ck) if f.endswith(".ckpt")]) == 1
 
 
+def test_two_process_fused_augmentation(tmp_path):
+    """Fused (in-program) augmentation under multi-host: the clean grids ride
+    the ordinary per-process dataset sharding and fresh maskings are drawn
+    inside the GSPMD-partitioned epoch program. Processes must agree exactly
+    (same SPMD program, same keys) and the model must learn."""
+    ck = tmp_path / "ck_fused"
+    ck.mkdir()
+    res = _run_group(2, str(ck), tmp_path, "fused", extra=("--fused",))
+    losses = [r["loss"] for r in res]
+    assert np.isfinite(losses).all()
+    np.testing.assert_allclose(losses[1], losses[0], rtol=1e-6)
+    assert losses[0] < 3.0
+
+
 def test_multihost_tensor_parallel_and_checkpoint_resume(tmp_path):
     """dp×tp over processes (2 procs × 2 devices → data=2 × model=2): the
     tp-sharded global params train to the dp-only loss, the checkpoint is
@@ -249,3 +263,74 @@ def test_multihost_tensor_parallel_and_checkpoint_resume(tmp_path):
     assert resumed[0]["loss"] < tp[0]["loss"]  # two more epochs of training
     # resume wrote its own later-epoch checkpoint alongside
     assert len([f for f in os.listdir(ck) if f.endswith(".ckpt")]) == 2
+
+
+def test_two_process_cli_training(tmp_path):
+    """The production CLI is the multi-host entry point: launching train.py
+    once per process with the standard JAX_* env vars initializes
+    jax.distributed (parallel.initialize_from_env), auto-disables in-training
+    evaluators with a note, and trains dp over 2 processes with single-writer
+    checkpoints."""
+    from conftest import ensure_dataset_artifacts
+
+    repo = os.path.dirname(TESTS_DIR)
+    old = os.getcwd()
+    os.chdir(repo)
+    try:
+        ensure_dataset_artifacts("InfillingClosedHH_Symbolic", testing=True)
+    finally:
+        os.chdir(old)
+
+    ck = tmp_path / "ck_cli"
+    ck.mkdir()
+    cache = str(tmp_path / "jaxcache")
+    args = ["train.py", "--experiment", "InfillingClosedHH_Symbolic_testing",
+            "--epochs", "2", "--batch_size", "8", "--d_model", "16",
+            "--n_heads", "2", "--dim_feedforward", "16",
+            "--num_encoder_decoder_layers", "1", "--learning_rate", "0.05",
+            "--dropout", "0.1", "--hit_loss_penalty", "0.5",
+            "--wandb", "False", "--dump_eval", "False",
+            "--ckpt_dir", str(ck)]  # eval flags left at defaults on purpose:
+    # the run must auto-disable them (multi-host note) rather than crash
+
+    last_err = ""
+    for attempt in range(3):
+        port = _free_port()
+        procs = []
+        for pid in range(2):
+            env = {k: v for k, v in os.environ.items()
+                   if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "TGI_PLATFORM")}
+            env.update({
+                "TGI_PLATFORM": "cpu", "JAX_PLATFORMS": "cpu",
+                "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+                "JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
+                "JAX_NUM_PROCESSES": "2", "JAX_PROCESS_ID": str(pid),
+                "JAX_COMPILATION_CACHE_DIR": cache,
+                "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS": "0",
+                "JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES": "0",
+            })
+            procs.append(subprocess.Popen(
+                [sys.executable, *args], cwd=repo, env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+        try:
+            outs = [p.communicate(timeout=600) for p in procs]
+        except subprocess.TimeoutExpired:
+            for p in procs:
+                p.kill()
+            last_err = "group wall timeout (starved host)"
+            continue
+        rcs = [p.returncode for p in procs]
+        if rcs == [0, 0]:
+            break
+        last_err = f"rcs={rcs}\n{outs[0][1][-1500:]}\n{outs[1][1][-1500:]}"
+        if not any("DEADLINE_EXCEEDED" in o[1] or _shutdown_class(o[1])
+                   for o in outs):
+            pytest.fail(last_err)
+    else:
+        pytest.skip(f"multihost CLI group starved: {last_err[-300:]}")
+
+    # process 0 printed the evaluator auto-disable note; process 1 did not
+    assert "in-training evaluators disabled" in outs[0][0]
+    assert "in-training evaluators disabled" not in outs[1][0]
+    # single-writer checkpoints landed
+    assert [f for f in os.listdir(ck) if f.endswith(".ckpt")]

@@ -150,6 +150,34 @@ def main(argv=None):
     os.environ["WANDB_MODE"] = "online" if args.wandb and args.wandb != "False" \
         else "offline"
 
+    # multi-host: wire jax.distributed from the standard env vars
+    # (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID, or
+    # TGI_DISTRIBUTED=1 for pod auto-detection) BEFORE any backend use —
+    # launching this same CLI once per host is the production scale-out path
+    from transformergrooveinfilling_tpu.parallel import initialize_from_env
+
+    if initialize_from_env():
+        import jax
+
+        if jax.process_count() > 1:
+            if jax.process_index() != 0:
+                # one wandb run per job, not per host; the local JSONL sink
+                # still records per-process metrics under a unique run dir
+                os.environ["WANDB_MODE"] = "offline"
+            # in-training evaluation/media is a single-host concern (it
+            # recomputes with the global params on every process but writes
+            # per-process copies); run log_eval offline from checkpoints
+            if any(f and f != "False" for f in (args.eval_train,
+                                                args.eval_test,
+                                                args.eval_validation)):
+                if jax.process_index() == 0:
+                    print("multi-host run: in-training evaluators disabled "
+                          "(evaluate offline from checkpoints via "
+                          "process_evaluator.py + eval.evaluator.log_eval)")
+                args.eval_train = args.eval_test = "False"
+                args.eval_validation = "False"
+                args.dump_eval = "False"
+
     if args.fast_prng:
         import jax
         try:

@@ -330,10 +330,19 @@ def run_training(
         # multi-host: each process contributes only its slice of the batch
         # axis; the global array is assembled from process-local shards (no
         # full-array replication on any device). SURVEY.md §5.8.
-        if n % n_proc:
-            n -= n % n_proc  # equal shards; drop the remainder explicitly
+        # equal per-process slices AND an even spread over the mesh's data
+        # axis (make_array_from_process_local_data rejects uneven shards)
+        align = int(np.lcm(n_proc, max(1, plan.n_data)))
+        if n % align:
+            n -= n % align  # drop the remainder explicitly
+            if n <= 0:
+                raise ValueError(
+                    f"dataset too small for this mesh: need at least "
+                    f"{align} samples ({n_proc} processes x data axis "
+                    f"{plan.n_data})")
             print(f"multi-host: trimming dataset to {n} samples "
-                  f"({n_proc} equal process shards)")
+                  f"({n_proc} equal process shards over a data axis "
+                  f"of {plan.n_data})")
         from ..parallel.mesh import data_sharding
         from ..parallel.multihost import local_batch_slice
 
