@@ -172,8 +172,8 @@ def main(argv=None):
                                                 args.eval_validation)):
                 if jax.process_index() == 0:
                     print("multi-host run: in-training evaluators disabled "
-                          "(evaluate offline from checkpoints via "
-                          "process_evaluator.py + eval.evaluator.log_eval)")
+                          "(evaluate offline from checkpoints: python -m "
+                          "transformergrooveinfilling_tpu.evaluate)")
                 args.eval_train = args.eval_test = "False"
                 args.eval_validation = "False"
                 args.dump_eval = "False"

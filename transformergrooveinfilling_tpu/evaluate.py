@@ -1,0 +1,157 @@
+"""Offline evaluation CLI: the full ``log_eval`` pass from saved artifacts.
+
+The reference evaluates only *inside* a training run (reference train.py:219-250
+calls ``log_eval`` per scheduled epoch); there is no way to re-score a past
+checkpoint. This CLI runs the identical evaluation pass — per-voice metric
+families, media (audio + piano rolls + heatmaps), the feature-stats CSV/HTML,
+and the optional ``.Eval`` dump (reference evaluator.py:516-605) — from a
+checkpoint file and preprocessed evaluator pickles, outside any run:
+
+    python -m transformergrooveinfilling_tpu.evaluate \
+        --ckpt checkpoints/<run-dir-or-file> \
+        --evaluator <evaluator.pickle> [--evaluator <another> ...] \
+        [--identifier Validation_Set ...] [--media 1] [--dump 0] [--epoch N]
+
+This is also how multi-host jobs evaluate: ``train.py`` auto-disables
+in-training evaluators when ``jax.process_count() > 1`` and points here.
+
+Native ``.ckpt`` files carry their model config; for legacy reference
+``.Model`` files pass the architecture flags explicitly (same contract as
+``serve.py``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def _default_identifier(path: str) -> str:
+    """Reference identifiers are ``{Split}_Set`` (train.py:219-250)."""
+    name = os.path.basename(path).lower()
+    for split in ("validation", "train", "test"):
+        if split in name:
+            return f"{split.capitalize()}_Set"
+    stem = os.path.splitext(os.path.basename(path))[0]
+    return stem or "Eval_Set"
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        description="Re-score a checkpoint with preprocessed evaluators "
+                    "(the in-training log_eval pass, offline)")
+    p.add_argument("--ckpt", required=True,
+                   help=".ckpt/.Model file, or a directory (newest epoch wins)")
+    p.add_argument("--evaluator", action="append", required=True,
+                   help="preprocessed evaluator pickle (repeatable)")
+    p.add_argument("--identifier", action="append", default=None,
+                   help="identifier per evaluator, in order (default: "
+                        "{Split}_Set derived from the filename)")
+    p.add_argument("--media", default="1",
+                   help="1 = render media + stats CSV (reference log_media)")
+    p.add_argument("--dump", default="0",
+                   help="1 = dump the evaluator .Eval file per reference")
+    p.add_argument("--epoch", type=int, default=None,
+                   help="epoch label for the logs (default: checkpoint's)")
+    p.add_argument("--run_dir", default=None,
+                   help="base dir for the metrics/media run (default "
+                        "runs/offline_eval)")
+    # legacy-.Model architecture flags (native checkpoints embed their config)
+    p.add_argument("--d_model", type=int, default=32)
+    p.add_argument("--n_heads", type=int, default=4)
+    p.add_argument("--dim_feedforward", type=int, default=16)
+    p.add_argument("--num_encoder_layers", type=int, default=6)
+    p.add_argument("--embedding_size_src", type=int, default=16)
+    args = p.parse_args(argv)
+
+    idents = list(args.identifier or [])
+    if idents and len(idents) != len(args.evaluator):
+        p.error(f"--identifier given {len(idents)} times for "
+                f"{len(args.evaluator)} evaluators (must match, in order)")
+
+    import jax
+    import jax.numpy as jnp
+    from flax import serialization as _ser
+
+    from .models import build_model
+    from .models.transformer import GrooveTransformerConfig
+    from .train import checkpoint as ckpt_mod
+    from .train.driver import ModelBundle
+    from .train.loop import TrainState, make_optimizer
+
+    path = args.ckpt
+    epoch = args.epoch
+    if os.path.isdir(path):
+        try:
+            path, _found = ckpt_mod.find_latest(path)
+        except (FileNotFoundError, ValueError, OSError) as e:
+            raise SystemExit(f"no checkpoint found under {args.ckpt}: {e}")
+    if path.endswith(".Model"):
+        from .models.torch_compat import load_legacy_checkpoint
+
+        config = GrooveTransformerConfig(
+            d_model=args.d_model, n_heads=args.n_heads,
+            dim_feedforward=args.dim_feedforward,
+            num_encoder_layers=args.num_encoder_layers,
+            embedding_size_src=args.embedding_size_src)
+        params, ckpt_epoch, loss = load_legacy_checkpoint(path, config)
+    else:
+        config = ckpt_mod.load_checkpoint_config(path)
+        raw_params, _opt, ckpt_epoch, loss = ckpt_mod.load_checkpoint(path)
+        template = build_model(config).init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, config.max_len, config.embedding_size_src)),
+            deterministic=True)["params"]
+        params = _ser.from_state_dict(template, raw_params)
+    if epoch is None:
+        epoch = int(ckpt_epoch)
+
+    model = build_model(config)
+    tx = make_optimizer("sgd", 0.05)  # inert: evaluation never steps it
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       opt_state=tx.init(params))
+    bundle = ModelBundle(model=model, config=config, tx=tx, state=state)
+
+    from .eval.evaluator import init_evaluator, log_eval
+    from .hvo import ROLAND_REDUCED_MAPPING
+    from .utils import logging as xlog
+
+    media = bool(args.media) and args.media != "0" and args.media != "False"
+    dump = bool(args.dump) and args.dump != "0" and args.dump != "False"
+
+    owns_run = xlog.run is None
+    if owns_run:
+        xlog.init(config={"checkpoint": path, "epoch": epoch},
+                  project="offline_eval", job_type="eval",
+                  run_dir=args.run_dir)
+    try:
+        for i, ev_path in enumerate(args.evaluator):
+            ev = init_evaluator(ev_path, device=None)
+            ev._identifier = (idents[i] if idents
+                              else _default_identifier(ev_path))
+            ev_dim = int(np.asarray(ev.processed_inputs).shape[-1])
+            if ev_dim != config.embedding_size_src:
+                raise SystemExit(
+                    f"evaluator {ev_path} carries {ev_dim}-d inputs but the "
+                    f"checkpoint's model takes embedding_size_src="
+                    f"{config.embedding_size_src} — this evaluator belongs "
+                    f"to a different experiment modality (MSO audio = 16, "
+                    f"symbolic = 27)")
+            log_eval(ev, bundle, log_media=media, epoch=epoch, dump=dump)
+            acc = ev.get_hits_accuracies(ROLAND_REDUCED_MAPPING)
+            vals = [v for v in acc.values() if np.isscalar(v)]
+            print(f"{ev._identifier}: mean hit accuracy "
+                  f"{float(np.mean(vals)):.4f} over {len(vals)} voice "
+                  f"metrics (checkpoint epoch {epoch}, train loss "
+                  f"{float(loss):.4f})")
+        print(f"metrics + media written under {xlog.run.dir}")
+    finally:
+        if owns_run:
+            xlog.finish()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
