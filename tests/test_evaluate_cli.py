@@ -74,6 +74,44 @@ def test_offline_evaluate_cli(in_repo, tmp_path, capsys):
                for f in os.listdir(rdir))
 
 
+def test_offline_evaluate_artifact(in_repo, tmp_path, capsys):
+    """--artifact: the log_eval pass runs against an export.py serving
+    artifact (no checkpoint, artifact-embedded threshold), through
+    InfillServer's batch bucketing."""
+    from transformergrooveinfilling_tpu import evaluate as eval_cli
+    from transformergrooveinfilling_tpu import export as export_cli
+    from transformergrooveinfilling_tpu.models import build_model
+    from transformergrooveinfilling_tpu.models.transformer import (
+        GrooveTransformerConfig,
+    )
+    from transformergrooveinfilling_tpu.train.checkpoint import save_checkpoint
+    from transformergrooveinfilling_tpu.train.loop import (
+        create_train_state, make_optimizer,
+    )
+
+    config = GrooveTransformerConfig(
+        d_model=16, n_heads=2, dim_feedforward=16, num_encoder_layers=1,
+        embedding_size_src=27)
+    model = build_model(config)
+    tx = make_optimizer("sgd", 0.1)
+    state = create_train_state(model, config, tx, jax.random.PRNGKey(0))
+    ckpt_dir = str(tmp_path / "ckpts")
+    save_checkpoint(ckpt_dir, "artrun", 1, state, 2.0, config=config)
+    art = str(tmp_path / "m.tgix")
+    assert export_cli.main(["--checkpoint", ckpt_dir, "--out", art,
+                            "--batch_sizes", "1,8",
+                            "--platforms", "cpu"]) == 0
+
+    run_base = str(tmp_path / "eval_runs_art")
+    rc = eval_cli.main(["--artifact", art,
+                        "--evaluator", _evaluator_path("validation"),
+                        "--media", "0", "--run_dir", run_base])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Validation_Set: mean hit accuracy" in out
+    assert "train loss n/a" in out
+
+
 def test_offline_evaluate_cli_identifier_mismatch(tmp_path):
     from transformergrooveinfilling_tpu import evaluate as eval_cli
 

@@ -42,8 +42,12 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(
         description="Re-score a checkpoint with preprocessed evaluators "
                     "(the in-training log_eval pass, offline)")
-    p.add_argument("--ckpt", required=True,
+    p.add_argument("--ckpt",
                    help=".ckpt/.Model file, or a directory (newest epoch wins)")
+    p.add_argument("--artifact",
+                   help="evaluate an export.py artifact (.tgix) instead of a "
+                        "checkpoint — no model code needed; the artifact's "
+                        "embedded threshold applies")
     p.add_argument("--evaluator", action="append", required=True,
                    help="preprocessed evaluator pickle (repeatable)")
     p.add_argument("--identifier", action="append", default=None,
@@ -71,6 +75,9 @@ def main(argv=None) -> int:
         p.error(f"--identifier given {len(idents)} times for "
                 f"{len(args.evaluator)} evaluators (must match, in order)")
 
+    if bool(args.ckpt) == bool(args.artifact):
+        p.error("exactly one of --ckpt / --artifact is required")
+
     import jax
     import jax.numpy as jnp
     from flax import serialization as _ser
@@ -80,6 +87,27 @@ def main(argv=None) -> int:
     from .train import checkpoint as ckpt_mod
     from .train.driver import ModelBundle
     from .train.loop import TrainState, make_optimizer
+
+    if args.artifact:
+        # serving-artifact path: the AOT predict handles thresholding with
+        # the artifact's embedded settings; InfillServer's bucketing maps
+        # arbitrary evaluator sizes onto the fixed exported batch sizes
+        from .serve import InfillServer
+
+        server = InfillServer.from_exported(args.artifact)
+        config = server.config
+
+        class _ArtifactModel:
+            def predict(self, inputs, use_thres: bool = True,
+                        thres: float = 0.5):
+                hvo = server.infill(np.asarray(inputs, np.float32))
+                return list(np.split(hvo, 3, axis=2))
+
+        bundle = _ArtifactModel()
+        epoch = 0 if args.epoch is None else args.epoch
+        loss = float("nan")
+        path = args.artifact
+        return _evaluate(args, bundle, config, epoch, loss, path)
 
     path = args.ckpt
     epoch = args.epoch
@@ -113,13 +141,18 @@ def main(argv=None) -> int:
     state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                        opt_state=tx.init(params))
     bundle = ModelBundle(model=model, config=config, tx=tx, state=state)
+    return _evaluate(args, bundle, config, epoch, loss, path)
 
+
+def _evaluate(args, bundle, config, epoch, loss, path) -> int:
     from .eval.evaluator import init_evaluator, log_eval
     from .hvo import ROLAND_REDUCED_MAPPING
     from .utils import logging as xlog
 
+    idents = list(args.identifier or [])
     media = bool(args.media) and args.media != "0" and args.media != "False"
     dump = bool(args.dump) and args.dump != "0" and args.dump != "False"
+    loss_txt = "n/a" if not np.isfinite(loss) else f"{float(loss):.4f}"
 
     owns_run = xlog.run is None
     if owns_run:
@@ -145,7 +178,7 @@ def main(argv=None) -> int:
             print(f"{ev._identifier}: mean hit accuracy "
                   f"{float(np.mean(vals)):.4f} over {len(vals)} voice "
                   f"metrics (checkpoint epoch {epoch}, train loss "
-                  f"{float(loss):.4f})")
+                  f"{loss_txt})")
         print(f"metrics + media written under {xlog.run.dir}")
     finally:
         if owns_run:
