@@ -315,8 +315,9 @@ def test_two_process_cli_training(tmp_path):
         try:
             outs = [p.communicate(timeout=600) for p in procs]
         except subprocess.TimeoutExpired:
-            for p in procs:
+            for p in procs:  # reap: kill alone leaks zombies + pipe fds
                 p.kill()
+                p.communicate()
             last_err = "group wall timeout (starved host)"
             continue
         rcs = [p.returncode for p in procs]

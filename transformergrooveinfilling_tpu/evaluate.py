@@ -78,9 +78,11 @@ def main(argv=None) -> int:
     if bool(args.ckpt) == bool(args.artifact):
         p.error("exactly one of --ckpt / --artifact is required")
 
-    import jax
+    # offline by default, matching the CLI's purpose and the --run_dir
+    # contract; export WANDB_MODE=online explicitly to upload instead
+    os.environ.setdefault("WANDB_MODE", "offline")
+
     import jax.numpy as jnp
-    from flax import serialization as _ser
 
     from .models import build_model
     from .models.transformer import GrooveTransformerConfig
@@ -109,32 +111,15 @@ def main(argv=None) -> int:
         path = args.artifact
         return _evaluate(args, bundle, config, epoch, loss, path)
 
+    legacy_config = GrooveTransformerConfig(
+        d_model=args.d_model, n_heads=args.n_heads,
+        dim_feedforward=args.dim_feedforward,
+        num_encoder_layers=args.num_encoder_layers,
+        embedding_size_src=args.embedding_size_src)
+    params, config, ckpt_epoch, loss = ckpt_mod.load_params_and_config(
+        args.ckpt, legacy_config=legacy_config)
     path = args.ckpt
-    epoch = args.epoch
-    if os.path.isdir(path):
-        try:
-            path, _found = ckpt_mod.find_latest(path)
-        except (FileNotFoundError, ValueError, OSError) as e:
-            raise SystemExit(f"no checkpoint found under {args.ckpt}: {e}")
-    if path.endswith(".Model"):
-        from .models.torch_compat import load_legacy_checkpoint
-
-        config = GrooveTransformerConfig(
-            d_model=args.d_model, n_heads=args.n_heads,
-            dim_feedforward=args.dim_feedforward,
-            num_encoder_layers=args.num_encoder_layers,
-            embedding_size_src=args.embedding_size_src)
-        params, ckpt_epoch, loss = load_legacy_checkpoint(path, config)
-    else:
-        config = ckpt_mod.load_checkpoint_config(path)
-        raw_params, _opt, ckpt_epoch, loss = ckpt_mod.load_checkpoint(path)
-        template = build_model(config).init(
-            jax.random.PRNGKey(0),
-            jnp.zeros((1, config.max_len, config.embedding_size_src)),
-            deterministic=True)["params"]
-        params = _ser.from_state_dict(template, raw_params)
-    if epoch is None:
-        epoch = int(ckpt_epoch)
+    epoch = args.epoch if args.epoch is not None else ckpt_epoch
 
     model = build_model(config)
     tx = make_optimizer("sgd", 0.05)  # inert: evaluation never steps it
@@ -174,12 +159,16 @@ def _evaluate(args, bundle, config, epoch, loss, path) -> int:
                     f"symbolic = 27)")
             log_eval(ev, bundle, log_media=media, epoch=epoch, dump=dump)
             acc = ev.get_hits_accuracies(ROLAND_REDUCED_MAPPING)
-            vals = [v for v in acc.values() if np.isscalar(v)]
+            # per-voice entries only: the family also carries an aggregate
+            # "..._mean" key (eval/metrics.py)
+            vals = [v for k, v in acc.items()
+                    if np.isscalar(v) and not k.endswith("_mean")]
             print(f"{ev._identifier}: mean hit accuracy "
                   f"{float(np.mean(vals)):.4f} over {len(vals)} voice "
                   f"metrics (checkpoint epoch {epoch}, train loss "
                   f"{loss_txt})")
-        print(f"metrics + media written under {xlog.run.dir}")
+        if xlog.run is not None:  # None when the real wandb owns the run
+            print(f"metrics + media written under {xlog.run.dir}")
     finally:
         if owns_run:
             xlog.finish()

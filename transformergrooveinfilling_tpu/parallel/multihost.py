@@ -42,6 +42,12 @@ def initialize_from_env() -> bool:
     if (coordinator is None and num_processes is None
             and not os.environ.get("TGI_DISTRIBUTED")):
         return False
+    # idempotent: in-process repeat callers (sweep trials re-entering
+    # train.main) must not hit initialize() twice — it raises
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
+        return True
     # pass only what's set: forcing defaults (num_processes=1, process_id=0)
     # on every host would break any worker with a different rank
     jax.distributed.initialize(

@@ -457,9 +457,6 @@ def main(argv=None):
     files pass the architecture flags explicitly.
     """
     import argparse
-    import os
-
-    from flax import serialization as _ser
 
     from .train import checkpoint as ckpt
 
@@ -503,26 +500,14 @@ def main(argv=None):
               f"on http://{args.host}:{args.port}/infill")
         return server.serve_http(host=args.host, port=args.port, block=True)
 
+    legacy_config = GrooveTransformerConfig(
+        d_model=args.d_model, n_heads=args.n_heads,
+        dim_feedforward=args.dim_feedforward,
+        num_encoder_layers=args.num_encoder_layers,
+        embedding_size_src=args.embedding_size_src)
+    params, config, _ep, _loss = ckpt.load_params_and_config(
+        args.ckpt, legacy_config=legacy_config)
     path = args.ckpt
-    if os.path.isdir(path):
-        path, _epoch = ckpt.find_latest(path)
-    if path.endswith(".Model"):
-        from .models.torch_compat import load_legacy_checkpoint
-
-        config = GrooveTransformerConfig(
-            d_model=args.d_model, n_heads=args.n_heads,
-            dim_feedforward=args.dim_feedforward,
-            num_encoder_layers=args.num_encoder_layers,
-            embedding_size_src=args.embedding_size_src)
-        params, _ep, _loss = load_legacy_checkpoint(path, config)
-    else:
-        config = ckpt.load_checkpoint_config(path)
-        raw_params, _opt, _ep, _loss = ckpt.load_checkpoint(path)
-        template = build_model(config).init(
-            jax.random.PRNGKey(0),
-            jnp.zeros((1, config.max_len, config.embedding_size_src)),
-            deterministic=True)["params"]
-        params = _ser.from_state_dict(template, raw_params)
 
     server = InfillServer(
         params, config,

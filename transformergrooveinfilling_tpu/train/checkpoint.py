@@ -16,6 +16,7 @@ import os
 import re
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from flax import serialization
 
@@ -188,6 +189,43 @@ def load_checkpoint_config(path: str) -> GrooveTransformerConfig:
     """Recover the model config embedded in a native checkpoint's metadata."""
     blob = _read_blob(path)
     return config_from_json_dict(json.loads(blob["meta"]["config"]))
+
+
+def load_params_and_config(path: str, legacy_config=None):
+    """One checkpoint-or-dir resolver for every inference CLI (serve,
+    evaluate): → ``(params, config, epoch, loss)`` with params in the
+    model's native tree structure.
+
+    ``path`` may be a directory (newest epoch wins, legacy ``.Model``
+    fallback included), a native ``.ckpt``, or a reference ``.Model`` —
+    the latter needs ``legacy_config`` (legacy files carry no architecture
+    metadata; reference tutorial.py:36-68 hardcodes it at the call site).
+    """
+    from flax import serialization as _ser
+
+    from ..models import build_model
+
+    if os.path.isdir(path):
+        try:
+            path, _epoch = find_latest(path)
+        except (FileNotFoundError, ValueError, OSError) as e:
+            raise SystemExit(f"no checkpoint found under {path}: {e}")
+    if path.endswith(".Model"):
+        if legacy_config is None:
+            raise SystemExit(
+                f"{path} is a legacy .Model file, which carries no model "
+                f"config — pass the architecture flags explicitly")
+        params, epoch, loss = torch_compat.load_legacy_checkpoint(
+            path, legacy_config)
+        return params, legacy_config, int(epoch), float(loss)
+    config = load_checkpoint_config(path)
+    raw_params, _opt, epoch, loss = load_checkpoint(path)
+    template = build_model(config).init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, config.max_len, config.embedding_size_src)),
+        deterministic=True)["params"]
+    params = _ser.from_state_dict(template, raw_params)
+    return params, config, int(epoch), float(loss)
 
 
 def find_latest(ckpt_dir: str, file_pattern: str = CKPT_PATTERN):
