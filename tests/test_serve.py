@@ -76,6 +76,28 @@ def test_latency_benchmark_runs(server):
 def test_http_endpoint(server, rng):
     httpd = server.serve_http(port=0, block=False)
     port = httpd.server_address[1]
+
+    # zero-request server: /healthz must be STRICT json (percentiles null,
+    # never a bare NaN literal — json.loads accepts NaN but JSON.parse
+    # rejects it). The module fixture accumulates stats across tests, so
+    # probe a fresh server sharing the same params.
+    from transformergrooveinfilling_tpu.serve import InfillServer
+
+    fresh_srv = InfillServer(server.params, server.config, batch_sizes=(1,),
+                             use_pallas=False)
+    fresh_httpd = fresh_srv.serve_http(port=0, block=False)
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{fresh_httpd.server_address[1]}/healthz",
+                timeout=30) as resp:
+            raw = resp.read()
+        assert b"NaN" not in raw
+        fresh = json.loads(raw)
+        assert fresh["ok"] and fresh["count"] == 0
+        assert fresh["p50_ms"] is None and fresh["p99_ms"] is None
+    finally:
+        fresh_httpd.shutdown()
+
     x = rng.standard_normal((32, 16)).tolist()
     req = urllib.request.Request(
         f"http://127.0.0.1:{port}/infill",

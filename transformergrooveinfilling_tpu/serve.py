@@ -256,11 +256,15 @@ class InfillServer:
 
             def do_GET(self):
                 if self.path == "/healthz":
+                    p50 = server_self.stats.percentile(50)
+                    p99 = server_self.stats.percentile(99)
                     body = json.dumps({
                         "ok": True,
                         "count": server_self.stats.count,
-                        "p50_ms": server_self.stats.percentile(50),
-                        "p99_ms": server_self.stats.percentile(99),
+                        # null, not NaN: bare NaN is invalid JSON and breaks
+                        # strict parsers (e.g. JS JSON.parse) on a fresh server
+                        "p50_ms": p50 if np.isfinite(p50) else None,
+                        "p99_ms": p99 if np.isfinite(p99) else None,
                     }).encode()
                     self.send_response(200)
                     self.send_header("Content-Type", "application/json")
