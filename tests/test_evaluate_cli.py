@@ -73,6 +73,20 @@ def test_offline_evaluate_cli(in_repo, tmp_path, capsys):
     assert any(f.startswith("stats_") and f.endswith(".csv")
                for f in os.listdir(rdir))
 
+    # --epoch selects that epoch's checkpoint from the dir (a newer epoch 5
+    # exists; epoch 2 must still be loadable), mirroring the reference's
+    # load_model {"epoch": N}
+    save_checkpoint(ckpt_dir, "evalrun", 5, state, 1.0, config=config)
+    rc = eval_cli.main(["--ckpt", ckpt_dir, "--epoch", "2",
+                        "--evaluator", _evaluator_path("train"),
+                        "--media", "0",
+                        "--run_dir", str(tmp_path / "eval_runs2")])
+    assert rc == 0
+    assert "checkpoint epoch 2" in capsys.readouterr().out
+    with pytest.raises(SystemExit, match="no epoch-9"):
+        eval_cli.main(["--ckpt", ckpt_dir, "--epoch", "9",
+                       "--evaluator", _evaluator_path("train")])
+
 
 def test_offline_evaluate_artifact(in_repo, tmp_path, capsys):
     """--artifact: the log_eval pass runs against an export.py serving

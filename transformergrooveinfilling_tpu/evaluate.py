@@ -58,7 +58,9 @@ def main(argv=None) -> int:
     p.add_argument("--dump", default="0",
                    help="1 = dump the evaluator .Eval file per reference")
     p.add_argument("--epoch", type=int, default=None,
-                   help="epoch label for the logs (default: checkpoint's)")
+                   help="with a --ckpt directory: select this epoch's "
+                        "checkpoint (default: newest); also the epoch label "
+                        "in the logs")
     p.add_argument("--run_dir", default=None,
                    help="base dir for the metrics/media run (default "
                         "runs/offline_eval)")
@@ -116,9 +118,20 @@ def main(argv=None) -> int:
         dim_feedforward=args.dim_feedforward,
         num_encoder_layers=args.num_encoder_layers,
         embedding_size_src=args.embedding_size_src)
-    params, config, ckpt_epoch, loss = ckpt_mod.load_params_and_config(
-        args.ckpt, legacy_config=legacy_config)
     path = args.ckpt
+    if args.epoch is not None and os.path.isdir(path):
+        # select the requested epoch, not the newest (the reference's
+        # load_model dict takes an explicit "epoch" the same way,
+        # tutorial.py:36-68)
+        matches = [f for f in sorted(os.listdir(path))
+                   if f.endswith((f"_Epoch_{args.epoch}.ckpt",
+                                  f"_Epoch_{args.epoch}.Model"))]
+        if not matches:
+            raise SystemExit(
+                f"no epoch-{args.epoch} checkpoint under {path}")
+        path = os.path.join(path, matches[-1])
+    params, config, ckpt_epoch, loss = ckpt_mod.load_params_and_config(
+        path, legacy_config=legacy_config)
     epoch = args.epoch if args.epoch is not None else ckpt_epoch
 
     model = build_model(config)
