@@ -241,6 +241,33 @@ def _accelerator_responsive() -> bool:
         return False
 
 
+RECORD_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_tpu_record.json")
+
+
+def _read_record():
+    try:
+        with open(RECORD_PATH) as f:
+            return json.load(f)
+    except Exception:
+        return None
+
+
+def _write_record(platform: str, value: float):
+    try:
+        rev = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                             capture_output=True, text=True,
+                             cwd=os.path.dirname(RECORD_PATH)).stdout.strip()
+    except Exception:
+        rev = ""
+    with open(RECORD_PATH, "w") as f:
+        json.dump({"value": round(value, 1), "platform": platform,
+                   "unit": "HVO seqs/sec/chip", "commit": rev,
+                   "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                                time.gmtime())}, f)
+        f.write("\n")
+
+
 def main():
     if "--jax-child" in sys.argv:
         return _child_main()
@@ -263,7 +290,7 @@ def main():
         platform = f"{platform}-fallback-accelerator-unresponsive"
     baseline = bench_torch_baseline()
     vs = value / baseline if baseline and np.isfinite(baseline) else None
-    print(json.dumps({
+    out = {
         "metric": "train_throughput_infilling_random",
         "value": round(value, 1),
         "unit": "HVO seqs/sec/chip",
@@ -274,7 +301,16 @@ def main():
         # reference-GPU comparison
         "baseline": "torch-cpu-1core",
         "platform": platform,
-    }))
+    }
+    if platform.startswith("cpu"):
+        # not the TPU headline: carry the last hardware-measured result (and
+        # its provenance) so a dead-tunnel fallback run stays interpretable
+        rec = _read_record()
+        if rec:
+            out["last_accelerator"] = rec
+    else:
+        _write_record(platform, value)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
