@@ -169,4 +169,15 @@ pred = loaded.predict(np.asarray(dataset[0][0], np.float32))
 print(f"\n[7] exported artifact: {os.path.getsize(art)/1e6:.1f} MB, "
       f"buckets {loaded.batch_sizes}, predict -> {pred.shape}")
 
+# -- 8. offline evaluation ------------------------------------------------------
+# Any past checkpoint (or artifact) re-scores outside training: the identical
+# in-training log_eval pass from saved artifacts (evaluate.py). This is also
+# how multi-host CLI runs evaluate (train.py auto-disables in-training
+# evaluators across processes).
+print("\n[8] offline evaluation of the saved checkpoint...")
+from transformergrooveinfilling_tpu import evaluate as evaluate_cli
+
+evaluate_cli.main(["--ckpt", ckpt_dir, "--evaluator", ev_path,
+                   "--media", "0", "--run_dir", os.path.join(work, "eval")])
+
 print("\ntutorial complete.")
