@@ -87,6 +87,19 @@ def test_offline_evaluate_cli(in_repo, tmp_path, capsys):
         eval_cli.main(["--ckpt", ckpt_dir, "--epoch", "9",
                        "--evaluator", _evaluator_path("train")])
 
+    # --all_epochs: one run holding the whole learning curve (epochs 2 and 5)
+    run3 = str(tmp_path / "eval_runs3")
+    rc = eval_cli.main(["--ckpt", ckpt_dir, "--all_epochs",
+                        "--evaluator", _evaluator_path("train"),
+                        "--run_dir", run3])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "checkpoint epoch 2" in out and "checkpoint epoch 5" in out
+    rdir3 = os.path.join(run3, os.listdir(run3)[0])
+    curve = [json.loads(l) for l in
+             open(os.path.join(rdir3, "metrics.jsonl"))]
+    assert {l.get("epoch") for l in curve if "epoch" in l} >= {2, 5}
+
 
 def test_offline_evaluate_artifact(in_repo, tmp_path, capsys):
     """--artifact: the log_eval pass runs against an export.py serving

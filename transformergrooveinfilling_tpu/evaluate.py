@@ -61,6 +61,10 @@ def main(argv=None) -> int:
                    help="with a --ckpt directory: select this epoch's "
                         "checkpoint (default: newest); also the epoch label "
                         "in the logs")
+    p.add_argument("--all_epochs", action="store_true",
+                   help="with a --ckpt directory: re-score EVERY saved "
+                        "epoch into one run (a learning curve from "
+                        "artifacts); media/dump are skipped per epoch")
     p.add_argument("--run_dir", default=None,
                    help="base dir for the metrics/media run (default "
                         "runs/offline_eval)")
@@ -84,13 +88,8 @@ def main(argv=None) -> int:
     # contract; export WANDB_MODE=online explicitly to upload instead
     os.environ.setdefault("WANDB_MODE", "offline")
 
-    import jax.numpy as jnp
-
-    from .models import build_model
     from .models.transformer import GrooveTransformerConfig
     from .train import checkpoint as ckpt_mod
-    from .train.driver import ModelBundle
-    from .train.loop import TrainState, make_optimizer
 
     if args.artifact:
         # serving-artifact path: the AOT predict handles thresholding with
@@ -118,6 +117,10 @@ def main(argv=None) -> int:
         dim_feedforward=args.dim_feedforward,
         num_encoder_layers=args.num_encoder_layers,
         embedding_size_src=args.embedding_size_src)
+
+    if args.all_epochs:
+        return _evaluate_all_epochs(args, legacy_config)
+
     path = args.ckpt
     if args.epoch is not None and os.path.isdir(path):
         # select the requested epoch, not the newest (the reference's
@@ -134,12 +137,55 @@ def main(argv=None) -> int:
         path, legacy_config=legacy_config)
     epoch = args.epoch if args.epoch is not None else ckpt_epoch
 
+    return _evaluate(args, _bundle_for(params, config), config, epoch, loss,
+                     path)
+
+
+def _bundle_for(params, config):
+    import jax.numpy as jnp
+
+    from .models import build_model
+    from .train.driver import ModelBundle
+    from .train.loop import TrainState, make_optimizer
+
     model = build_model(config)
     tx = make_optimizer("sgd", 0.05)  # inert: evaluation never steps it
     state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                        opt_state=tx.init(params))
-    bundle = ModelBundle(model=model, config=config, tx=tx, state=state)
-    return _evaluate(args, bundle, config, epoch, loss, path)
+    return ModelBundle(model=model, config=config, tx=tx, state=state)
+
+
+def _evaluate_all_epochs(args, legacy_config) -> int:
+    """Learning curve from artifacts: one run, every saved epoch scored."""
+    import re
+
+    from .train import checkpoint as ckpt_mod
+    from .utils import logging as xlog
+
+    if not os.path.isdir(args.ckpt):
+        raise SystemExit("--all_epochs needs --ckpt to be a directory")
+    epochs = {}  # epoch -> filename (native .ckpt wins over legacy .Model)
+    for f in sorted(os.listdir(args.ckpt)):
+        m = re.search(r"_Epoch_(\d+)\.(ckpt|Model)$", f)
+        if m and (int(m.group(1)) not in epochs or f.endswith(".ckpt")):
+            epochs[int(m.group(1))] = f
+    if not epochs:
+        raise SystemExit(f"no checkpoints under {args.ckpt}")
+
+    xlog.init(config={"checkpoint": args.ckpt, "all_epochs": sorted(epochs)},
+              project="offline_eval", job_type="eval", run_dir=args.run_dir)
+    args.media = "0"
+    args.dump = "0"
+    try:
+        for epoch in sorted(epochs):
+            params, config, _ep, loss = ckpt_mod.load_params_and_config(
+                os.path.join(args.ckpt, epochs[epoch]),
+                legacy_config=legacy_config)
+            _evaluate(args, _bundle_for(params, config), config, epoch, loss,
+                      os.path.join(args.ckpt, epochs[epoch]))
+    finally:
+        xlog.finish()
+    return 0
 
 
 def _evaluate(args, bundle, config, epoch, loss, path) -> int:
