@@ -92,6 +92,9 @@ def main(argv=None) -> int:
     from .train import checkpoint as ckpt_mod
 
     if args.artifact:
+        if args.all_epochs:
+            p.error("--all_epochs applies to --ckpt directories, not "
+                    "artifacts")
         # serving-artifact path: the AOT predict handles thresholding with
         # the artifact's embedded settings; InfillServer's bucketing maps
         # arbitrary evaluator sizes onto the fixed exported batch sizes
