@@ -156,6 +156,33 @@ def test_metrics_dict_shape(rng):
     assert all(np.isfinite(v) for v in d.values())
 
 
+def test_metrics_host_inputs_never_touch_the_device(rng, monkeypatch):
+    """Host numpy stacks must reduce in numpy: on a tunneled TPU backend the
+    device round-trips cost seconds per eval epoch (first fetch ~100 s —
+    profiled, docs/PERF.md round 3). Device-resident stacks still take the
+    jitted path with ONE fetch for all three families."""
+    import jax
+    import jax.numpy as jnp
+
+    import transformergrooveinfilling_tpu.eval.metrics as em
+
+    def boom(*a, **k):
+        raise AssertionError("jitted metric path used for host numpy inputs")
+
+    monkeypatch.setattr(em, "_metric_stack_jit", boom)
+    pred = (rng.random((4, 32, 27)) > 0.5).astype(np.float32)
+    gt = (rng.random((4, 32, 27)) > 0.5).astype(np.float32)
+    d = metrics_dict(pred, gt, "X")
+    assert len(d) == 3 * 10
+
+    monkeypatch.undo()
+    # numpy and jitted paths agree on device inputs
+    d_dev = metrics_dict(jnp.asarray(pred), jnp.asarray(gt), "X")
+    for k, v in d.items():
+        assert np.isclose(d_dev[k], v, rtol=1e-6), k
+    del jax
+
+
 def test_feature_pdf_media(evaluator):
     from transformergrooveinfilling_tpu.eval.media import feature_pdf_html
 

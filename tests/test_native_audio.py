@@ -90,3 +90,40 @@ def test_synthesis_with_sf2(tmp_path):
     y_kit = synth.synthesize_hvo(hvo, qpm=120, sf_path=None)
     n = min(len(y_sf2), len(y_kit), 5000)
     np.testing.assert_allclose(y_sf2[:n], y_kit[:n], atol=5e-3)
+
+
+def test_synthesize_hvo_list_bit_matches_per_item(rng, tmp_path):
+    """One batched mixer call per media epoch must be bit-identical to the
+    per-item ``synthesize_hvo`` path it replaced (eval/evaluator.py::get_audios),
+    across varying tempos and mixed soundfonts."""
+    from transformergrooveinfilling_tpu.audio.sf2 import write_minimal_sf2
+    from transformergrooveinfilling_tpu.hvo.mapping import VOICE_TO_MIDI_NOTE
+
+    sr = 44100
+    kit = default_kit(sr)
+    sf_path = str(tmp_path / "kit.sf2")
+    write_minimal_sf2(
+        sf_path, {key: kit[v] for v, key in enumerate(VOICE_TO_MIDI_NOTE)},
+        sr=sr)
+
+    m = 7
+    hvos = (rng.random((m, 32, 27)) > 0.85).astype(np.float32)
+    hvos[..., 9:18] *= rng.random((m, 32, 9)).astype(np.float32)
+    hvos[..., 18:27] = (rng.random((m, 32, 9)).astype(np.float32) - 0.5) * \
+        hvos[..., :9]
+    # one loud item exercises the per-item peak normalization
+    hvos[2, :, 9:18] *= 40.0
+    qpms = np.asarray([60.0, 90.0, 120.0, 140.0, 75.0, 120.0, 200.0])
+    sfs = [None, sf_path, None, sf_path, None, None, sf_path]
+
+    waves = synth.synthesize_hvo_list(hvos, qpms, sfs, sr=sr)
+    assert len(waves) == m
+    for i in range(m):
+        ref = synth.synthesize_hvo(hvos[i], qpm=qpms[i], sf_path=sfs[i], sr=sr)
+        assert waves[i].shape == ref.shape, i
+        np.testing.assert_array_equal(waves[i], ref, err_msg=f"item {i}")
+
+
+def test_synthesize_hvo_list_empty():
+    assert synth.synthesize_hvo_list(
+        np.zeros((0, 32, 27), np.float32), np.zeros(0), []) == []

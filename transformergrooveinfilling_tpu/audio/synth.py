@@ -41,8 +41,52 @@ def synthesize_hvo(hvo: np.ndarray, qpm: float = 120.0,
         np.asarray(hvo)[None], np.asarray([qpm]), [sf_path], sr=sr)[0]
 
 
+def synthesize_hvo_list(hvos, qpms, sf_paths, sr: int = 44100) -> list:
+    """Render ``M`` loops in ONE batched mixer call, returning per-item
+    waveforms bit-identical to ``M`` separate ``synthesize_hvo`` calls.
+
+    The eval media path renders a few hundred sampled loops per media epoch
+    (reference evaluator.py:425-499 does this one fluidsynth call at a time);
+    batching keeps the native mixer's one-call/threaded path while each item
+    still gets its own length (its loop at its own tempo + its own table's
+    ring-out margin) and its own peak normalization.
+    """
+    hvos = np.asarray(hvos, dtype=np.float32)
+    m, t, _ = hvos.shape
+    if m == 0:
+        return []
+    qpms = np.asarray(qpms, dtype=np.float64)
+    if qpms.size == 1 and m > 1:
+        qpms = np.full((m,), float(qpms))
+    sps = steps_per_second(qpms)
+
+    # per-item B=1 buffer lengths: loop + max(tail, its own table's longest
+    # sample) — exactly what synthesize_hvo computes for that item alone
+    unique_sfs = list(dict.fromkeys(sf_paths))
+    tables = {sf: _sample_table(sf, sr) for sf in unique_sfs}
+    margin = {
+        sf: max(int(_TAIL_SECONDS * sr),
+                max((len(s) for s in tables[sf]), default=0))
+        for sf in unique_sfs
+    }
+    item_len = [int(np.ceil(t / sps[i] * sr)) + margin[sf_paths[i]]
+                for i in range(m)]
+
+    out = synthesize_hvo_batch(hvos, qpms, sf_paths, sr=sr,
+                               fixed_length=max(item_len), normalize=False)
+    waves = []
+    for i in range(m):
+        y = out[i, :item_len[i]].copy()
+        peak = np.max(np.abs(y), initial=1e-9)
+        if peak > 1.0:
+            y /= peak
+        waves.append(y)
+    return waves
+
+
 def synthesize_hvo_batch(hvos: np.ndarray, qpms, sf_paths, sr: int = 44100,
-                         fixed_length: int | None = None) -> np.ndarray:
+                         fixed_length: int | None = None,
+                         normalize: bool = True) -> np.ndarray:
     """Render a stacked ``(M, T, 3V)`` batch → ``(M, L)`` float32 waveforms.
 
     All loops in a batch are padded to a common length (the slowest tempo's loop
@@ -102,8 +146,9 @@ def synthesize_hvo_batch(hvos: np.ndarray, qpms, sf_paths, sr: int = 44100,
     # prevent clipping without changing an item's internal dynamics —
     # per item: one loud loop must not rescale the rest of its batch
     # (MSO is per-item scale-invariant either way, ops/mso.py:202)
-    peak = np.max(np.abs(out), axis=-1, keepdims=True, initial=1e-9)
-    np.divide(out, peak, out=out, where=peak > 1.0)
+    if normalize:
+        peak = np.max(np.abs(out), axis=-1, keepdims=True, initial=1e-9)
+        np.divide(out, peak, out=out, where=peak > 1.0)
     return out
 
 

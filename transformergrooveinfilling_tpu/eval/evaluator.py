@@ -175,9 +175,16 @@ class HVOSeqSubsetInfillingEvaluator:
 
     def get_audios(self, sf_paths=None, use_specific_samples_at=None):
         """[(caption, waveform)], alphabetically sorted; prediction merged with
-        input context before synthesis."""
+        input context before synthesis.
+
+        All sampled loops render in ONE batched native-mixer call
+        (``audio.synth.synthesize_hvo_list`` — bit-identical to per-item
+        ``synthesize`` calls); items whose grid shape disagrees fall back to
+        the per-item path."""
+        from ..audio.synth import synthesize_hvo_list
+
         sampled = self.get_hvo_samples_located_at(use_specific_samples_at)
-        out = []
+        captions, grids, qpms, sfs_flat = [], [], [], []
         for key, samples in _progress(
                 sampled.items(),
                 f"Synthesizing samples - {self.set_identifier}",
@@ -188,11 +195,21 @@ class HVOSeqSubsetInfillingEvaluator:
                     if idx < len(self.hvo_comp_dict.get(key, []))
                     else sample.copy())
                 sfs = self.sf_dict.get(key, [])
-                sf = sfs[idx] if idx < len(sfs) else None
-                out.append((self._caption(sample, idx, ".wav"),
-                            merged.synthesize(sf_path=sf)))
-        out.sort(key=lambda ca: ca[0])
-        return out
+                captions.append(self._caption(sample, idx, ".wav"))
+                grids.append((merged, merged.hvo))
+                qpms.append(merged.tempos[0].qpm or 120.0)
+                sfs_flat.append(sfs[idx] if idx < len(sfs) else None)
+        if not grids:
+            return []
+        shapes = {g.shape for _, g in grids}
+        if len(shapes) == 1:
+            waves = synthesize_hvo_list(
+                np.stack([g for _, g in grids]), np.asarray(qpms), sfs_flat)
+        else:  # ragged grids: per-item rendering
+            waves = [m.synthesize(sf_path=sf)
+                     for (m, _), sf in zip(grids, sfs_flat)]
+        out = sorted(zip(captions, waves), key=lambda ca: ca[0])
+        return [(c, w) for c, w in out]
 
     def get_piano_rolls(self, use_specific_samples_at=None, add_inputs=False):
         """Self-contained HTML: per-style tabs of piano rolls."""

@@ -4,9 +4,18 @@ The reference's per-epoch scalars (/root/reference/evaluator.py:522-525):
 ``get_hits_accuracies`` / ``get_velocity_errors`` / ``get_micro_timing_errors``
 over the 9-voice drum mapping, computed per voice across the full prediction/GT
 stacks and merged into one wandb log dict. The per-voice math here is one
-vectorized pass over the stacked ``(N, T, 3V)`` arrays (jit-compiled; runs on
-device when the stacks live there). Key naming ``{set}_{Metric}_{voice}``
-[re-derived — the absent GrooveEvaluator submodule pins only the call signature].
+vectorized pass over the stacked ``(N, T, 3V)`` arrays. Key naming
+``{set}_{Metric}_{voice}`` [re-derived — the absent GrooveEvaluator submodule
+pins only the call signature].
+
+Placement rule (measured, round 3): these are ~10 ms reductions over a few MB.
+When the stacks already live on an accelerator, a jitted kernel computes them
+in place and ONE ``device_get`` fetches all three families together. When the
+stacks are host numpy (the evaluator path: predictions come back from
+``model.predict`` as host arrays), the reduction runs in numpy — shipping
+3.5 MB to a *tunneled* TPU and fetching three result arrays back costs three
+device round-trips per eval epoch, and the first fetch after compile stalled
+~100 s on the dev tunnel (profiled in docs/PERF.md, round 3).
 """
 
 from __future__ import annotations
@@ -19,7 +28,7 @@ from ..hvo.mapping import VOICE_NAMES
 
 
 @jax.jit
-def _metric_stack(pred: jax.Array, gt: jax.Array):
+def _metric_stack_jit(pred: jax.Array, gt: jax.Array):
     """(hits accuracy, velocity MSE, offset MSE) per voice, each ``(V,)``."""
     n = gt.shape[-1] // 3
     p_h, g_h = pred[..., :n], gt[..., :n]
@@ -31,24 +40,47 @@ def _metric_stack(pred: jax.Array, gt: jax.Array):
     return acc, mse_v, mse_o
 
 
+def _metric_stack_np(pred: np.ndarray, gt: np.ndarray):
+    """Numpy twin of ``_metric_stack_jit`` (same math, same dtypes)."""
+    pred = np.asarray(pred)
+    gt = np.asarray(gt)
+    n = gt.shape[-1] // 3
+    acc = np.mean((pred[..., :n] == gt[..., :n]).astype(np.float32),
+                  axis=(0, 1))
+    mse_v = np.mean(np.square(pred[..., n:2 * n] - gt[..., n:2 * n]),
+                    axis=(0, 1))
+    mse_o = np.mean(np.square(pred[..., 2 * n:] - gt[..., 2 * n:]),
+                    axis=(0, 1))
+    return acc, mse_v, mse_o
+
+
+def _metric_stack(pred, gt):
+    """Route by residency: device stacks reduce in place (one fetch for all
+    three outputs); host stacks never touch the device (see module docstring).
+    Returns three host numpy ``(V,)`` arrays either way."""
+    if isinstance(pred, jax.Array) or isinstance(gt, jax.Array):
+        return jax.device_get(
+            _metric_stack_jit(jnp.asarray(pred), jnp.asarray(gt)))
+    return _metric_stack_np(pred, gt)
+
+
 def hits_accuracy_per_voice(pred, gt) -> np.ndarray:
-    return np.asarray(_metric_stack(jnp.asarray(pred), jnp.asarray(gt))[0])
+    return np.asarray(_metric_stack(pred, gt)[0])
 
 
 def velocity_mse_per_voice(pred, gt) -> np.ndarray:
-    return np.asarray(_metric_stack(jnp.asarray(pred), jnp.asarray(gt))[1])
+    return np.asarray(_metric_stack(pred, gt)[1])
 
 
 def offset_mse_per_voice(pred, gt) -> np.ndarray:
-    return np.asarray(_metric_stack(jnp.asarray(pred), jnp.asarray(gt))[2])
+    return np.asarray(_metric_stack(pred, gt)[2])
 
 
 def metrics_dict(pred, gt, identifier: str, drum_mapping=None) -> dict:
     """All three metric families as one flat ``{key: float}`` dict (what the
     reference merges into a single wandb.log call)."""
     voice_names = list(drum_mapping) if drum_mapping else list(VOICE_NAMES)
-    acc, mse_v, mse_o = (np.asarray(a) for a in
-                         _metric_stack(jnp.asarray(pred), jnp.asarray(gt)))
+    acc, mse_v, mse_o = (np.asarray(a) for a in _metric_stack(pred, gt))
     out = {}
     for fam, arr in (("Hits_Accuracy", acc), ("Velocity_MSE", mse_v),
                      ("Micro_Timing_MSE", mse_o)):
