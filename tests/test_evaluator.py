@@ -343,3 +343,30 @@ def test_progress_counter_when_tqdm_enabled(evaluator, capsys):
     ev.get_piano_rolls()
     err = capsys.readouterr().err
     assert "Creating piano rolls" in err
+
+
+def test_get_audios_ragged_grids_fallback():
+    """Mixed grid shapes can't stack for the batched mixer; the per-item
+    fallback must still render every sampled loop (and match direct
+    synthesis)."""
+    from transformergrooveinfilling_tpu.eval.evaluator import (
+        HVOSeqSubsetInfillingEvaluator,
+    )
+    from transformergrooveinfilling_tpu.hvo import HVOSequence
+
+    short = HVOSequence(hvo=np.zeros((16, 27), np.float32))
+    long = HVOSequence(hvo=np.zeros((32, 27), np.float32))
+    for s in (short, long):
+        s.hvo[0, 0] = 1.0
+        s.hvo[0, 9] = 0.9
+        s.metadata.style_primary = "funk"
+        s.metadata.master_id = "m/1"
+    ev = HVOSeqSubsetInfillingEvaluator(
+        [[short], [long]], ["funk16", "funk32"], "Ragged_Set", is_gt=True)
+    audios = ev.get_audios()
+    assert len(audios) == 2
+    lens = sorted(len(w) for _, w in audios)
+    assert lens[0] < lens[1]  # each item keeps its own length
+    np.testing.assert_array_equal(
+        audios[0][1] if len(audios[0][1]) == lens[0] else audios[1][1],
+        short.synthesize())
