@@ -105,7 +105,10 @@ class ModelBundle:
                 static_argnames=("use_thres",))
         out = self._predict_jit(self.state.params, jnp.asarray(inputs),
                                 thres, use_thres=use_thres)
-        return [np.asarray(o) for o in out]
+        # ONE device->host transfer for all three heads: each np.asarray on a
+        # jax.Array is its own fetch, and on a tunneled backend every fetch is
+        # a full round-trip (the eval-metrics profile in docs/PERF.md)
+        return list(jax.device_get(out))
 
 
 def initialize_model(params: dict) -> tuple[ModelBundle, Any, int]:
