@@ -370,3 +370,77 @@ def test_get_audios_ragged_grids_fallback():
     np.testing.assert_array_equal(
         audios[0][1] if len(audios[0][1]) == lens[0] else audios[1][1],
         short.synthesize())
+
+
+def test_deferred_media_pass_snapshots_its_epoch(evaluator, tmp_path,
+                                                 monkeypatch):
+    """log_eval(defer=...) must hand back a closure that renders THIS epoch's
+    predictions even after a later set_pred replaced the evaluator state (the
+    driver's async media worker runs it during the next training block)."""
+    from transformergrooveinfilling_tpu.utils import logging as xlog
+
+    monkeypatch.chdir(tmp_path)
+    xlog.init(config={}, project="defer_test")
+    run_dir, run_id = xlog.run.dir, xlog.run.id
+
+    deferred = []
+    log_eval(evaluator, PerfectModel(evaluator._gt_hvos_array),
+             log_media=True, epoch=7, dump=False, defer=deferred.append)
+    assert len(deferred) == 1
+    csv_path = os.path.join(run_dir, f"stats_{run_id}_Epoch_7.csv")
+    assert not os.path.exists(csv_path)  # nothing rendered yet
+
+    # a later epoch replaces the prediction state with all-zeros predictions
+    class ZeroModel:
+        def predict(self, inputs, use_thres=True, thres=0.5):
+            z = np.zeros(inputs.shape[:2] + (9,), np.float32)
+            return [z, z, z]
+
+    evaluator.set_pred(ZeroModel())
+
+    deferred[0]()  # the deferred pass runs AFTER the mutation
+    xlog.finish()
+
+    # the CSV reflects the captured (perfect) predictions: velocity
+    # similarity at GT-hit cells is exactly 1.0, impossible for ZeroModel
+    import csv as _csv
+    with open(csv_path) as f:
+        rows = list(_csv.reader(f))
+    header = rows[0]
+    col = header.index("Statistical::Vel Similarity Score__Prediction")
+    overall = [r for r in rows if r and r[0] == "Overall"][0]
+    assert float(overall[col]) == pytest.approx(1.0)
+    # media files carry the deferred epoch's tag
+    media = os.listdir(os.path.join(run_dir, "media"))
+    assert any("epoch_7" in f for f in media)
+    # and the committed JSONL record is attributed to epoch 7
+    recs = [l for l in open(os.path.join(run_dir, "metrics.jsonl"))
+            if "Test_Set_stats" in l]
+    import json as _json
+    assert _json.loads(recs[-1])["epoch"] == 7
+
+
+def test_sink_log_is_thread_safe(tmp_path, monkeypatch):
+    """Concurrent log() calls (training thread + media worker) must never
+    interleave half-written JSONL lines."""
+    import json as _json
+    import threading
+
+    from transformergrooveinfilling_tpu.utils import logging as xlog
+
+    monkeypatch.chdir(tmp_path)
+    xlog.init(config={}, project="lock_test")
+
+    def hammer(tid):
+        for i in range(50):
+            xlog.log({f"k{tid}": i, "epoch": i}, commit=True)
+
+    threads = [threading.Thread(target=hammer, args=(t,)) for t in range(8)]
+    [t.start() for t in threads]
+    [t.join() for t in threads]
+    path = os.path.join(xlog.run.dir, "metrics.jsonl")
+    xlog.finish()
+    lines = open(path).read().splitlines()
+    assert len(lines) == 400
+    for l in lines:
+        _json.loads(l)  # every line is complete valid JSON

@@ -48,6 +48,9 @@ def parse_args(argv=None):
     parser.add_argument("--ckpt_dir", default="checkpoints")
     parser.add_argument("--epoch_block", type=int, default=1,
                         help="epochs fused per device dispatch (scan-of-epochs)")
+    parser.add_argument("--media_async", type=int, default=1,
+                        help="render eval media on a background worker so it "
+                             "overlaps the next epoch block (0 = inline)")
     parser.add_argument("--max_wall_s", type=float, default=None,
                         help="wall-clock budget: stop gracefully (checkpoint + "
                         "clean exit) after the first epoch block that crosses "
@@ -295,6 +298,7 @@ def _run(args, hp_dict, paths):
             on_device_augment=on_device_augment,
             augment_per_epoch=False,  # fused mode: fresh render per block
             max_wall_s=args.max_wall_s,
+            media_async=bool(args.media_async),
         )
     finally:
         if streamer is not None:

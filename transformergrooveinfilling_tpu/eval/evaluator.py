@@ -553,11 +553,65 @@ def init_evaluator(evaluator_path: str, device=None):
     return ev
 
 
+def _make_media_pass(evaluator: InfillingEvaluator, epoch: int):
+    """The media + feature-stats portion of ``log_eval`` as a self-contained
+    closure, safe to run AFTER a later ``set_pred`` has replaced the
+    evaluator's prediction state: everything it reads is captured eagerly —
+    the per-epoch prediction SubSet evaluator (a fresh object graph each
+    ``set_pred``), the prediction/GT stacks (replaced, never mutated), and the
+    identifier. The training driver hands these closures to a background
+    worker so media rendering overlaps the next (device-bound) epoch block."""
+    ident = evaluator._identifier
+    pred_ev = evaluator.prediction_SubSet_Evaluator
+    locations = dict(evaluator.audio_sample_locations)
+    gt_arr = evaluator._gt_hvos_array
+    pred_arr = evaluator._prediction_hvos_array
+    tags = list(evaluator._gt_hvos_array_tags)
+    run = xlog.run
+    run_dir = run.dir if run is not None else "."
+    run_id = run.id if run is not None else "local"
+
+    def media_pass():
+        # ONE committed record per media pass: atomic under the sink lock, so
+        # a deferred pass can't interleave half a record with the training
+        # thread's scalar logs
+        record: dict = {"epoch": epoch}
+        media = {}
+        pred_media = pred_ev.get_wandb_logging_media(
+            global_features_html=False, use_specific_samples_at=locations)
+        for k, v in pred_media.items():
+            media.setdefault(k, {}).update(v)
+        if media:
+            record[ident] = media
+        try:
+            from .features import features_table, INFILLING_DROP_COLUMNS
+
+            csv_filename = os.path.join(
+                run_dir, f"stats_{run_id}_Epoch_{epoch}.csv")
+            df = features_table(gt_arr, pred_arr, tags)
+            os.makedirs(os.path.dirname(csv_filename) or ".", exist_ok=True)
+            df.to_csv(csv_filename)
+            df = df.drop(columns=[c for c in INFILLING_DROP_COLUMNS
+                                  if c in df.columns])
+            df = df.dropna(axis=1)
+            xlog.save(csv_filename, base_path=run_dir)
+            record[ident + "_stats"] = xlog.Html(df.to_html())
+        except ImportError:
+            pass
+        xlog.log(record, commit=True)
+
+    return media_pass
+
+
 def log_eval(evaluator: InfillingEvaluator, model, log_media: bool, epoch: int,
-             dump: bool):
+             dump: bool, defer=None):
     """Per-epoch eval logging (reference evaluator.py:516-605): scalar metric
     families every call; media + feature-stats CSV + evaluator dump when
-    ``log_media``."""
+    ``log_media``.
+
+    ``defer``: optional callable receiving the media-pass closure instead of
+    running it inline (the driver's async media worker). Ignored when real
+    wandb is online — wandb's step counter needs in-order commits."""
     evaluator.set_pred(model)
     evaluator.gt_SubSet_Evaluator.epoch = epoch
     evaluator.prediction_SubSet_Evaluator.epoch = epoch
@@ -568,30 +622,14 @@ def log_eval(evaluator: InfillingEvaluator, model, log_media: bool, epoch: int,
     xlog.log({**acc_h, **mse_v, **mse_o, "epoch": epoch}, commit=True)
 
     if log_media:
-        media = evaluator.get_wandb_logging_media(
-            global_features_html=False, recalculate_ground_truth=False)
-        if media:
-            xlog.log({evaluator._identifier: media, "epoch": epoch}, commit=False)
-
-        run = xlog.run
-        run_dir = run.dir if run is not None else "."
-        run_id = run.id if run is not None else "local"
-        try:
-            from .features import get_stats_from_evaluator, INFILLING_DROP_COLUMNS
-
-            csv_filename = os.path.join(
-                run_dir, f"stats_{run_id}_Epoch_{epoch}.csv")
-            df = get_stats_from_evaluator(evaluator, csv_file=csv_filename)
-            df = df.drop(columns=[c for c in INFILLING_DROP_COLUMNS
-                                  if c in df.columns])
-            df = df.dropna(axis=1)
-            xlog.save(csv_filename, base_path=run_dir)
-            xlog.log({evaluator._identifier + "_stats": xlog.Html(df.to_html()),
-                      "epoch": epoch}, commit=False)
-        except ImportError:
-            pass
+        media_pass = _make_media_pass(evaluator, epoch)
+        if defer is not None and not xlog._wandb_online():
+            defer(media_pass)
+        else:
+            media_pass()
 
         if dump:
+            run = xlog.run
             run_name = run.name if run is not None else "local"
             evaluator.dump(
                 os.path.join(

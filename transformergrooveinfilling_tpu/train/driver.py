@@ -46,6 +46,52 @@ def _slab_update(full, slab, start):
     return jax.lax.dynamic_update_slice_in_dim(full, slab, start, 0)
 
 
+class _MediaWorker:
+    """Single background thread draining eval-media closures (the
+    host-CPU-bound rendering half of ``log_eval``) so they overlap the next
+    device-bound epoch block. Bounded queue (backpressure at 4 pending
+    passes); exceptions are held and re-surfaced as a warning at flush —
+    media must never kill a training run."""
+
+    def __init__(self):
+        import queue
+
+        self._q: "queue.Queue" = queue.Queue(maxsize=4)
+        self._errors: list = []
+        self._thread = threading.Thread(
+            target=self._loop, daemon=True, name="eval-media-writer")
+        self._thread.start()
+
+    def _loop(self):
+        while True:
+            fn = self._q.get()
+            if fn is None:
+                self._q.task_done()
+                return
+            try:
+                fn()
+            except Exception as e:  # noqa: BLE001 — held, surfaced at flush
+                self._errors.append(e)
+            finally:
+                self._q.task_done()
+
+    def submit(self, fn):
+        self._q.put(fn)
+
+    def flush(self):
+        """Block until every submitted pass has run; print held errors."""
+        self._q.join()
+        for e in self._errors:
+            print(f"media worker: a deferred media pass failed: {e!r}",
+                  flush=True)
+        self._errors.clear()
+
+    def close(self):
+        self.flush()
+        self._q.put(None)
+        self._thread.join()
+
+
 class _GracefulStop:
     """Preemption-safe stop: SIGTERM/SIGINT finish the current epoch block,
     checkpoint, and return cleanly (SURVEY.md §5.3 — the reference has no
@@ -200,6 +246,7 @@ def run_training(
     augment_per_epoch: bool = True,
     watch_log_freq: int | None = 1000,
     max_wall_s: float | None = None,
+    media_async: bool = True,
     _stopper: "_GracefulStop | None" = None,
 ) -> ModelBundle:
     """Full training run: the reference epoch loop, compiled.
@@ -227,6 +274,11 @@ def run_training(
     training steps (the reference's ``wandb.watch(model, log_freq=1000)``,
     /root/reference/train.py:150), logged under ``gradients/<path>`` /
     ``parameters/<path>``; ``None`` disables.
+    ``media_async``: render eval media + feature stats on a background worker
+    so the (host-CPU-bound) rendering overlaps the next (device-bound) epoch
+    block; every closure captures its epoch's prediction state eagerly
+    (eval/evaluator.py::_make_media_pass), and the worker is flushed before
+    the run returns. Auto-disabled when real wandb is online (step ordering).
     ``max_wall_s``: optional wall-clock budget — training stops gracefully
     (checkpoint + clean return) after the first epoch block that crosses it.
     SIGTERM/SIGINT trigger the same path (TPU preemption notice). On
@@ -448,6 +500,7 @@ def run_training(
     steps_done = initial_epoch * steps_per_epoch
     watch_events = steps_done // watch_log_freq if watch_log_freq else 0
     watch_fn = None
+    media_worker: _MediaWorker | None = None
 
     auto_cadence = regen_cadence == "auto"
     if not auto_cadence and not (isinstance(regen_cadence, int)
@@ -642,10 +695,15 @@ def run_training(
             if not stop_now:
                 media_now = log_media and any(
                     e in epoch_save_all for e in block_epochs)
+                if media_now and media_async and media_worker is None:
+                    media_worker = _MediaWorker()
                 for name, ev in evaluators.items():
                     ev._identifier = f"{name.capitalize()}_Set"
                     log_eval(ev, bundle, log_media=media_now, epoch=last_ep,
-                             dump=dump_eval)
+                             dump=dump_eval,
+                             defer=(media_worker.submit
+                                    if media_now and media_worker is not None
+                                    else None))
 
             xlog.log({"epoch": last_ep}, commit=True)
             if stop_now:
@@ -655,6 +713,8 @@ def run_training(
                 break
 
     ckpt.flush_async_saves()
+    if media_worker is not None:
+        media_worker.close()
     return bundle
 
 

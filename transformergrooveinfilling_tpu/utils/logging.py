@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 try:  # pragma: no cover - exercised only where wandb exists
     import wandb as _real_wandb
@@ -44,14 +45,22 @@ class Run:
         self.config = cfg
         self._metrics_path = os.path.join(run_dir, "metrics.jsonl")
         self._pending: dict = {}
+        # the async media worker (train/driver.py) logs from its own thread
+        # while the main loop logs scalars — _pending and the JSONL append
+        # must not interleave
+        self._log_lock = threading.Lock()
 
     def log(self, data: dict, commit: bool = True):
-        self._pending.update(self._persist(data, prefix=""))
-        if commit:
-            self._pending["_timestamp"] = time.time()
-            with open(self._metrics_path, "a") as f:
-                f.write(json.dumps(self._pending) + "\n")
-            self._pending = {}
+        # media file writes (wav/html) happen outside the lock — only the
+        # pending-merge and the JSONL append need atomicity
+        persisted = self._persist(data, prefix="")
+        with self._log_lock:
+            self._pending.update(persisted)
+            if commit:
+                self._pending["_timestamp"] = time.time()
+                with open(self._metrics_path, "a") as f:
+                    f.write(json.dumps(self._pending) + "\n")
+                self._pending = {}
 
     def _persist(self, data: dict, prefix: str) -> dict:
         """JSON-serializable view of a log dict; media objects (Html/Audio)
