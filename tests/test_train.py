@@ -415,6 +415,42 @@ def test_async_checkpoint_survives_buffer_donation(tmp_path):
     np.testing.assert_allclose(params["output"]["proj"]["bias"], expected)
 
 
+def test_snapshot_save_survives_buffer_donation(tmp_path):
+    """save_snapshot_async fetches on the WORKER thread from never-donated
+    copy buffers: deleting the original state buffers right after submit
+    (what the next donating train step does) must not lose the checkpoint
+    or corrupt its values."""
+    model = build_model(CFG)
+    tx = make_optimizer("sgd", 0.05)
+    state = create_train_state(model, CFG, tx, jax.random.PRNGKey(4))
+    expected = np.asarray(state.params["output"]["proj"]["bias"]).copy()
+    snap = ckpt.snapshot_state_on_device(state)
+    jax.tree.map(lambda a: a.delete(), state.params)  # simulate donation
+    jax.tree.map(lambda a: a.delete() if hasattr(a, "delete") else None,
+                 state.opt_state)
+    ckpt.save_snapshot_async(str(tmp_path), "snap", 3, snap, 0.5, CFG)
+    ckpt.flush_async_saves()
+    path, ep = ckpt.find_latest(str(tmp_path))
+    assert ep == 3
+    params, opt, _epoch, _loss = ckpt.load_checkpoint(path)
+    np.testing.assert_allclose(params["output"]["proj"]["bias"], expected)
+    assert opt is not None
+
+
+def test_snapshot_save_exports_legacy(tmp_path):
+    """legacy=True writes the reference-loadable .Model beside the .ckpt."""
+    import os
+
+    model = build_model(CFG)
+    tx = make_optimizer("sgd", 0.05)
+    state = create_train_state(model, CFG, tx, jax.random.PRNGKey(5))
+    snap = ckpt.snapshot_state_on_device(state)
+    ckpt.save_snapshot_async(str(tmp_path), "leg", 2, snap, 0.5, CFG,
+                             legacy=True)
+    ckpt.flush_async_saves()
+    assert any(f.endswith(".Model") for f in os.listdir(tmp_path))
+
+
 def test_flush_async_saves_reraises_write_failure(tmp_path):
     model = build_model(CFG)
     tx = make_optimizer("sgd", 0.05)

@@ -100,6 +100,67 @@ def save_checkpoint_async(ckpt_dir: str, run_id: str, epoch: int, state,
                               fetch_state_to_host(state), loss, config)
 
 
+# jitted deep copy: jnp.copy per leaf guarantees FRESH output buffers (a bare
+# identity jit would return the input arrays themselves), and one jit call is
+# one device dispatch instead of one per leaf — which matters on tunneled
+# links where each dispatch is a round-trip
+_snapshot_fn = None
+
+
+def snapshot_state_on_device(state):
+    """Copy params/opt_state into fresh device buffers, safe to fetch from a
+    background thread: nothing ever donates the snapshot, so the next epoch
+    block's donation of ``state`` cannot invalidate it (the race
+    :func:`fetch_state_to_host` exists to avoid). The copy itself is device
+    work (~ms); the expensive device→host transfer then happens OFF the
+    training thread in :func:`save_snapshot_async`."""
+    global _snapshot_fn
+    if _snapshot_fn is None:
+        _snapshot_fn = jax.jit(lambda t: jax.tree.map(jnp.copy, t))
+    return _snapshot_fn((state.params, state.opt_state))
+
+
+def save_snapshot_async(ckpt_dir: str, run_id: str, epoch: int, snap,
+                        loss: float, config: GrooveTransformerConfig,
+                        legacy: bool = False):
+    """Queue a device snapshot (:func:`snapshot_state_on_device`) for
+    background fetch + serialization + write. Single-process only: on
+    multi-host meshes the fetch may involve a collective gather, which must
+    run on the thread driving the compiled steps — use
+    :func:`fetch_state_to_host` + :func:`save_payload_async` there.
+
+    Each queued snapshot holds its device buffers (~params+opt_state) until
+    its fetch completes; the single worker drains saves in order, so at most
+    a few snapshots are ever resident."""
+    assert jax.process_count() == 1, \
+        "save_snapshot_async is single-process; multi-host saves gather on " \
+        "the training thread (fetch_state_to_host)"
+    global _async_pool
+    import concurrent.futures
+
+    if _async_pool is None:
+        _async_pool = concurrent.futures.ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="ckpt-save")
+
+    def fetch_and_write():
+        params, opt_state = snap
+        payload = {
+            "params": serialization.to_state_dict(
+                jax.tree.map(lambda a: np.array(a), jax.device_get(params))),
+            "opt_state": serialization.to_state_dict(
+                jax.tree.map(lambda a: np.array(a),
+                             jax.device_get(opt_state))),
+        }
+        _write_checkpoint(ckpt_dir, run_id, epoch, payload, loss, config)
+        if legacy:
+            export_legacy(ckpt_dir, run_id, epoch, payload["params"],
+                          config, loss)
+
+    fut = _async_pool.submit(fetch_and_write)
+    _async_pending.append(fut)
+    return fut
+
+
 def flush_async_saves():
     """Block until every pending async save has been written; re-raise the
     first worker exception (a silently-dropped checkpoint is a data-loss bug,

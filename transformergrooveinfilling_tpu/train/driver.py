@@ -675,19 +675,33 @@ def run_training(
                 e in epoch_save_partial or e in epoch_save_all
                 for e in block_epochs)
             if save_now:
-                # fetch on EVERY process: with tp-sharded multi-host params the
-                # fetch all-gathers on device (a collective — process 0 alone
-                # would deadlock); the file write stays single-writer
-                payload = ckpt.fetch_state_to_host(state)
-                if jax.process_index() == 0:
-                    # async: serialization + write run on a background thread
-                    # while the next block trains (flushed before returning)
-                    ckpt.save_payload_async(ckpt_dir, run_id, last_ep, payload,
-                                            metrics["loss"], bundle.config)
-                    if export_legacy and bundle.config.encoder_only:
-                        ckpt.export_legacy(ckpt_dir, run_id, last_ep,
-                                           payload["params"],
-                                           bundle.config, metrics["loss"])
+                if jax.process_count() == 1:
+                    # single chip/process: copy state into fresh (never
+                    # donated) device buffers — ~ms of device work — and move
+                    # the whole device→host fetch + serialization + write off
+                    # the training thread (the sync fetch is seconds per save
+                    # on a tunneled link; flushed before returning)
+                    snap = ckpt.snapshot_state_on_device(state)
+                    ckpt.save_snapshot_async(
+                        ckpt_dir, run_id, last_ep, snap, metrics["loss"],
+                        bundle.config,
+                        legacy=bool(export_legacy
+                                    and bundle.config.encoder_only))
+                else:
+                    # fetch on EVERY process: with tp-sharded multi-host
+                    # params the fetch all-gathers on device (a collective —
+                    # process 0 alone would deadlock) and must run on the
+                    # thread driving the compiled steps; the file write
+                    # stays single-writer
+                    payload = ckpt.fetch_state_to_host(state)
+                    if jax.process_index() == 0:
+                        ckpt.save_payload_async(ckpt_dir, run_id, last_ep,
+                                                payload, metrics["loss"],
+                                                bundle.config)
+                        if export_legacy and bundle.config.encoder_only:
+                            ckpt.export_legacy(ckpt_dir, run_id, last_ep,
+                                               payload["params"],
+                                               bundle.config, metrics["loss"])
 
             # on graceful stop skip the evaluator/media pass: preemption
             # grace windows are short, and the checkpoint (above) is the
