@@ -668,3 +668,54 @@ def test_crash_mid_write_never_corrupts_resume(tmp_path):
     assert latest == 7
     _params, _opt, epoch, loss = ckpt.load_checkpoint(path)
     assert epoch == 7 and abs(loss - 1.5) < 1e-9
+
+
+def test_on_device_eval_metrics_match_log_eval_path(tmp_path, rng):
+    """The driver's scalar-only fast path (on-device metric families from
+    resident eval sets) must reproduce the host log_eval values — same keys,
+    same numbers — for the same params."""
+    from transformergrooveinfilling_tpu.data import (
+        GrooveMidiDatasetInfillingSymbolic,
+        synthetic_gmd_sequences,
+    )
+    from transformergrooveinfilling_tpu.eval.evaluator import InfillingEvaluator
+    from transformergrooveinfilling_tpu.eval.metrics import format_families
+    from transformergrooveinfilling_tpu.train.driver import (
+        ModelBundle, make_eval_metric_fn)
+
+    seqs = synthetic_gmd_sequences(24, seed=9)
+    ds = GrooveMidiDatasetInfillingSymbolic(
+        data=seqs, dataset_name="FastEvalDS", split="test",
+        save_dataset_path=str(tmp_path),
+        voices_params={"voice_idx": [2], "min_n_voices_to_remove": 1,
+                       "max_n_voices_to_remove": 1, "prob": [1], "k": 3},
+        max_aug_items=2, seed=3, save=False)
+    ev = InfillingEvaluator(_identifier="Test_Set", n_samples_to_use=32,
+                            n_samples_to_synthesize_visualize_per_subset=1,
+                            dataset=ds, sequences=seqs)
+
+    cfg = GrooveTransformerConfig(
+        d_model=16, n_heads=2, dim_feedforward=16, dropout=0.0,
+        num_encoder_layers=1, embedding_size_src=27)
+    model = build_model(cfg)
+    tx = make_optimizer("sgd", 0.05)
+    state = create_train_state(model, cfg, tx, jax.random.PRNGKey(7))
+    bundle = ModelBundle(model=model, config=cfg, tx=tx, state=state)
+
+    # host path: full set_pred + vectorized numpy metric families
+    ev.set_pred(bundle)
+    host = {**ev.get_hits_accuracies(), **ev.get_velocity_errors(),
+            **ev.get_micro_timing_errors()}
+
+    # fast path: on-device stacks from the resident arrays
+    fn = make_eval_metric_fn(model)
+    acc, mse_v, mse_o = jax.device_get(fn(
+        state.params,
+        jnp.asarray(np.asarray(ev.processed_inputs, np.float32)),
+        jnp.asarray(np.asarray(ev._gt_hvos_array, np.float32))))
+    fast = format_families("Test_Set", acc, mse_v, mse_o)
+
+    assert set(fast) == set(host)
+    for k in host:
+        assert np.isclose(fast[k], host[k], rtol=1e-5, atol=1e-7), \
+            (k, fast[k], host[k])

@@ -76,18 +76,29 @@ def offset_mse_per_voice(pred, gt) -> np.ndarray:
     return np.asarray(_metric_stack(pred, gt)[2])
 
 
-def metrics_dict(pred, gt, identifier: str, drum_mapping=None) -> dict:
-    """All three metric families as one flat ``{key: float}`` dict (what the
-    reference merges into a single wandb.log call)."""
-    voice_names = list(drum_mapping) if drum_mapping else list(VOICE_NAMES)
-    acc, mse_v, mse_o = (np.asarray(a) for a in _metric_stack(pred, gt))
+def format_families(identifier: str, acc, mse_v, mse_o,
+                    voice_names=None) -> dict:
+    """Per-voice metric stacks → the reference's flat ``{key: float}`` naming
+    (``{set}_{Family}_{voice}`` + ``_mean``). Shared by the host path
+    (:func:`metrics_dict`) and the driver's on-device fast path, so both log
+    byte-identical key sets."""
+    voice_names = list(voice_names) if voice_names else list(VOICE_NAMES)
     out = {}
-    for fam, arr in (("Hits_Accuracy", acc), ("Velocity_MSE", mse_v),
-                     ("Micro_Timing_MSE", mse_o)):
+    for fam, arr in (("Hits_Accuracy", np.asarray(acc)),
+                     ("Velocity_MSE", np.asarray(mse_v)),
+                     ("Micro_Timing_MSE", np.asarray(mse_o))):
         for name, val in zip(voice_names, arr):
             out[f"{identifier}_{fam}_{name}"] = float(val)
         out[f"{identifier}_{fam}_mean"] = float(arr.mean())
     return out
+
+
+def metrics_dict(pred, gt, identifier: str, drum_mapping=None) -> dict:
+    """All three metric families as one flat ``{key: float}`` dict (what the
+    reference merges into a single wandb.log call)."""
+    acc, mse_v, mse_o = _metric_stack(pred, gt)
+    return format_families(identifier, acc, mse_v, mse_o,
+                           voice_names=drum_mapping)
 
 
 def rhythmic_distances(pred, gt, identifier: str = "") -> dict:

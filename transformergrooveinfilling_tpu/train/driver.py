@@ -46,6 +46,24 @@ def _slab_update(full, slab, start):
     return jax.lax.dynamic_update_slice_in_dim(full, slab, start, 0)
 
 
+def make_eval_metric_fn(model):
+    """Jitted ``(params, inputs, gt) → (acc, vel_mse, offset_mse)`` per-voice
+    stacks, the same math as ``eval/metrics.py::_metric_stack`` applied to
+    the model's thresholded predict — the whole evaluation runs on device and
+    only 3×V floats come back. The driver uses it for scalar-only eval
+    epochs against device-RESIDENT eval sets (media epochs run the full
+    ``log_eval``)."""
+    def _metric_stack_on_device(params, x, gt):
+        h, v, o = model_predict(model, params, x, use_thres=True, thres=0.5)
+        nv = gt.shape[-1] // 3
+        acc = jnp.mean((h == gt[..., :nv]).astype(jnp.float32), axis=(0, 1))
+        mse_v = jnp.mean(jnp.square(v - gt[..., nv:2 * nv]), axis=(0, 1))
+        mse_o = jnp.mean(jnp.square(o - gt[..., 2 * nv:]), axis=(0, 1))
+        return acc, mse_v, mse_o
+
+    return jax.jit(_metric_stack_on_device)
+
+
 class _MediaWorker:
     """Single background thread draining eval-media closures (the
     host-CPU-bound rendering half of ``log_eval``) so they overlap the next
@@ -502,6 +520,23 @@ def run_training(
     watch_fn = None
     media_worker: _MediaWorker | None = None
 
+    # scalar-only eval fast path: the eval sets stay RESIDENT on device and
+    # the per-voice metric families compute inside one jitted program —
+    # only 3×9 floats per set cross the link, instead of a 2 MB input
+    # upload + 3.4 MB three-head fetch per evaluator per block (the
+    # round-3 eval-path profile, docs/PERF.md). Media epochs still run the
+    # full log_eval (set_pred + rendering). Single-process only — the
+    # multi-host driver disables in-training evaluators anyway.
+    eval_fast: dict = {}
+    eval_metric_fn = None
+    if evaluators and jax.process_count() == 1:
+        eval_metric_fn = make_eval_metric_fn(bundle.model)
+        for _name, _ev in evaluators.items():
+            eval_fast[_name] = (
+                jax.device_put(np.asarray(_ev.processed_inputs, np.float32)),
+                jax.device_put(np.asarray(_ev._gt_hvos_array, np.float32)),
+            )
+
     auto_cadence = regen_cadence == "auto"
     if not auto_cadence and not (isinstance(regen_cadence, int)
                                  and regen_cadence >= 1):
@@ -665,10 +700,13 @@ def run_training(
                 # < 2**31; steps_done rides in the upper range)
                 watch_key = jax.random.fold_in(
                     base_key, np.uint32(2**31 + watch_events))
-                hists = watch_fn(state.params, inputs, outputs, watch_key)
+                # ONE device->host transfer for all ~2·n_tensors histogram
+                # arrays (per-array np.asarray would be one tunnel round-trip
+                # each — the same multi-fetch trap as the eval metrics)
+                hists = jax.device_get(
+                    watch_fn(state.params, inputs, outputs, watch_key))
                 xlog.log(
-                    {k: xlog.Histogram(np.asarray(c), np.asarray(e))
-                     for k, (c, e) in hists.items()},
+                    {k: xlog.Histogram(c, e) for k, (c, e) in hists.items()},
                     commit=False)
 
             save_now = stop_now or any(
@@ -711,13 +749,28 @@ def run_training(
                     e in epoch_save_all for e in block_epochs)
                 if media_now and media_async and media_worker is None:
                     media_worker = _MediaWorker()
-                for name, ev in evaluators.items():
-                    ev._identifier = f"{name.capitalize()}_Set"
-                    log_eval(ev, bundle, log_media=media_now, epoch=last_ep,
-                             dump=dump_eval,
-                             defer=(media_worker.submit
-                                    if media_now and media_worker is not None
-                                    else None))
+                if eval_metric_fn is not None and not media_now:
+                    # scalar-only epoch: on-device metric families from the
+                    # resident eval sets; ONE small fetch for all sets
+                    from ..eval.metrics import format_families
+
+                    stacks = jax.device_get({
+                        name: eval_metric_fn(state.params, xi, gt)
+                        for name, (xi, gt) in eval_fast.items()})
+                    for name, (acc, mse_v, mse_o) in stacks.items():
+                        ident = f"{name.capitalize()}_Set"
+                        evaluators[name]._identifier = ident
+                        xlog.log({**format_families(ident, acc, mse_v, mse_o),
+                                  "epoch": last_ep}, commit=True)
+                else:
+                    for name, ev in evaluators.items():
+                        ev._identifier = f"{name.capitalize()}_Set"
+                        log_eval(ev, bundle, log_media=media_now,
+                                 epoch=last_ep, dump=dump_eval,
+                                 defer=(media_worker.submit
+                                        if media_now
+                                        and media_worker is not None
+                                        else None))
 
             xlog.log({"epoch": last_ep}, commit=True)
             if stop_now:
