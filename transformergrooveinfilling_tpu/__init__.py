@@ -36,3 +36,21 @@ if _os.environ.get("TGI_PLATFORM"):
         _jax.config.update("jax_platforms", _os.environ["TGI_PLATFORM"])
     except Exception:
         pass  # backend already initialized; keep whatever is active
+
+# persistent XLA compile cache for every entry point (tests set their own in
+# conftest.py): on the tunneled TPU the first-block compiles dominate run
+# startup (~minutes of an 8-minute production run), and they are identical
+# across runs of the same config. Opt out with TGI_COMPILE_CACHE=0 or point
+# TGI_COMPILE_CACHE at a directory.
+_cache = _os.environ.get("TGI_COMPILE_CACHE", "")
+if _cache != "0" and not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    import jax as _jax
+
+    try:
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _cache or _os.path.expanduser("~/.cache/tgi_xla"))
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass  # older jax without these knobs: compile uncached
