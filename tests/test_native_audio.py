@@ -127,3 +127,81 @@ def test_synthesize_hvo_list_bit_matches_per_item(rng, tmp_path):
 def test_synthesize_hvo_list_empty():
     assert synth.synthesize_hvo_list(
         np.zeros((0, 32, 27), np.float32), np.zeros(0), []) == []
+
+
+def test_sf2_truncation_sweep_never_crashes_ungracefully(tmp_path):
+    """Every truncation of a valid .sf2 must either parse or raise a
+    ValueError (SF2Error) — never IndexError/struct.error/ZeroDivisionError
+    (same contract as the SMF parser fuzz suite in test_midi.py)."""
+    from transformergrooveinfilling_tpu.audio.sf2 import (
+        kit_from_sf2, write_minimal_sf2)
+    from transformergrooveinfilling_tpu.hvo.mapping import VOICE_TO_MIDI_NOTE
+
+    sr = 44100
+    kit = default_kit(sr)
+    base = str(tmp_path / "kit.sf2")
+    write_minimal_sf2(
+        base, {key: kit[v][:2000] for v, key in enumerate(VOICE_TO_MIDI_NOTE)},
+        sr=sr)
+    blob = open(base, "rb").read()
+    for frac in (0.01, 0.1, 0.3, 0.5, 0.7, 0.9, 0.97, 0.999):
+        p = str(tmp_path / f"trunc_{frac}.sf2")
+        with open(p, "wb") as f:
+            f.write(blob[: int(len(blob) * frac)])
+        try:
+            kit_from_sf2(p, sr)
+        except ValueError:
+            pass  # SF2Error subclasses ValueError
+
+
+def test_sf2_byte_fuzz_never_crashes_ungracefully(tmp_path):
+    """Random byte corruption: parse or clean ValueError, nothing else."""
+    from transformergrooveinfilling_tpu.audio.sf2 import (
+        kit_from_sf2, write_minimal_sf2)
+    from transformergrooveinfilling_tpu.hvo.mapping import VOICE_TO_MIDI_NOTE
+
+    sr = 44100
+    kit = default_kit(sr)
+    base = str(tmp_path / "kit.sf2")
+    write_minimal_sf2(
+        base, {key: kit[v][:2000] for v, key in enumerate(VOICE_TO_MIDI_NOTE)},
+        sr=sr)
+    blob = bytearray(open(base, "rb").read())
+    rng = np.random.default_rng(11)
+    for trial in range(40):
+        mutated = bytearray(blob)
+        for _ in range(rng.integers(1, 12)):
+            mutated[rng.integers(0, len(mutated))] = rng.integers(0, 256)
+        p = str(tmp_path / f"fuzz_{trial}.sf2")
+        with open(p, "wb") as f:
+            f.write(bytes(mutated))
+        try:
+            kit_from_sf2(p, sr)
+        except ValueError:
+            pass
+
+
+def test_sf2_inconsistent_tables_raise_sf2error(tmp_path, monkeypatch):
+    """Bag/sample indices pointing past their tables (valid RIFF framing,
+    corrupt content) must surface as SF2Error, not IndexError."""
+    import transformergrooveinfilling_tpu.audio.sf2 as sf2mod
+    from transformergrooveinfilling_tpu.hvo.mapping import VOICE_TO_MIDI_NOTE
+
+    sr = 44100
+    kit = default_kit(sr)
+    base = str(tmp_path / "kit.sf2")
+    sf2mod.write_minimal_sf2(
+        base, {key: kit[v][:2000] for v, key in enumerate(VOICE_TO_MIDI_NOTE)},
+        sr=sr)
+    real = sf2mod.parse_sf2(base)
+
+    def corrupt_parse(path):
+        sf = dict(real)
+        # zones still reference sample IDs, but the sample table is gone →
+        # sf["shdr"][sample_id] would IndexError without the hardening
+        sf["shdr"] = []
+        return sf
+
+    monkeypatch.setattr(sf2mod, "parse_sf2", corrupt_parse)
+    with pytest.raises(sf2mod.SF2Error, match="malformed SoundFont"):
+        sf2mod.kit_from_sf2(str(tmp_path / "corrupt.sf2"), sr)
