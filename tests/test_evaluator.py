@@ -444,3 +444,29 @@ def test_sink_log_is_thread_safe(tmp_path, monkeypatch):
     assert len(lines) == 400
     for l in lines:
         _json.loads(l)  # every line is complete valid JSON
+
+
+def test_deferred_media_record_never_steals_pending_scalars(tmp_path,
+                                                            monkeypatch):
+    """A worker-thread media record must NOT sweep the training thread's
+    uncommitted (commit=False) scalars into its own line — they belong to a
+    different epoch's record (the async-media attribution race)."""
+    import json as _json
+
+    from transformergrooveinfilling_tpu.utils import logging as xlog
+
+    monkeypatch.chdir(tmp_path)
+    xlog.init(config={}, project="attr_test")
+    # training thread stages epoch-8 scalars, not yet committed
+    xlog.log({"loss": 0.5, "epoch": 8}, commit=False)
+    # the deferred epoch-7 media pass lands mid-block
+    xlog.log_record({"Test_Set_stats": "media/x.html", "epoch": 7})
+    # training thread commits its block record
+    xlog.log({"epoch": 8}, commit=True)
+    path = os.path.join(xlog.run.dir, "metrics.jsonl")
+    xlog.finish()
+    recs = [_json.loads(l) for l in open(path)]
+    media = [r for r in recs if "Test_Set_stats" in r][0]
+    scalar = [r for r in recs if "loss" in r][0]
+    assert media["epoch"] == 7 and "loss" not in media
+    assert scalar["epoch"] == 8 and scalar["loss"] == 0.5

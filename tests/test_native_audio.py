@@ -205,3 +205,11 @@ def test_sf2_inconsistent_tables_raise_sf2error(tmp_path, monkeypatch):
     monkeypatch.setattr(sf2mod, "parse_sf2", corrupt_parse)
     with pytest.raises(sf2mod.SF2Error, match="malformed SoundFont"):
         sf2mod.kit_from_sf2(str(tmp_path / "corrupt.sf2"), sr)
+
+
+def test_synthesize_hvo_list_scalar_qpm_single_item():
+    hvo = np.zeros((1, 32, 27), np.float32)
+    hvo[0, 0, 0] = 1.0
+    hvo[0, 0, 9] = 0.8
+    waves = synth.synthesize_hvo_list(hvo, 120.0, [None])
+    np.testing.assert_array_equal(waves[0], synth.synthesize_hvo(hvo[0]))

@@ -719,3 +719,20 @@ def test_on_device_eval_metrics_match_log_eval_path(tmp_path, rng):
     for k in host:
         assert np.isclose(fast[k], host[k], rtol=1e-5, atol=1e-7), \
             (k, fast[k], host[k])
+
+
+def test_snapshot_saves_backpressure_releases(tmp_path):
+    """Six back-to-back snapshot saves (more than the 3-slot bound) must all
+    complete — the semaphore releases on every fetch, blocking submits never
+    deadlock, and every epoch's file lands."""
+    import os
+
+    model = build_model(CFG)
+    tx = make_optimizer("sgd", 0.05)
+    state = create_train_state(model, CFG, tx, jax.random.PRNGKey(6))
+    for ep in range(6):
+        snap = ckpt.snapshot_state_on_device(state)
+        ckpt.save_snapshot_async(str(tmp_path), "bp", ep, snap, 0.1, CFG)
+    ckpt.flush_async_saves()
+    files = [f for f in os.listdir(tmp_path) if f.endswith(".ckpt")]
+    assert len(files) == 6

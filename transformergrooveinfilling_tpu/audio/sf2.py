@@ -172,10 +172,14 @@ def kit_from_sf2(path: str, sr: int = 44100) -> tuple:
     Voices whose key has no zone fall back to the procedural kit's sample for
     that voice (so partial drum soundfonts still render every voice).
     """
-    # malformed files must fail as SF2Error (a ValueError), never leak an
-    # IndexError/struct.error/ZeroDivisionError from inconsistent bag/gen/
-    # sample tables — the same never-crash-ungracefully contract as the SMF
-    # parser (data/midi.py, tests/test_midi.py fuzz suite)
+    from .drumkit import default_kit
+
+    fallback = default_kit(sr)  # internal code: its bugs must NOT be
+    # reported as a malformed input file, so it stays outside the guard
+    # below. Malformed .sf2 content must fail as SF2Error (a ValueError),
+    # never leak an IndexError/struct.error/ZeroDivisionError from
+    # inconsistent bag/gen/sample tables — the same never-crash-ungracefully
+    # contract as the SMF parser (data/midi.py, tests/test_midi.py fuzz).
     try:
         sf = parse_sf2(path)
         zone_lists = [
@@ -183,28 +187,27 @@ def kit_from_sf2(path: str, sr: int = 44100) -> tuple:
             for i in _preset_instruments(sf)
             if i < len(sf["inst"])
         ]
-        from .drumkit import default_kit
-
-        fallback = default_kit(sr)
-        table = []
+        rendered = {}
         for voice, key in enumerate(VOICE_TO_MIDI_NOTE):
-            sample = None
             for zones in zone_lists:
                 sample = _render_key(sf, zones, key, sr)
                 if sample is not None:
+                    rendered[voice] = sample
                     break
-            if sample is None:
-                sample = fallback[voice]
-            peak = float(np.max(np.abs(sample)))
-            if peak > 1e-6:
-                sample = 0.9 * sample / peak
-            table.append(np.ascontiguousarray(sample, np.float32))
-        return tuple(table)
     except SF2Error:
         raise
     except (struct.error, IndexError, KeyError, ZeroDivisionError,
             OverflowError, FloatingPointError) as e:
         raise SF2Error(f"malformed SoundFont {path}: {e!r}") from e
+
+    table = []
+    for voice in range(len(VOICE_TO_MIDI_NOTE)):
+        sample = rendered.get(voice, fallback[voice])
+        peak = float(np.max(np.abs(sample)))
+        if peak > 1e-6:
+            sample = 0.9 * sample / peak
+        table.append(np.ascontiguousarray(sample, np.float32))
+    return tuple(table)
 
 
 def write_minimal_sf2(path: str, samples: dict[int, np.ndarray],

@@ -56,7 +56,7 @@ def synthesize_hvo_list(hvos, qpms, sf_paths, sr: int = 44100) -> list:
     if m == 0:
         return []
     qpms = np.asarray(qpms, dtype=np.float64)
-    if qpms.size == 1 and m > 1:
+    if qpms.size == 1:  # scalar qpm broadcasts, 0-d included (m == 1 too)
         qpms = np.full((m,), float(qpms))
     sps = steps_per_second(qpms)
 

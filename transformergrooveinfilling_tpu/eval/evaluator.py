@@ -572,9 +572,10 @@ def _make_media_pass(evaluator: InfillingEvaluator, epoch: int):
     run_id = run.id if run is not None else "local"
 
     def media_pass():
-        # ONE committed record per media pass: atomic under the sink lock, so
-        # a deferred pass can't interleave half a record with the training
-        # thread's scalar logs
+        # ONE self-contained record per media pass (xlog.log_record): written
+        # atomically WITHOUT touching the shared pending dict, so a deferred
+        # pass running mid-block can't sweep the training thread's
+        # uncommitted scalars into the wrong epoch's record
         record: dict = {"epoch": epoch}
         media = {}
         pred_media = pred_ev.get_wandb_logging_media(
@@ -598,7 +599,7 @@ def _make_media_pass(evaluator: InfillingEvaluator, epoch: int):
             record[ident + "_stats"] = xlog.Html(df.to_html())
         except ImportError:
             pass
-        xlog.log(record, commit=True)
+        xlog.log_record(record)
 
     return media_pass
 

@@ -27,6 +27,10 @@ CKPT_PATTERN = "transformer_run_{}_Epoch_{}.ckpt"
 
 _async_pool = None
 _async_pending: list = []
+# bounds device-buffer-holding snapshot saves in flight (save_snapshot_async)
+import threading as _threading
+
+_snapshot_slots = _threading.BoundedSemaphore(3)
 
 
 def fetch_state_to_host(state) -> dict:
@@ -58,6 +62,13 @@ def fetch_state_to_host(state) -> dict:
         rep = NamedSharding(mesh, PartitionSpec())
         tree = jax.jit(lambda t: t, out_shardings=rep)(tree)
     params, opt_state = tree
+    return _payload_from(params, opt_state)
+
+
+def _payload_from(params, opt_state) -> dict:
+    """Device (or host) param/opt trees → the checkpoint payload dict.
+    Single source of truth for the payload format — shared by the sync
+    multi-host fetch and the async snapshot fetch."""
     return {
         "params": serialization.to_state_dict(
             jax.tree.map(lambda a: np.array(a), jax.device_get(params))),
@@ -130,8 +141,9 @@ def save_snapshot_async(ckpt_dir: str, run_id: str, epoch: int, snap,
     :func:`fetch_state_to_host` + :func:`save_payload_async` there.
 
     Each queued snapshot holds its device buffers (~params+opt_state) until
-    its fetch completes; the single worker drains saves in order, so at most
-    a few snapshots are ever resident."""
+    its fetch completes; a semaphore bounds the outstanding snapshots to 3 —
+    submit BLOCKS past that, so a save cadence faster than the fetch can't
+    accumulate unbounded device copies (HBM backpressure, not OOM)."""
     assert jax.process_count() == 1, \
         "save_snapshot_async is single-process; multi-host saves gather on " \
         "the training thread (fetch_state_to_host)"
@@ -142,19 +154,18 @@ def save_snapshot_async(ckpt_dir: str, run_id: str, epoch: int, snap,
         _async_pool = concurrent.futures.ThreadPoolExecutor(
             max_workers=1, thread_name_prefix="ckpt-save")
 
+    _snapshot_slots.acquire()
+
     def fetch_and_write():
-        params, opt_state = snap
-        payload = {
-            "params": serialization.to_state_dict(
-                jax.tree.map(lambda a: np.array(a), jax.device_get(params))),
-            "opt_state": serialization.to_state_dict(
-                jax.tree.map(lambda a: np.array(a),
-                             jax.device_get(opt_state))),
-        }
-        _write_checkpoint(ckpt_dir, run_id, epoch, payload, loss, config)
-        if legacy:
-            export_legacy(ckpt_dir, run_id, epoch, payload["params"],
-                          config, loss)
+        try:
+            params, opt_state = snap
+            payload = _payload_from(params, opt_state)
+            _write_checkpoint(ckpt_dir, run_id, epoch, payload, loss, config)
+            if legacy:
+                export_legacy(ckpt_dir, run_id, epoch, payload["params"],
+                              config, loss)
+        finally:
+            _snapshot_slots.release()
 
     fut = _async_pool.submit(fetch_and_write)
     _async_pending.append(fut)

@@ -48,18 +48,17 @@ def _slab_update(full, slab, start):
 
 def make_eval_metric_fn(model):
     """Jitted ``(params, inputs, gt) → (acc, vel_mse, offset_mse)`` per-voice
-    stacks, the same math as ``eval/metrics.py::_metric_stack`` applied to
-    the model's thresholded predict — the whole evaluation runs on device and
-    only 3×V floats come back. The driver uses it for scalar-only eval
-    epochs against device-RESIDENT eval sets (media epochs run the full
-    ``log_eval``)."""
+    stacks: the model's thresholded predict composed with the SAME metric
+    kernel the host path uses (``eval/metrics.py::_metric_stack_jit`` — one
+    source of truth for the metric math) — the whole evaluation runs on
+    device and only 3×V floats come back. The driver uses it for
+    scalar-only eval epochs against device-RESIDENT eval sets (media epochs
+    run the full ``log_eval``)."""
+    from ..eval.metrics import _metric_stack_jit
+
     def _metric_stack_on_device(params, x, gt):
         h, v, o = model_predict(model, params, x, use_thres=True, thres=0.5)
-        nv = gt.shape[-1] // 3
-        acc = jnp.mean((h == gt[..., :nv]).astype(jnp.float32), axis=(0, 1))
-        mse_v = jnp.mean(jnp.square(v - gt[..., nv:2 * nv]), axis=(0, 1))
-        mse_o = jnp.mean(jnp.square(o - gt[..., 2 * nv:]), axis=(0, 1))
-        return acc, mse_v, mse_o
+        return _metric_stack_jit(jnp.concatenate([h, v, o], axis=-1), gt)
 
     return jax.jit(_metric_stack_on_device)
 
@@ -532,8 +531,10 @@ def run_training(
     if evaluators and jax.process_count() == 1:
         eval_metric_fn = make_eval_metric_fn(bundle.model)
         for _name, _ev in evaluators.items():
+            # inputs are already resident from the held-out loss tensors
+            # above — don't ship the same multi-MB array twice
             eval_fast[_name] = (
-                jax.device_put(np.asarray(_ev.processed_inputs, np.float32)),
+                held_out[_name][0],
                 jax.device_put(np.asarray(_ev._gt_hvos_array, np.float32)),
             )
 

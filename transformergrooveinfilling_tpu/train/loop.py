@@ -63,8 +63,10 @@ def create_train_state(model, config, tx, rng) -> TrainState:
                 state = TrainState(step=jnp.zeros((), jnp.int32),
                                    params=params, opt_state=tx.init(params))
             # explicit target: the arrays above are COMMITTED to the cpu
-            # device, so a bare device_put would leave them there
-            return jax.device_put(state, jax.devices()[0])
+            # device, so a bare device_put would leave them there. Must be a
+            # LOCAL device — jax.devices()[0] is the global list's head,
+            # non-addressable on processes > 0 of a multi-host run
+            return jax.device_put(state, jax.local_devices()[0])
     params = model.init(rng, sample, deterministic=True)["params"]
     return TrainState(step=jnp.zeros((), jnp.int32), params=params,
                       opt_state=tx.init(params))

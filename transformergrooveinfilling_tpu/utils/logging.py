@@ -62,6 +62,18 @@ class Run:
                     f.write(json.dumps(self._pending) + "\n")
                 self._pending = {}
 
+    def log_record(self, data: dict):
+        """Write ``data`` as its OWN committed JSONL record, without touching
+        the shared pending dict. Background threads (the async media worker)
+        must use this: a worker-side ``log(commit=True)`` would sweep the
+        training thread's uncommitted scalars into the worker's record —
+        misattributing one epoch's metrics to another's media line."""
+        persisted = self._persist(data, prefix="")
+        persisted["_timestamp"] = time.time()
+        with self._log_lock:
+            with open(self._metrics_path, "a") as f:
+                f.write(json.dumps(persisted) + "\n")
+
     def _persist(self, data: dict, prefix: str) -> dict:
         """JSON-serializable view of a log dict; media objects (Html/Audio)
         are written under <run.dir>/media/ and replaced by their paths."""
@@ -244,6 +256,17 @@ def log(data: dict, commit: bool = True):
         return _real_wandb.log(_to_real_media(data), commit=commit)
     if run is not None:
         run.log(data, commit=commit)
+
+
+def log_record(data: dict):
+    """One self-contained committed record (see ``Run.log_record``). Online
+    wandb has no pending-isolation concept — deferred logging is disabled
+    there anyway (eval/evaluator.py::log_eval) — so this forwards to a
+    plain committed log."""
+    if _wandb_online():  # routed through the fake-wandb contract tests
+        return _real_wandb.log(_to_real_media(data), commit=True)
+    if run is not None:
+        run.log_record(data)
 
 
 def save(path: str, base_path: str | None = None):
