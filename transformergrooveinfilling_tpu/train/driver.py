@@ -519,22 +519,37 @@ def run_training(
     watch_fn = None
     media_worker: _MediaWorker | None = None
 
-    # scalar-only eval fast path: the eval sets stay RESIDENT on device and
-    # the per-voice metric families compute inside one jitted program —
-    # only 3×9 floats per set cross the link, instead of a 2 MB input
-    # upload + 3.4 MB three-head fetch per evaluator per block (the
-    # round-3 eval-path profile, docs/PERF.md). Media epochs still run the
-    # full log_eval (set_pred + rendering). Single-process only — the
-    # multi-host driver disables in-training evaluators anyway.
-    eval_fast: dict = {}
-    eval_metric_fn = None
+    # per-block eval fast path: the eval sets stay RESIDENT on device, and
+    # ONE jitted program per block computes the held-out losses AND the
+    # per-voice metric families for EVERY evaluator, fetched with one
+    # device_get — instead of ~12 tunnel round-trips per block (5 float()
+    # fetches per set for the loss dict, plus a 2 MB input upload + 3.4 MB
+    # three-head fetch per set; the round-3 eval-path profile,
+    # docs/PERF.md). Media epochs still run the full log_eval
+    # (set_pred + rendering). Single-process only — the multi-host driver
+    # disables in-training evaluators anyway.
+    eval_combo_fn = None
+    eval_data: dict = {}
     if evaluators and jax.process_count() == 1:
-        eval_metric_fn = make_eval_metric_fn(bundle.model)
+        from ..eval.metrics import _metric_stack_jit
+
+        def _eval_combo(params, data):
+            out = {}
+            for _name, (hx, hy, gt) in data.items():
+                lm = eval_loss_fn(params, hx, hy)
+                h, v, o = model_predict(bundle.model, params, hx,
+                                        use_thres=True, thres=0.5)
+                stacks = _metric_stack_jit(
+                    jnp.concatenate([h, v, o], axis=-1), gt)
+                out[_name] = (lm, stacks)
+            return out
+
+        eval_combo_fn = jax.jit(_eval_combo)
         for _name, _ev in evaluators.items():
-            # inputs are already resident from the held-out loss tensors
-            # above — don't ship the same multi-MB array twice
-            eval_fast[_name] = (
-                held_out[_name][0],
+            # inputs/targets are already resident from the held-out loss
+            # tensors above — don't ship the same multi-MB arrays twice
+            eval_data[_name] = (
+                held_out[_name][0], held_out[_name][1],
                 jax.device_put(np.asarray(_ev._gt_hvos_array, np.float32)),
             )
 
@@ -664,9 +679,20 @@ def run_training(
                           f"block {dt:.1f}s)")
                 cadence = new_cadence
 
-            for name, (hx, hy) in held_out.items():
-                hm = eval_loss_fn(state.params, hx, hy)
-                metrics.update({f"{name}_{k}": float(v) for k, v in hm.items()})
+            combo_host = None
+            if eval_combo_fn is not None:
+                # losses + metric families for every set: one program, one
+                # fetch (scalars AND the 3×V stacks used below)
+                combo_host = jax.device_get(
+                    eval_combo_fn(state.params, eval_data))
+                for name, (lm, _stacks) in combo_host.items():
+                    metrics.update(
+                        {f"{name}_{k}": float(v) for k, v in lm.items()})
+            else:
+                for name, (hx, hy) in held_out.items():
+                    hm = eval_loss_fn(state.params, hx, hy)
+                    metrics.update(
+                        {f"{name}_{k}": float(v) for k, v in hm.items()})
 
             # preemption / wall-budget check — agreed across processes (a
             # one-sided stop would leave peers blocked in the next compiled
@@ -750,15 +776,12 @@ def run_training(
                     e in epoch_save_all for e in block_epochs)
                 if media_now and media_async and media_worker is None:
                     media_worker = _MediaWorker()
-                if eval_metric_fn is not None and not media_now:
-                    # scalar-only epoch: on-device metric families from the
-                    # resident eval sets; ONE small fetch for all sets
+                if combo_host is not None and not media_now:
+                    # scalar-only epoch: the metric families were already
+                    # computed and fetched with the held-out losses above
                     from ..eval.metrics import format_families
 
-                    stacks = jax.device_get({
-                        name: eval_metric_fn(state.params, xi, gt)
-                        for name, (xi, gt) in eval_fast.items()})
-                    for name, (acc, mse_v, mse_o) in stacks.items():
+                    for name, (_lm, (acc, mse_v, mse_o)) in combo_host.items():
                         ident = f"{name.capitalize()}_Set"
                         evaluators[name]._identifier = ident
                         xlog.log({**format_families(ident, acc, mse_v, mse_o),
