@@ -727,11 +727,10 @@ def run_training(
                 # < 2**31; steps_done rides in the upper range)
                 watch_key = jax.random.fold_in(
                     base_key, np.uint32(2**31 + watch_events))
-                # ONE device->host transfer for all ~2·n_tensors histogram
-                # arrays (per-array np.asarray would be one tunnel round-trip
-                # each — the same multi-fetch trap as the eval metrics)
-                hists = jax.device_get(
-                    watch_fn(state.params, inputs, outputs, watch_key))
+                # watch_fn stacks all histograms into two arrays on device
+                # and fetches them in two bulk transfers (per-array fetches
+                # were ~100 tunnel round-trips ≈ 5 s per watch event)
+                hists = watch_fn(state.params, inputs, outputs, watch_key)
                 xlog.log(
                     {k: xlog.Histogram(c, e) for k, (c, e) in hists.items()},
                     commit=False)

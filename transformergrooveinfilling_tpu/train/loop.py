@@ -244,15 +244,17 @@ def make_watch_fn(model, hit_loss_penalty: float, batch_size: int,
     optional on-device augmentation, and the min/max bin ranges all run
     inside one compiled program, so the host only receives 64-bin summaries."""
 
-    def flatten(tree, prefix):
-        out = {}
-        for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
-            name = "/".join(
+    def _path_names(tree, prefix):
+        return [
+            prefix + "/" + "/".join(
                 getattr(p, "key", getattr(p, "name", str(getattr(p, "idx", p))))
                 for p in path)
-            out[f"{prefix}/{name}"] = jnp.histogram(
-                leaf.astype(jnp.float32), bins=bins)
-        return out
+            for path, _leaf in jax.tree_util.tree_flatten_with_path(tree)[0]
+        ]
+
+    def flatten(tree):
+        return [jnp.histogram(leaf.astype(jnp.float32), bins=bins)
+                for leaf in jax.tree.leaves(tree)]
 
     # augment only a leading window, not the whole corpus: one batch of
     # histograms needs one batch of augmented items (rounded up to the
@@ -276,9 +278,24 @@ def make_watch_fn(model, hit_loss_penalty: float, batch_size: int,
             return calculate_loss(pred, y, hit_loss_penalty).total_loss
 
         grads = jax.grad(loss_fn)(params)
-        return {**flatten(params, "parameters"), **flatten(grads, "gradients")}
+        # STACKED outputs: one (n_tensors, bins) counts array + one
+        # (n_tensors, bins+1) edges array. Returning ~2·n_tensors separate
+        # arrays costs one device→host transfer EACH under device_get — ~5 s
+        # per watch event on a tunneled link; two stacked transfers are ~ms.
+        pairs = flatten(params) + flatten(grads)
+        counts = jnp.stack([c for c, _e in pairs])
+        edges = jnp.stack([e for _c, e in pairs])
+        return counts, edges
 
-    return watch
+    def watch_named(params, inputs, outputs, key):
+        """``{name: (counts, edges)}`` with wandb.watch's key naming; the
+        device work + the two bulk fetches happen inside."""
+        counts, edges = jax.device_get(watch(params, inputs, outputs, key))
+        names = (_path_names(params, "parameters")
+                 + _path_names(params, "gradients"))  # grads mirror params
+        return {n: (counts[i], edges[i]) for i, n in enumerate(names)}
+
+    return watch_named
 
 
 def make_eval_loss_fn(model, hit_loss_penalty: float,
