@@ -48,6 +48,10 @@ def parse_args(argv=None):
     parser.add_argument("--ckpt_dir", default="checkpoints")
     parser.add_argument("--epoch_block", type=int, default=1,
                         help="epochs fused per device dispatch (scan-of-epochs)")
+    parser.add_argument("--watch_log_freq", type=int, default=1000,
+                        help="gradient/parameter histograms every N steps "
+                             "(the reference's wandb.watch log_freq, "
+                             "train.py:150); 0 disables")
     parser.add_argument("--media_async", type=int, default=1,
                         help="render eval media on a background worker so it "
                              "overlaps the next epoch block (0 = inline)")
@@ -299,6 +303,7 @@ def _run(args, hp_dict, paths):
             augment_per_epoch=False,  # fused mode: fresh render per block
             max_wall_s=args.max_wall_s,
             media_async=bool(args.media_async),
+            watch_log_freq=args.watch_log_freq or None,
         )
     finally:
         if streamer is not None:
