@@ -563,6 +563,42 @@ def run_training(
     cadence_pending = None  # decrease hysteresis (see auto-cadence below)
     blocks_run = 0
 
+    # overlap the aux-program compiles with the first training block: the
+    # combo-eval and watch programs each cost ~25 s of (remote) compile on
+    # the tunneled backend, previously serialized at their first in-loop
+    # call. A daemon thread triggers both with DUMMY zero params (same
+    # shapes → same executables; never touching the real state's soon-to-be
+    # donated buffers; inputs/outputs are not donated). Best-effort: any
+    # failure just means the loop compiles on demand as before.
+    will_watch = bool(
+        watch_log_freq and inputs is not None
+        and (hp.epochs * steps_per_epoch) // watch_log_freq > watch_events)
+    if jax.process_count() == 1 and (eval_combo_fn is not None or will_watch):
+        if will_watch and watch_fn is None:
+            from .loop import make_watch_fn
+
+            watch_fn = make_watch_fn(
+                bundle.model, hp.hit_loss_penalty, hp.batch_size,
+                encoder_only=encoder_only, augment=on_device_augment)
+        _dummy_params = jax.tree.map(jnp.zeros_like, state.params)
+        _warm_watch, _warm_combo = watch_fn, eval_combo_fn
+        _warm_in, _warm_out = inputs, outputs
+
+        def _warm_compiles():
+            try:
+                if _warm_combo is not None:
+                    jax.block_until_ready(
+                        jax.tree.leaves(_warm_combo(_dummy_params,
+                                                    eval_data))[0])
+                if _warm_watch is not None and _warm_in is not None:
+                    _warm_watch(_dummy_params, _warm_in, _warm_out,
+                                jax.random.PRNGKey(0))
+            except Exception:
+                pass
+
+        threading.Thread(target=_warm_compiles, daemon=True,
+                         name="compile-warmer").start()
+
     stopper = _stopper or _GracefulStop()
     run_start = time.time()
     with stopper:
