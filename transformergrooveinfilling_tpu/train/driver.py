@@ -46,21 +46,30 @@ def _slab_update(full, slab, start):
     return jax.lax.dynamic_update_slice_in_dim(full, slab, start, 0)
 
 
-def make_eval_metric_fn(model):
-    """Jitted ``(params, inputs, gt) → (acc, vel_mse, offset_mse)`` per-voice
-    stacks: the model's thresholded predict composed with the SAME metric
-    kernel the host path uses (``eval/metrics.py::_metric_stack_jit`` — one
-    source of truth for the metric math) — the whole evaluation runs on
-    device and only 3×V floats come back. The driver uses it for
-    scalar-only eval epochs against device-RESIDENT eval sets (media epochs
-    run the full ``log_eval``)."""
+def _predict_metric_stacks(model, params, x, gt):
+    """(acc, vel_mse, offset_mse) per-voice stacks from the model's
+    thresholded predict, composed with the SAME metric kernel the host path
+    uses (``eval/metrics.py::_metric_stack_jit``) — ONE source of truth for
+    the predict+metric composition, shared by :func:`make_eval_metric_fn`
+    and the driver's per-block combo-eval program."""
     from ..eval.metrics import _metric_stack_jit
 
-    def _metric_stack_on_device(params, x, gt):
-        h, v, o = model_predict(model, params, x, use_thres=True, thres=0.5)
-        return _metric_stack_jit(jnp.concatenate([h, v, o], axis=-1), gt)
+    h, v, o = model_predict(model, params, x, use_thres=True, thres=0.5)
+    return _metric_stack_jit(jnp.concatenate([h, v, o], axis=-1), gt)
 
-    return jax.jit(_metric_stack_on_device)
+
+def make_eval_metric_fn(model):
+    """Jitted ``(params, inputs, gt) → (acc, vel_mse, offset_mse)`` per-voice
+    stacks — the standalone form of the composition the driver's per-block
+    combo program uses (scalar-only eval epochs; media epochs run the full
+    ``log_eval``)."""
+    return jax.jit(functools.partial(_predict_metric_stacks, model))
+
+
+# canonical order of make_eval_loss_fn's metric dict when packed into the
+# combo-eval program's stacked output (train/loop.py::make_eval_loss_fn)
+_LOSS_KEYS = ("loss", "hit_accuracy", "bce_hits", "mse_velocities",
+              "mse_offsets")
 
 
 class _MediaWorker:
@@ -530,19 +539,25 @@ def run_training(
     # disables in-training evaluators anyway.
     eval_combo_fn = None
     eval_data: dict = {}
+    eval_set_names: list = []
     if evaluators and jax.process_count() == 1:
-        from ..eval.metrics import _metric_stack_jit
+        eval_set_names = list(evaluators)
 
         def _eval_combo(params, data):
-            out = {}
-            for _name, (hx, hy, gt) in data.items():
+            # PACKED outputs — one (n_sets, 5) losses array + one
+            # (n_sets, 3, V) stacks array. Every pytree leaf under
+            # device_get is its own device→host transfer (the watch-
+            # histogram lesson), so the per-block eval fetch is exactly
+            # one transfer (two on scalar-only blocks).
+            losses, stacks = [], []
+            for _name in eval_set_names:
+                hx, hy, gt = data[_name]
                 lm = eval_loss_fn(params, hx, hy)
-                h, v, o = model_predict(bundle.model, params, hx,
-                                        use_thres=True, thres=0.5)
-                stacks = _metric_stack_jit(
-                    jnp.concatenate([h, v, o], axis=-1), gt)
-                out[_name] = (lm, stacks)
-            return out
+                losses.append(jnp.stack(
+                    [lm[k].astype(jnp.float32) for k in _LOSS_KEYS]))
+                stacks.append(jnp.stack(
+                    _predict_metric_stacks(bundle.model, params, hx, gt)))
+            return jnp.stack(losses), jnp.stack(stacks)
 
         eval_combo_fn = jax.jit(_eval_combo)
         for _name, _ev in evaluators.items():
@@ -570,19 +585,37 @@ def run_training(
     # shapes → same executables; never touching the real state's soon-to-be
     # donated buffers; inputs/outputs are not donated). Best-effort: any
     # failure just means the loop compiles on demand as before.
+    def _build_watch_fn():
+        # the ONLY construction site (warm thread + in-loop lazy build):
+        # diverging argument lists would silently turn the pre-warmed
+        # executable into a cache miss
+        from .loop import make_watch_fn
+
+        return make_watch_fn(
+            bundle.model, hp.hit_loss_penalty, hp.batch_size,
+            encoder_only=encoder_only, augment=on_device_augment)
+
+    # warm inputs: the resident arrays, or (host-streaming mode, where the
+    # arrays only exist after the first generation) zeros of the known
+    # shapes — the streamer's array shapes are fixed by construction
+    _warm_in, _warm_out = inputs, outputs
+    if (inputs is None and streamer is not None and on_device_augment is None
+            and getattr(streamer, "n_samples", 0)):
+        _shape = (streamer.n_samples, bundle.config.max_len)
+        _warm_in = jnp.zeros(
+            _shape + (bundle.config.embedding_size_src,), jnp.float32)
+        _warm_out = jnp.zeros(
+            _shape + (bundle.config.embedding_size_tgt,), jnp.float32)
     will_watch = bool(
-        watch_log_freq and inputs is not None
+        watch_log_freq and _warm_in is not None
         and (hp.epochs * steps_per_epoch) // watch_log_freq > watch_events)
+    warm_thread = None
+    warm_errors: list = []
     if jax.process_count() == 1 and (eval_combo_fn is not None or will_watch):
         if will_watch and watch_fn is None:
-            from .loop import make_watch_fn
-
-            watch_fn = make_watch_fn(
-                bundle.model, hp.hit_loss_penalty, hp.batch_size,
-                encoder_only=encoder_only, augment=on_device_augment)
+            watch_fn = _build_watch_fn()
         _dummy_params = jax.tree.map(jnp.zeros_like, state.params)
         _warm_watch, _warm_combo = watch_fn, eval_combo_fn
-        _warm_in, _warm_out = inputs, outputs
 
         def _warm_compiles():
             try:
@@ -593,11 +626,12 @@ def run_training(
                 if _warm_watch is not None and _warm_in is not None:
                     _warm_watch(_dummy_params, _warm_in, _warm_out,
                                 jax.random.PRNGKey(0))
-            except Exception:
-                pass
+            except Exception as e:  # noqa: BLE001 — surfaced at join
+                warm_errors.append(e)
 
-        threading.Thread(target=_warm_compiles, daemon=True,
-                         name="compile-warmer").start()
+        warm_thread = threading.Thread(target=_warm_compiles, daemon=True,
+                                       name="compile-warmer")
+        warm_thread.start()
 
     stopper = _stopper or _GracefulStop()
     run_start = time.time()
@@ -715,15 +749,19 @@ def run_training(
                           f"block {dt:.1f}s)")
                 cadence = new_cadence
 
-            combo_host = None
+            combo_stacks_dev = None
             if eval_combo_fn is not None:
-                # losses + metric families for every set: one program, one
-                # fetch (scalars AND the 3×V stacks used below)
-                combo_host = jax.device_get(
-                    eval_combo_fn(state.params, eval_data))
-                for name, (lm, _stacks) in combo_host.items():
-                    metrics.update(
-                        {f"{name}_{k}": float(v) for k, v in lm.items()})
+                # losses + metric families for every set in one program;
+                # fetch the packed (n_sets, 5) losses now (ONE transfer) and
+                # keep the stacks on device — they're only pulled on
+                # scalar-only blocks below (media blocks recompute them in
+                # log_eval's host path)
+                losses_dev, combo_stacks_dev = eval_combo_fn(
+                    state.params, eval_data)
+                losses_np = jax.device_get(losses_dev)
+                for i, name in enumerate(eval_set_names):
+                    metrics.update({f"{name}_{k}": float(losses_np[i, j])
+                                    for j, k in enumerate(_LOSS_KEYS)})
             else:
                 for name, (hx, hy) in held_out.items():
                     hm = eval_loss_fn(state.params, hx, hy)
@@ -754,11 +792,7 @@ def run_training(
                     and steps_done // watch_log_freq > watch_events):
                 watch_events = steps_done // watch_log_freq
                 if watch_fn is None:
-                    from .loop import make_watch_fn
-
-                    watch_fn = make_watch_fn(
-                        bundle.model, hp.hit_loss_penalty, hp.batch_size,
-                        encoder_only=encoder_only, augment=on_device_augment)
+                    watch_fn = _build_watch_fn()
                 # distinct domain from the epoch keys (epoch indices are
                 # < 2**31; steps_done rides in the upper range)
                 watch_key = jax.random.fold_in(
@@ -811,12 +845,14 @@ def run_training(
                     e in epoch_save_all for e in block_epochs)
                 if media_now and media_async and media_worker is None:
                     media_worker = _MediaWorker()
-                if combo_host is not None and not media_now:
+                if combo_stacks_dev is not None and not media_now:
                     # scalar-only epoch: the metric families were already
-                    # computed and fetched with the held-out losses above
+                    # computed with the held-out losses; ONE packed fetch
                     from ..eval.metrics import format_families
 
-                    for name, (_lm, (acc, mse_v, mse_o)) in combo_host.items():
+                    stacks_np = jax.device_get(combo_stacks_dev)
+                    for i, name in enumerate(eval_set_names):
+                        acc, mse_v, mse_o = stacks_np[i]
                         ident = f"{name.capitalize()}_Set"
                         evaluators[name]._identifier = ident
                         xlog.log({**format_families(ident, acc, mse_v, mse_o),
@@ -841,6 +877,13 @@ def run_training(
     ckpt.flush_async_saves()
     if media_worker is not None:
         media_worker.close()
+    if warm_thread is not None:
+        # don't let a daemon mid-remote-compile outlive the process (PJRT
+        # client teardown races); a systematic warm failure is worth a line
+        warm_thread.join(timeout=120)
+        for e in warm_errors:
+            print(f"compile warm-up failed (loop compiled on demand): {e!r}",
+                  flush=True)
     return bundle
 
 
