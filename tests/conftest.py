@@ -22,8 +22,11 @@ import jax
 
 # The axon sitecustomize force-selects the tunneled TPU backend ("axon,cpu")
 # regardless of JAX_PLATFORMS; on this 1-CPU host every eager op then pays a
-# ~1 s network round-trip. Override before any backend initialization.
-jax.config.update("jax_platforms", "cpu")
+# ~1 s network round-trip. Override before any backend initialization —
+# unless TGI_TEST_TPU=1 explicitly opts into the real chip (the only way to
+# exercise the TPU-only Pallas PRNG paths, e.g. tests/test_fused_ln.py).
+if not os.environ.get("TGI_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 import sys
