@@ -44,6 +44,11 @@ def main(argv=None):
                    help="override the config's remat setting (0/1) — under "
                         "remat the backward replays the forward, so the "
                         "kernel's h_drop-only residual saving is moot")
+    p.add_argument("--toggle", choices=["ffn", "ln"], default="ffn",
+                   help="which fused kernel the on/off arms flip: the Pallas "
+                        "FFN (default) or dropout+add+LN (ops/fused_ln.py — "
+                        "PERF.md's 'flips for much larger d_model' claim, "
+                        "measured here at XL width)")
     args = p.parse_args(argv)
 
     import jax
@@ -99,11 +104,15 @@ def main(argv=None):
         y = jnp.asarray(np.concatenate([h, h * 0.5, h * 0.1], 2), jnp.float32)
 
         for fused in (False, True):
+            # one kernel per run: the toggled arm isolates that kernel's
+            # whole-step effect (the other fused path stays off both arms)
             cfg = GrooveTransformerConfig(
                 d_model=d, n_heads=heads, dim_feedforward=ff, dropout=rate,
                 num_encoder_layers=layers, max_len=32, embedding_size_src=16,
                 embedding_size_tgt=27, compute_dtype=jnp.bfloat16,
-                remat=remat, fused_ffn=fused)
+                remat=remat,
+                fused_ffn=(fused if args.toggle == "ffn" else False),
+                fused_dropout_ln=(fused if args.toggle == "ln" else False))
             model = build_model(cfg)
             tx = make_optimizer("sgd", 0.05)
             state = create_train_state(model, cfg, tx, jax.random.PRNGKey(0))
@@ -122,7 +131,7 @@ def main(argv=None):
             seqs = n * args.epochs_per_call / best
             tf = seqs * flops_per_seq(d, ff, layers) / 1e12
             print(f"{name} d{d}/ff{ff}/{layers}L bs{batch} remat={remat} "
-                  f"fused_ffn={fused}: {seqs:,.0f} seqs/s "
+                  f"fused_{args.toggle}={fused}: {seqs:,.0f} seqs/s "
                   f"(~{tf:.0f} TFLOP/s, loss {loss0:.3f}->{final:.3f})",
                   flush=True)
     return 0
