@@ -270,6 +270,29 @@ def test_get_hvo_sequence_with_filtered_items(tmp_path):
         np.testing.assert_allclose(np.asarray(base.hvo), merged, atol=1e-6)
 
 
+def test_legacy_fallback_warns_once_per_site(tmp_path):
+    """Pickles without hvo_seq_index fall back to the reference's
+    corpus-index lookup (its wrong-sequence bug, dataset.py:352-356) — the
+    fallback must warn so users know get_hvo_sequence may be wrong."""
+    import warnings
+
+    seqs = synthetic_gmd_sequences(4, seed=7)
+    ds = GrooveMidiDatasetInfillingSymbolic(
+        data=seqs, dataset_name="LegacyWarn", split="train",
+        save_dataset_path=str(tmp_path / "ds"),
+        voices_params={"voice_idx": [2], "min_n_voices_to_remove": 1,
+                       "max_n_voices_to_remove": 1, "prob": [1], "k": 5},
+        max_aug_items=2, seed=3)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        ds.get_hvo_sequence(0)  # hvo_seq_index present: silent
+    del ds.hvo_seq_index  # simulate a legacy pickle
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        ds.get_hvo_sequence(0)
+    assert any("hvo_seq_index" in str(w.message) for w in caught)
+
+
 def test_velocity_heatmap_tabs_skip_empty_subsets():
     """Tab labels must track the non-empty subsets (an empty style previously
     shifted every later panel under the wrong label)."""

@@ -315,6 +315,13 @@ class GrooveMidiDatasetInfilling:
         seq_index = getattr(self, "hvo_seq_index", None)
         if seq_index is not None:
             return self.hvo_sequences[seq_index[idx]]
+        import warnings
+
+        warnings.warn(
+            "legacy pickle without hvo_seq_index: indexing hvo_sequences "
+            "with corpus indices (reference dataset.py:352-356 semantics) — "
+            "get_hvo_sequence may return the wrong sequence if any item was "
+            "filtered out during processing", stacklevel=2)
         return self.hvo_sequences[self.hvo_index[idx]]
 
     def get_soundfont(self, idx):

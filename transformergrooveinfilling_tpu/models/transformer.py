@@ -198,8 +198,11 @@ class DropAddLayerNorm(nn.Module):
         d = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (d,))
         bias = self.param("bias", nn.initializers.zeros, (d,))
+        # TPU-only like _ffn_block: interpret-mode Pallas stubs the PRNG, so
+        # off-TPU the fused rate>0 path would silently keep everything
         if (self.use_fused and not deterministic
-                and isinstance(self.rate, (int, float)) and self.rate > 0.0):
+                and isinstance(self.rate, (int, float)) and self.rate > 0.0
+                and jax.default_backend() == "tpu"):
             from ..ops.fused_ln import dropout_add_layernorm
 
             seed = jax.random.randint(

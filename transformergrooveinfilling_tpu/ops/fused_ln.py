@@ -20,13 +20,14 @@ mask distribution matches flax/torch dropout; the RNG stream (hardware PRNG)
 is different — irrelevant for training, and the deterministic path bypasses
 this kernel entirely.
 
-Measured verdict (docs/PERF.md): at the flagship size this kernel is ~8 %
-faster than the XLA composite *standalone*, but ~11 % slower inside the full
-training step — the pallas_call boundary blocks XLA from fusing the LN output
-into the next matmul, and 24 kernel launches/step outweigh the saved mask
-traffic. It therefore ships OFF by default (``config.fused_dropout_ln``) as
-validated infrastructure for larger-d configs, where the mask-traffic term
-grows linearly and the fusion-boundary cost does not.
+Measured verdict (docs/PERF.md, question closed in round 3): slower inside
+the full training step at every shipped and probed width — ~11 % at the
+flagship size (re-measured −14 % after the bf16-matmul change), and still
+−3 % at GrooveXL width (d1024/ff4096, the "mask traffic grows linearly"
+hypothesis this kernel was kept around to test). The LN is an O(d)
+elementwise op XLA already fuses into the adjacent matmul epilogues; the
+pallas_call boundary costs more than the regenerated mask saves. Ships OFF
+(``config.fused_dropout_ln``) as a validated opt-in engineering record.
 """
 
 from __future__ import annotations
