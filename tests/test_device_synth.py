@@ -38,7 +38,7 @@ def test_device_synth_matches_host_mixer():
     qpms = np.full((8,), 120.0)
     L = 40000
     w_host = synthesize_hvo_batch(hvos, qpms, [None] * 8, fixed_length=L)
-    table, base = pack_tables([None], 44100)
+    table, base, _luts, _k = pack_tables([None], 44100)
     w_dev = np.asarray(synthesize_on_device(
         jnp.asarray(hvos), jnp.full((8,), 8.0, jnp.float32), table,
         jnp.zeros(8, jnp.int32), L))
@@ -81,9 +81,9 @@ def test_mso_device_route_matches_host_route():
 
 
 def test_pack_tables_cached_and_aligned():
-    t1, b1 = pack_tables([None], 44100)
-    t2, b2 = pack_tables([None], 44100)
-    assert t1 is t2 and b1 is b2  # cache hit: no rebuild, no re-transfer
+    t1, b1, l1, k1 = pack_tables([None], 44100)
+    t2, b2, l2, k2 = pack_tables([None], 44100)
+    assert t1 is t2 and b1 is b2 and l1 is l2  # cache hit: no rebuild, no re-transfer
     assert t1.shape[1] % 128 == 0  # lane alignment for the Pallas kernel
     assert t1.shape[0] == 9
 

@@ -213,3 +213,200 @@ def test_synthesize_hvo_list_scalar_qpm_single_item():
     hvo[0, 0, 9] = 0.8
     waves = synth.synthesize_hvo_list(hvo, 120.0, [None])
     np.testing.assert_array_equal(waves[0], synth.synthesize_hvo(hvo[0]))
+
+
+# ---- SF2 generator-model fidelity (round 4: velocity layers, attenuation,
+# loops, volume envelope — reference renders through full fluidsynth 2.2.6,
+# /root/reference/environment.yaml; dataset sf_path kwarg dataset.py:94) ----
+
+
+def _tone(freq, dur, sr=44100, amp=0.8):
+    t = np.arange(int(dur * sr)) / sr
+    return (amp * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+
+
+def test_sf2_velocity_split_layers(tmp_path):
+    """gen 44 (velRange): a velocity-split kit must select different samples
+    per velocity — soft hits play the soft layer, hard hits the hard one."""
+    from transformergrooveinfilling_tpu.audio.sf2 import (
+        kit_from_sf2, write_minimal_sf2)
+
+    sr = 44100
+    soft = _tone(200.0, 0.05, sr)
+    hard = _tone(900.0, 0.05, sr)
+    kick_key = VOICE_TO_MIDI_NOTE[0]
+    path = str(tmp_path / "velsplit.sf2")
+    write_minimal_sf2(path, {
+        kick_key: [
+            {"sample": soft, "vel_lo": 0, "vel_hi": 63},
+            {"sample": hard, "vel_lo": 64, "vel_hi": 127},
+        ],
+    }, sr=sr)
+    kit = kit_from_sf2(path, sr)
+    lo = kit.samples[kit.lut[0, 30]]
+    hi = kit.samples[kit.lut[0, 100]]
+    assert kit.lut[0, 30] != kit.lut[0, 100]
+    # layer content: same uniform kit normalization, different tones
+    np.testing.assert_allclose(lo[:2000], 0.9 / 0.8 * soft[:2000], atol=2e-3)
+    np.testing.assert_allclose(hi[:2000], 0.9 / 0.8 * hard[:2000], atol=2e-3)
+    # boundary velocities land on their side of the split
+    assert kit.lut[0, 63] == kit.lut[0, 0]
+    assert kit.lut[0, 64] == kit.lut[0, 127]
+
+
+def test_sf2_velocity_split_drives_synthesis(tmp_path):
+    """End to end through synthesize_hvo: a soft and a hard hit of the same
+    voice must render different layers (not one layer velocity-scaled)."""
+    from transformergrooveinfilling_tpu.audio.sf2 import write_minimal_sf2
+
+    sr = 44100
+    soft = _tone(200.0, 0.05, sr)
+    hard = _tone(900.0, 0.05, sr)
+    kick_key = VOICE_TO_MIDI_NOTE[0]
+    path = str(tmp_path / "velsplit2.sf2")
+    write_minimal_sf2(path, {
+        kick_key: [
+            {"sample": soft, "vel_lo": 0, "vel_hi": 63},
+            {"sample": hard, "vel_lo": 64, "vel_hi": 127},
+        ],
+    }, sr=sr)
+
+    def render(vel):
+        hvo = np.zeros((32, 27), np.float32)
+        hvo[0, 0] = 1.0
+        hvo[0, 9] = vel
+        return synth.synthesize_hvo(hvo, qpm=120, sf_path=path, sr=sr)
+
+    y_soft = render(0.3)   # MIDI 38 → soft layer
+    y_hard = render(1.0)   # MIDI 127 → hard layer
+    n = 2000
+    scale = 0.9 / 0.8
+    np.testing.assert_allclose(y_soft[:n], 0.3 * scale * soft[:n], atol=3e-3)
+    np.testing.assert_allclose(y_hard[:n], scale * hard[:n], atol=3e-3)
+
+
+def test_sf2_initial_attenuation(tmp_path):
+    """gen 48: per-zone attenuation in centibels survives kit-wide
+    normalization (10 cB = 0.5 dB... exactly 10^(-cB/200))."""
+    from transformergrooveinfilling_tpu.audio.sf2 import (
+        kit_from_sf2, write_minimal_sf2)
+
+    sr = 44100
+    tone = _tone(300.0, 0.05, sr)
+    k0, k1 = VOICE_TO_MIDI_NOTE[0], VOICE_TO_MIDI_NOTE[1]
+    path = str(tmp_path / "atten.sf2")
+    write_minimal_sf2(path, {
+        k0: [{"sample": tone}],
+        k1: [{"sample": tone, "atten_cb": 200}],  # -10 dB
+    }, sr=sr)
+    kit = kit_from_sf2(path, sr)
+    p0 = np.max(np.abs(kit[0]))
+    p1 = np.max(np.abs(kit[1]))
+    np.testing.assert_allclose(p1 / p0, 10 ** (-200 / 200.0), rtol=5e-3)
+    np.testing.assert_allclose(p0, 0.9, atol=2e-3)  # kit peak normalized
+
+
+def test_sf2_overlapping_zones_stack(tmp_path):
+    """SF2 zones overlapping in velocity sound simultaneously (fluidsynth
+    behavior): the rendered group sample is their sum."""
+    from transformergrooveinfilling_tpu.audio.sf2 import (
+        kit_from_sf2, write_minimal_sf2)
+
+    sr = 44100
+    a = _tone(200.0, 0.05, sr, amp=0.4)
+    b = _tone(800.0, 0.03, sr, amp=0.4)
+    key = VOICE_TO_MIDI_NOTE[2]
+    path = str(tmp_path / "stack.sf2")
+    write_minimal_sf2(path, {
+        key: [{"sample": a}, {"sample": b}],
+    }, sr=sr)
+    kit = kit_from_sf2(path, sr)
+    got = kit[2]
+    expect = a.copy()
+    expect[: len(b)] += b
+    scale = 0.9 / np.max(np.abs(expect))
+    np.testing.assert_allclose(got[:1000], scale * expect[:1000], atol=4e-3)
+
+
+def test_sf2_loop_sustains(tmp_path):
+    """gen 54 (sampleModes=1): a short looped sample must sustain far past
+    its raw length (loop unrolled to the synthetic note-off + release)."""
+    from transformergrooveinfilling_tpu.audio.sf2 import (
+        _MAX_LOOP_SECONDS, kit_from_sf2, write_minimal_sf2)
+
+    sr = 44100
+    raw = _tone(441.0, 0.02, sr)  # 20 ms raw sample
+    key = VOICE_TO_MIDI_NOTE[8]   # ride
+    path = str(tmp_path / "loop.sf2")
+    write_minimal_sf2(path, {
+        key: [{"sample": raw,
+               "loop": (100, len(raw) - 100),
+               "release_tc": 0}],  # 1 s release time
+    }, sr=sr)
+    kit = kit_from_sf2(path, sr)
+    s = kit[8]
+    # sustains to the synthetic note-off (2 s), far beyond the 20 ms raw
+    assert len(s) > _MAX_LOOP_SECONDS * sr
+    assert np.max(np.abs(s[int(1.5 * sr): int(1.6 * sr)])) > 0.5
+    # the release ramp decays after note-off: quieter at +0.5 s, silent later
+    post = np.max(np.abs(s[int(2.4 * sr): int(2.5 * sr)])) if len(s) > int(
+        2.5 * sr) else 0.0
+    assert post < 0.5
+    # non-looped control: same sample without loop stays raw-length
+    path2 = str(tmp_path / "noloop.sf2")
+    write_minimal_sf2(path2, {key: [{"sample": raw}]}, sr=sr)
+    kit2 = kit_from_sf2(path2, sr)
+    assert len(kit2[8]) <= len(raw) + 2
+
+
+def test_sf2_volume_envelope_decay(tmp_path):
+    """gens 36/37: decay to the sustain level at 1000 cB per decay-time."""
+    from transformergrooveinfilling_tpu.audio.sf2 import (
+        kit_from_sf2, write_minimal_sf2)
+
+    sr = 44100
+    const = np.full(int(0.5 * sr), 0.8, np.float32)  # DC so the env is legible
+    key = VOICE_TO_MIDI_NOTE[0]
+    path = str(tmp_path / "env.sf2")
+    # decay_tc 0 → 1 s per 1000 cB; sustain 200 cB (-10 dB) reached at 0.2 s
+    write_minimal_sf2(path, {
+        key: [{"sample": const, "decay_tc": 0, "sustain_cb": 200}],
+    }, sr=sr)
+    kit = kit_from_sf2(path, sr)
+    s = kit[0]
+    peak = s[10]  # before any decay
+    sustain = s[int(0.3 * sr)]
+    np.testing.assert_allclose(sustain / peak, 10 ** (-200 / 200.0), rtol=2e-2)
+    # halfway through the decay: -5 dB
+    mid = s[int(0.1 * sr)]
+    np.testing.assert_allclose(mid / peak, 10 ** (-100 / 200.0), rtol=2e-2)
+
+
+def test_sf2_layered_kit_device_route_matches_host(tmp_path):
+    """The on-device synth (velocity-LUT row selection) must agree with the
+    host mixer on a velocity-split kit."""
+    from transformergrooveinfilling_tpu.ops.mso import mso_batch_from_hvo
+    from transformergrooveinfilling_tpu.audio.sf2 import write_minimal_sf2
+
+    sr = 44100
+    soft = _tone(200.0, 0.05, sr)
+    hard = _tone(900.0, 0.05, sr)
+    kick_key = VOICE_TO_MIDI_NOTE[0]
+    path = str(tmp_path / "dev.sf2")
+    write_minimal_sf2(path, {
+        kick_key: [
+            {"sample": soft, "vel_lo": 0, "vel_hi": 63},
+            {"sample": hard, "vel_lo": 64, "vel_hi": 127},
+        ],
+    }, sr=sr)
+    rng = np.random.default_rng(3)
+    m = 4
+    h = (rng.random((m, 32, 9)) < 0.3).astype(np.float32)
+    hvo = np.concatenate(
+        [h, h * rng.random((m, 32, 9)), np.zeros((m, 32, 9))],
+        axis=2).astype(np.float32)
+    qpms = np.full((m,), 120.0)
+    host = mso_batch_from_hvo(hvo, [path] * m, qpms, device_synth=False)
+    dev = mso_batch_from_hvo(hvo, [path] * m, qpms, device_synth=True)
+    scale = np.max(np.abs(host)) + 1e-9
+    np.testing.assert_allclose(host, dev, atol=2e-5 * scale, rtol=1e-3)

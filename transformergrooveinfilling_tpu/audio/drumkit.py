@@ -16,6 +16,42 @@ import numpy as np
 from ..hvo.mapping import N_VOICES
 
 
+class DrumKit(tuple):
+    """Velocity-layered sample table.
+
+    Behaves as the legacy per-voice tuple (``kit[v]`` = the voice's
+    velocity-127 render) so single-layer consumers keep working, and carries
+    the full SF2 zone structure for velocity-aware synthesis:
+
+    - ``samples``: flat list of rendered zone-group samples (one entry per
+      distinct set of simultaneously-sounding zones — SF2 zones that overlap
+      in velocity *stack*, so a group's sample is the sum of its zones).
+    - ``lut``: ``(n_voices, 128)`` int32 — MIDI velocity → index into
+      ``samples`` for each voice.
+
+    Built by :func:`..sf2.kit_from_sf2`; plain tuples (the procedural kit)
+    are adapted on the fly by :func:`kit_layers`.
+    """
+
+    def __new__(cls, per_voice, samples, lut):
+        self = super().__new__(cls, per_voice)
+        self.samples = list(samples)
+        self.lut = np.asarray(lut, np.int32)
+        return self
+
+
+def kit_layers(table):
+    """``(flat_samples, lut)`` view of any kit.
+
+    ``table`` is either a :class:`DrumKit` or a plain per-voice sequence;
+    the latter maps every velocity to the voice's single sample."""
+    if isinstance(table, DrumKit):
+        return table.samples, table.lut
+    samples = list(table)
+    lut = np.repeat(np.arange(len(samples), dtype=np.int32)[:, None], 128, 1)
+    return samples, lut
+
+
 def _env(n: int, sr: int, decay_s: float, attack_s: float = 0.002) -> np.ndarray:
     t = np.arange(n) / sr
     env = np.exp(-t / decay_s)

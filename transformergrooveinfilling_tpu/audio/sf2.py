@@ -8,24 +8,64 @@ HVO voices' representative General-MIDI percussion keys, the sample a
 percussion preset maps to — sample pool extraction, root-key pitch shift, and
 sample-rate conversion through the native linear resampler.
 
-Scope: one-shot percussion playback (no modulators/filter envelopes/loops) —
-the part of the SF2 feature set the drum-rendering pipeline exercises.
+Generator model (SF2 spec 2.01 §8.1), per instrument zone:
+
+- keyRange (43) / velRange (44): zone selection. Zones overlapping in
+  velocity *stack* (all matching zones sound simultaneously, as in
+  fluidsynth); velocity-split kits select different layers per velocity.
+- overridingRootKey (58) / sample pitch correction: pitch shift through the
+  native linear resampler.
+- initialAttenuation (48): per-zone gain ``10^(-cB/200)``; kit
+  normalization is uniform across all zones so inter-zone level
+  relationships survive (per-sample re-normalization would erase them).
+- sampleModes (54): looped samples (modes 1/3) unroll their loop to a
+  bounded one-shot render — a synthetic note-off at ``_MAX_LOOP_SECONDS``
+  followed by the volume envelope's release ramp (one-shot drum rendering
+  has no MIDI note-off to honor).
+- volume envelope (33-38): delay/attack/hold/decay/sustain/release.
+  Generator *defaults* (-12000 timecents ≈ 1 ms) are treated as
+  instantaneous so unspecified envelopes are exactly identity.
+- a first zone without a sampleID is the instrument's global zone (spec
+  §7.7) and seeds the other zones' generator defaults.
+
+Out of scope (documented deviations from full fluidsynth): modulators,
+filter (initialFilterFc) and modulation envelopes/LFOs, preset-level
+relative generators, stereo sample links (channels render mono), and the
+concave velocity→attenuation default modulator (velocity scales amplitude
+linearly, matching the rest of this synth).
 """
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 import struct
 
 import numpy as np
 
 from ..hvo.mapping import VOICE_TO_MIDI_NOTE
+from .drumkit import DrumKit
 
 # SF2 generator opcodes used
 _GEN_INSTRUMENT = 41
 _GEN_KEY_RANGE = 43
+_GEN_VEL_RANGE = 44
+_GEN_INITIAL_ATTENUATION = 48
 _GEN_OVERRIDING_ROOT_KEY = 58
 _GEN_SAMPLE_ID = 53
+_GEN_SAMPLE_MODES = 54
+_GEN_DELAY_VOL_ENV = 33
+_GEN_ATTACK_VOL_ENV = 34
+_GEN_HOLD_VOL_ENV = 35
+_GEN_DECAY_VOL_ENV = 36
+_GEN_SUSTAIN_VOL_ENV = 37
+_GEN_RELEASE_VOL_ENV = 38
+
+# synthetic note-off for looped samples (no MIDI note-off in one-shot
+# rendering); the release ramp then bounds the render
+_MAX_LOOP_SECONDS = 2.0
+# render cutoff: treat the envelope as silent below -96 dB
+_CUTOFF_CB = 960.0
 
 
 class SF2Error(ValueError):
@@ -114,63 +154,232 @@ def _preset_instruments(sf: dict, bank_preference=(128, 0)):
     raise SF2Error("no percussion (bank 128) or default preset found")
 
 
-def _zones_for_instrument(sf: dict, inst_idx: int):
-    """[(key_lo, key_hi, root_key_override, sample_id)] for an instrument."""
+@dataclasses.dataclass
+class _Zone:
+    key_lo: int = 0
+    key_hi: int = 127
+    vel_lo: int = 0
+    vel_hi: int = 127
+    root: int | None = None
+    sample_id: int | None = None
+    atten_cb: int = 0
+    sample_modes: int = 0
+    # volume envelope, raw generator units (timecents; sustain in cB)
+    delay_tc: int = -12000
+    attack_tc: int = -12000
+    hold_tc: int = -12000
+    decay_tc: int = -12000
+    sustain_cb: int = 0
+    release_tc: int = -12000
+
+
+_ENV_GEN_FIELDS = {
+    _GEN_DELAY_VOL_ENV: "delay_tc",
+    _GEN_ATTACK_VOL_ENV: "attack_tc",
+    _GEN_HOLD_VOL_ENV: "hold_tc",
+    _GEN_DECAY_VOL_ENV: "decay_tc",
+    _GEN_SUSTAIN_VOL_ENV: "sustain_cb",
+    _GEN_RELEASE_VOL_ENV: "release_tc",
+}
+
+
+def _apply_gen(zone: _Zone, oper: int, amount: int) -> None:
+    if oper == _GEN_KEY_RANGE:
+        raw = amount & 0xFFFF
+        zone.key_lo, zone.key_hi = raw & 0xFF, (raw >> 8) & 0xFF
+    elif oper == _GEN_VEL_RANGE:
+        raw = amount & 0xFFFF
+        zone.vel_lo, zone.vel_hi = raw & 0xFF, (raw >> 8) & 0xFF
+    elif oper == _GEN_OVERRIDING_ROOT_KEY:
+        zone.root = amount
+    elif oper == _GEN_INITIAL_ATTENUATION:
+        zone.atten_cb = amount
+    elif oper == _GEN_SAMPLE_MODES:
+        zone.sample_modes = amount & 0xFFFF
+    elif oper in _ENV_GEN_FIELDS:
+        setattr(zone, _ENV_GEN_FIELDS[oper], amount)
+    elif oper == _GEN_SAMPLE_ID:
+        zone.sample_id = amount & 0xFFFF  # unsigned word (ID, not value)
+
+
+def _zones_for_instrument(sf: dict, inst_idx: int) -> list[_Zone]:
+    """All zones of an instrument, with a leading global zone (first zone
+    without a sampleID, spec §7.7) applied as the others' defaults."""
     bag_start = sf["inst"][inst_idx][1]
     bag_end = (sf["inst"][inst_idx + 1][1] if inst_idx + 1 < len(sf["inst"])
                else len(sf["ibag"]))
-    zones = []
+    zones: list[_Zone] = []
+    global_zone: _Zone | None = None
     for bag in range(bag_start, bag_end):
         gen_start = sf["ibag"][bag][0]
         gen_end = (sf["ibag"][bag + 1][0] if bag + 1 < len(sf["ibag"])
                    else len(sf["igen"]))
-        key_lo, key_hi, root, sample_id = 0, 127, None, None
+        zone = (dataclasses.replace(global_zone) if global_zone is not None
+                else _Zone())
         for oper, amount in sf["igen"][gen_start:gen_end]:
-            if oper == _GEN_KEY_RANGE:
-                raw = amount & 0xFFFF
-                key_lo, key_hi = raw & 0xFF, (raw >> 8) & 0xFF
-            elif oper == _GEN_OVERRIDING_ROOT_KEY:
-                root = amount
-            elif oper == _GEN_SAMPLE_ID:
-                sample_id = amount & 0xFFFF  # unsigned word (ID, not value)
-        if sample_id is not None:
-            zones.append((key_lo, key_hi, root, sample_id))
+            _apply_gen(zone, oper, amount)
+        if zone.sample_id is not None:
+            zones.append(zone)
+        elif bag == bag_start:
+            global_zone = zone
     return zones
 
 
-def _render_key(sf: dict, zones, key: int, sr: int) -> np.ndarray | None:
-    for key_lo, key_hi, root, sample_id in zones:
-        if not (key_lo <= key <= key_hi):
-            continue
-        (name, start, end, loop_s, loop_e, rate, orig_pitch, pitch_corr,
-         _link, _stype) = sf["shdr"][sample_id]
-        raw = sf["smpl"][start:end].astype(np.float32) / 32768.0
-        if len(raw) < 2:
-            continue
-        root_key = root if root is not None else (
-            orig_pitch if orig_pitch <= 127 else 60)
-        semitones = key - root_key + pitch_corr / 100.0
-        ratio = (rate / sr) * (2.0 ** (semitones / 12.0))
-        from .native_binding import resample_linear
+def _timecents_to_seconds(tc: int) -> float:
+    """Envelope time. The generator default (-12000 tc ≈ 1 ms) is treated as
+    instantaneous so unspecified envelopes stay exactly identity; explicit
+    values use the spec formula 2^(tc/1200), capped at 20 s."""
+    if tc <= -12000:
+        return 0.0
+    return min(2.0 ** (tc / 1200.0), 20.0)
 
-        try:
-            out = resample_linear(raw, ratio)
-        except Exception:  # no compiler: numpy fallback
-            n = max(int((len(raw) - 1) / ratio), 0)
-            pos = np.arange(n) * ratio
-            i0 = pos.astype(np.int64)
-            frac = (pos - i0).astype(np.float32)
-            out = raw[i0] * (1 - frac) + raw[i0 + 1] * frac
-        return out
+
+def _envelope(zone: _Zone, n: int, sr: int,
+              note_off_s: float | None) -> np.ndarray | None:
+    """One-shot volume envelope over ``n`` samples; None means identity."""
+    delay = _timecents_to_seconds(zone.delay_tc)
+    attack = _timecents_to_seconds(zone.attack_tc)
+    hold = _timecents_to_seconds(zone.hold_tc)
+    decay = _timecents_to_seconds(zone.decay_tc)
+    sustain_cb = float(np.clip(zone.sustain_cb, 0, 1440))
+    release = _timecents_to_seconds(zone.release_tc)
+    if (delay == attack == hold == 0.0 and sustain_cb == 0.0
+            and note_off_s is None):
+        # sustain at 0 cB makes the decay phase a no-op whatever its time
+        return None  # identity: nothing to apply
+    t = np.arange(n, dtype=np.float64) / sr
+    # amplitude ramp through delay/attack (linear amplitude, as fluidsynth)
+    if attack > 0:
+        amp = np.clip((t - delay) / attack, 0.0, 1.0)
+    else:
+        amp = (t >= delay).astype(np.float64)
+    # decay at 1000 cB per decay-time down to the sustain level
+    cb = np.zeros(n, np.float64)
+    t_dec = t - (delay + attack + hold)
+    if decay > 0:
+        cb = np.clip(t_dec * (1000.0 / decay), 0.0, sustain_cb)
+    else:
+        cb = np.where(t_dec >= 0, sustain_cb, 0.0)
+    # synthetic note-off → release ramp at 1000 cB per release-time
+    if note_off_s is not None:
+        t_rel = t - note_off_s
+        rate = (1000.0 / release) if release > 0 else np.inf
+        cb = cb + np.where(t_rel > 0, t_rel * rate, 0.0)
+    cb = np.minimum(cb, _CUTOFF_CB + 10.0)
+    env = amp * 10.0 ** (-cb / 200.0)
+    env[cb >= _CUTOFF_CB] = 0.0
+    return env.astype(np.float32)
+
+
+def _resample(raw: np.ndarray, ratio: float) -> np.ndarray:
+    from .native_binding import resample_linear
+
+    try:
+        return resample_linear(raw, ratio)
+    except Exception:  # no compiler: numpy fallback
+        n = max(int((len(raw) - 1) / ratio), 0)
+        pos = np.arange(n) * ratio
+        i0 = pos.astype(np.int64)
+        frac = (pos - i0).astype(np.float32)
+        return raw[i0] * (1 - frac) + raw[i0 + 1] * frac
+
+
+def _render_zone(sf: dict, zone: _Zone, key: int, sr: int) -> np.ndarray | None:
+    """Render one zone at ``key``: pitch-shift + loop unroll + attenuation +
+    volume envelope → a bounded one-shot sample."""
+    (name, start, end, loop_s, loop_e, rate, orig_pitch, pitch_corr,
+     _link, _stype) = sf["shdr"][zone.sample_id]
+    raw = sf["smpl"][start:end].astype(np.float32) / 32768.0
+    if len(raw) < 2:
+        return None
+    root_key = zone.root if zone.root is not None else (
+        orig_pitch if orig_pitch <= 127 else 60)
+    semitones = key - root_key + pitch_corr / 100.0
+    ratio = (rate / sr) * (2.0 ** (semitones / 12.0))
+
+    ls, le = loop_s - start, loop_e - start
+    looped = (zone.sample_modes & 1) and 0 <= ls < le <= len(raw) and le - ls >= 2
+    note_off_s = None
+    if looped:
+        # unroll the loop (input domain) out to note-off + release, then cut
+        note_off_s = _MAX_LOOP_SECONDS
+        release_s = min(
+            _timecents_to_seconds(zone.release_tc) * (_CUTOFF_CB / 1000.0),
+            4.0)
+        total_s = note_off_s + release_s
+        need = int(total_s * sr * ratio) + 2
+        if need > len(raw):
+            reps = -(-(need - le) // (le - ls))
+            raw = np.concatenate([raw[:le]] + [raw[ls:le]] * reps)[:need]
+        else:
+            raw = raw[:need]
+
+    out = _resample(raw, ratio)
+    if out.size == 0:
+        return None
+    env = _envelope(zone, len(out), sr, note_off_s)
+    if env is not None:
+        out = out * env
+        nz = np.flatnonzero(np.abs(out) > 1e-6)
+        out = out[: int(nz[-1]) + 1] if nz.size else out[:1]
+    atten_cb = float(np.clip(zone.atten_cb, 0, 1440))
+    if atten_cb > 0:
+        out = out * np.float32(10.0 ** (-atten_cb / 200.0))
+    return out
+
+
+def _layers_for_key(sf: dict, zone_lists, key: int, sr: int):
+    """Velocity layers for ``key``: ``(samples, lut128)`` or None.
+
+    The first instrument with a key-matching zone wins (multi-instrument
+    presets keep their reference ordering); within it, *all* matching zones
+    participate — zones overlapping in velocity stack (their renders sum),
+    velocity splits select different layers. ``lut128[v]`` indexes
+    ``samples`` (-1 = no zone covers that velocity → silence)."""
+    for zones in zone_lists:
+        matching = [z for z in zones if z.key_lo <= key <= z.key_hi]
+        if not matching:
+            continue
+        renders: dict[int, np.ndarray | None] = {}
+
+        def render(i):
+            if i not in renders:
+                renders[i] = _render_zone(sf, matching[i], key, sr)
+            return renders[i]
+
+        groups: dict[tuple, int] = {}
+        samples: list[np.ndarray] = []
+        lut = np.full(128, -1, np.int32)
+        for vel in range(128):
+            sel = tuple(i for i, z in enumerate(matching)
+                        if z.vel_lo <= vel <= z.vel_hi
+                        and render(i) is not None)
+            if not sel:
+                continue
+            if sel not in groups:
+                parts = [renders[i] for i in sel]
+                n = max(len(p) for p in parts)
+                acc = np.zeros(n, np.float32)
+                for p in parts:
+                    acc[: len(p)] += p
+                groups[sel] = len(samples)
+                samples.append(acc)
+            lut[vel] = groups[sel]
+        if samples:
+            return samples, lut
     return None
 
 
 @functools.lru_cache(maxsize=16)
-def kit_from_sf2(path: str, sr: int = 44100) -> tuple:
-    """Sample table in HVO voice order from a .sf2's percussion preset.
+def kit_from_sf2(path: str, sr: int = 44100) -> DrumKit:
+    """Velocity-layered sample table in HVO voice order from a .sf2's
+    percussion preset (:class:`..drumkit.DrumKit`).
 
     Voices whose key has no zone fall back to the procedural kit's sample for
     that voice (so partial drum soundfonts still render every voice).
+    Normalization is *kit-wide* (one factor scales every rendered zone to a
+    0.9 max peak) so initialAttenuation and velocity-layer level
+    relationships survive — per-sample normalization would erase them.
     """
     from .drumkit import default_kit
 
@@ -180,6 +389,7 @@ def kit_from_sf2(path: str, sr: int = 44100) -> tuple:
     # never leak an IndexError/struct.error/ZeroDivisionError from
     # inconsistent bag/gen/sample tables — the same never-crash-ungracefully
     # contract as the SMF parser (data/midi.py, tests/test_midi.py fuzz).
+    n_voices = len(VOICE_TO_MIDI_NOTE)
     try:
         sf = parse_sf2(path)
         zone_lists = [
@@ -187,43 +397,91 @@ def kit_from_sf2(path: str, sr: int = 44100) -> tuple:
             for i in _preset_instruments(sf)
             if i < len(sf["inst"])
         ]
-        rendered = {}
+        per_voice_layers = {}
         for voice, key in enumerate(VOICE_TO_MIDI_NOTE):
-            for zones in zone_lists:
-                sample = _render_key(sf, zones, key, sr)
-                if sample is not None:
-                    rendered[voice] = sample
-                    break
+            layers = _layers_for_key(sf, zone_lists, key, sr)
+            if layers is not None:
+                per_voice_layers[voice] = layers
     except SF2Error:
         raise
     except (struct.error, IndexError, KeyError, ZeroDivisionError,
             OverflowError, FloatingPointError) as e:
         raise SF2Error(f"malformed SoundFont {path}: {e!r}") from e
 
-    table = []
-    for voice in range(len(VOICE_TO_MIDI_NOTE)):
-        sample = rendered.get(voice, fallback[voice])
-        peak = float(np.max(np.abs(sample)))
-        if peak > 1e-6:
-            sample = 0.9 * sample / peak
-        table.append(np.ascontiguousarray(sample, np.float32))
-    return tuple(table)
+    # kit-wide normalization over the .sf2-rendered zones
+    peaks = [float(np.max(np.abs(s)))
+             for _, (samples, _) in per_voice_layers.items() for s in samples]
+    kit_peak = max((p for p in peaks if p > 1e-6), default=0.0)
+    scale = 0.9 / kit_peak if kit_peak > 1e-6 else 1.0
+
+    flat: list[np.ndarray] = []
+    silence = None
+    lut = np.zeros((n_voices, 128), np.int32)
+    per_voice = []
+    for voice in range(n_voices):
+        if voice in per_voice_layers:
+            samples, lut128 = per_voice_layers[voice]
+            base = len(flat)
+            flat.extend(np.ascontiguousarray(scale * s, np.float32)
+                        for s in samples)
+            # velocities no zone covers render silence (fluidsynth behavior)
+            if (lut128 < 0).any():
+                if silence is None:
+                    silence = len(flat)
+                    flat.append(np.zeros(1, np.float32))
+                lut[voice] = np.where(lut128 >= 0, base + lut128, silence)
+            else:
+                lut[voice] = base + lut128
+        else:
+            idx = len(flat)
+            flat.append(np.ascontiguousarray(fallback[voice], np.float32))
+            lut[voice] = idx
+        per_voice.append(flat[lut[voice, 127]])
+    return DrumKit(per_voice, flat, lut)
 
 
-def write_minimal_sf2(path: str, samples: dict[int, np.ndarray],
+def write_minimal_sf2(path: str, samples: dict,
                       sr: int = 44100, name: str = "TGI Kit"):
-    """Write a minimal valid percussion SoundFont (one instrument, one zone per
-    key) — used for test fixtures and to export the procedural kit as .sf2."""
+    """Write a minimal valid percussion SoundFont (one instrument) — used for
+    test fixtures and to export the procedural kit as .sf2.
+
+    ``samples`` maps MIDI key → either a waveform array (one full-velocity
+    zone rooted at the key, legacy form) or a list of zone dicts for
+    generator-model fixtures::
+
+        {"sample": arr,                 # required
+         "vel_lo": 0, "vel_hi": 127,    # velRange (gen 44)
+         "atten_cb": 0,                 # initialAttenuation (gen 48)
+         "loop": (start, end) | None,   # sample loop + sampleModes=1 (gen 54)
+         "root": key,                   # overridingRootKey (gen 58)
+         "delay_tc"/"attack_tc"/"hold_tc"/"decay_tc"/
+         "sustain_cb"/"release_tc": ...}   # volume envelope (gens 33-38)
+    """
     keys = sorted(samples)
+    zone_specs: list[tuple[int, dict]] = []  # (key, zone dict)
+    for key in keys:
+        val = samples[key]
+        if isinstance(val, (list, tuple)):
+            for z in val:
+                zone_specs.append((key, dict(z)))
+        else:
+            zone_specs.append((key, {"sample": val}))
+
     pool = []
     shdr_entries = []
     pos = 0
-    for key in keys:
-        pcm = np.clip(np.asarray(samples[key], np.float32), -1, 1)
+    for key, z in zone_specs:
+        pcm = np.clip(np.asarray(z["sample"], np.float32), -1, 1)
         pcm16 = (pcm * 32767).astype("<i2")
         pool.append(pcm16)
         pool.append(np.zeros(46, "<i2"))  # spec: 46 zero points after sample
-        shdr_entries.append((pos, pos + len(pcm16), sr, key))
+        loop = z.get("loop")
+        if loop is not None:
+            loop_abs = (pos + int(loop[0]), pos + int(loop[1]))
+        else:
+            loop_abs = (pos, max(pos + len(pcm16) - 1, pos))
+        shdr_entries.append(
+            (pos, pos + len(pcm16), loop_abs, sr, z.get("root", key)))
         pos += len(pcm16) + 46
     smpl = np.concatenate(pool) if pool else np.zeros(0, "<i2")
 
@@ -249,20 +507,45 @@ def write_minimal_sf2(path: str, samples: dict[int, np.ndarray],
     pgen = struct.pack("<Hh", _GEN_INSTRUMENT, 0)
     pmod = b"\0" * 10
     inst = (struct.pack("<20sH", zstr("Drums", 20), 0)
-            + struct.pack("<20sH", zstr("EOI", 20), len(keys)))
-    ibag = b"".join(struct.pack("<HH", 3 * i, 0) for i in range(len(keys)))
-    ibag += struct.pack("<HH", 3 * len(keys), 0)
+            + struct.pack("<20sH", zstr("EOI", 20), len(zone_specs)))
+    ibag = b""
     igen = b""
-    for i, key in enumerate(keys):
-        igen += struct.pack("<HH", _GEN_KEY_RANGE, key | (key << 8))
-        igen += struct.pack("<Hh", _GEN_OVERRIDING_ROOT_KEY, key)
-        igen += struct.pack("<Hh", _GEN_SAMPLE_ID, i)
+    n_gens = 0
+    for i, (key, z) in enumerate(zone_specs):
+        ibag += struct.pack("<HH", n_gens, 0)
+        # generator order per spec: keyRange first, velRange second,
+        # sampleID last
+        gens: list[bytes] = [
+            struct.pack("<HH", _GEN_KEY_RANGE, key | (key << 8))]
+        vel_lo, vel_hi = z.get("vel_lo", 0), z.get("vel_hi", 127)
+        if (vel_lo, vel_hi) != (0, 127):
+            gens.append(struct.pack("<HH", _GEN_VEL_RANGE,
+                                    vel_lo | (vel_hi << 8)))
+        for field, oper in (("delay_tc", _GEN_DELAY_VOL_ENV),
+                            ("attack_tc", _GEN_ATTACK_VOL_ENV),
+                            ("hold_tc", _GEN_HOLD_VOL_ENV),
+                            ("decay_tc", _GEN_DECAY_VOL_ENV),
+                            ("sustain_cb", _GEN_SUSTAIN_VOL_ENV),
+                            ("release_tc", _GEN_RELEASE_VOL_ENV)):
+            if field in z:
+                gens.append(struct.pack("<Hh", oper, int(z[field])))
+        if z.get("atten_cb"):
+            gens.append(struct.pack("<Hh", _GEN_INITIAL_ATTENUATION,
+                                    int(z["atten_cb"])))
+        if z.get("loop") is not None:
+            gens.append(struct.pack("<Hh", _GEN_SAMPLE_MODES, 1))
+        gens.append(struct.pack("<Hh", _GEN_OVERRIDING_ROOT_KEY,
+                                int(z.get("root", key))))
+        gens.append(struct.pack("<Hh", _GEN_SAMPLE_ID, i))
+        igen += b"".join(gens)
+        n_gens += len(gens)
+    ibag += struct.pack("<HH", n_gens, 0)
     imod = b"\0" * 10
     shdr = b""
-    for i, (start, end, rate, key) in enumerate(shdr_entries):
-        shdr += struct.pack("<20sIIIIIBbHH", zstr(f"smp{keys[i]}", 20),
-                            start, end, start, max(end - 1, start), rate,
-                            key, 0, 0, 1)
+    for i, (start, end, loop_abs, rate, root) in enumerate(shdr_entries):
+        shdr += struct.pack("<20sIIIIIBbHH", zstr(f"smp{i}", 20),
+                            start, end, loop_abs[0], loop_abs[1], rate,
+                            root, 0, 0, 1)
     shdr += struct.pack("<20sIIIIIBbHH", zstr("EOS", 20), 0, 0, 0, 0, 0, 0, 0,
                         0, 0)
     pdta = chunk(b"LIST", b"pdta"

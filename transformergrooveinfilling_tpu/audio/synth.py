@@ -16,7 +16,7 @@ import wave
 
 import numpy as np
 
-from .drumkit import default_kit
+from .drumkit import default_kit, kit_layers
 
 _TAIL_SECONDS = 1.0  # let the last hits ring out (cymbal decay)
 
@@ -66,7 +66,7 @@ def synthesize_hvo_list(hvos, qpms, sf_paths, sr: int = 44100) -> list:
     tables = {sf: _sample_table(sf, sr) for sf in unique_sfs}
     margin = {
         sf: max(int(_TAIL_SECONDS * sr),
-                max((len(s) for s in tables[sf]), default=0))
+                max((len(s) for s in kit_layers(tables[sf])[0]), default=0))
         for sf in unique_sfs
     }
     item_len = [int(np.ceil(t / sps[i] * sr)) + margin[sf_paths[i]]
@@ -104,15 +104,21 @@ def synthesize_hvo_batch(hvos: np.ndarray, qpms, sf_paths, sr: int = 44100,
     loop_len = t / sps            # seconds
 
     # sample tables are lru-cached per (soundfont, sr); a batch with K distinct
-    # soundfonts concatenates their tables once, and events address the union
-    # via a per-item base offset — so the whole batch is ONE native mix call
+    # soundfonts concatenates their flat zone samples once, and events address
+    # the union via (base offset + velocity-layer LUT) — the whole batch stays
+    # ONE native mix call even with velocity-split kits
     unique_sfs = list(dict.fromkeys(sf_paths))
     tables = {sf: _sample_table(sf, sr) for sf in unique_sfs}
-    base = {}
+    base_arr = np.zeros(len(unique_sfs), np.int64)
+    lut_list = []
     combined: list = []
-    for sf in unique_sfs:
-        base[sf] = len(combined)
-        combined.extend(tables[sf])
+    for k, sf in enumerate(unique_sfs):
+        flat, lut = kit_layers(tables[sf])
+        base_arr[k] = len(combined)
+        combined.extend(flat)
+        lut_list.append(lut)
+    luts = np.stack(lut_list) if lut_list else np.zeros((0, 0, 128), np.int32)
+    sf_to_k = {sf: k for k, sf in enumerate(unique_sfs)}
     max_sample = max((len(s) for s in combined), default=0)
     if fixed_length is None:
         fixed_length = int(np.ceil(loop_len.max() * sr)) + max(
@@ -128,8 +134,12 @@ def synthesize_hvo_batch(hvos: np.ndarray, qpms, sf_paths, sr: int = 44100,
         vels = hvos[items, steps, n_voices + voices].astype(np.float32)
         onsets = np.clip((steps + offs) / sps[items] * sr,
                          0, fixed_length - 1).astype(np.int64)
-        voice_idx = (voices + np.asarray([base[sf] for sf in sf_paths],
-                                         np.int64)[items]).astype(np.int32)
+        # velocity-layer selection: MIDI velocity picks the zone group,
+        # the continuous velocity still scales amplitude linearly
+        item_k = np.asarray([sf_to_k[sf] for sf in sf_paths], np.int64)[items]
+        vel_midi = np.clip(np.rint(vels * 127).astype(np.int64), 0, 127)
+        voice_idx = (base_arr[item_k]
+                     + luts[item_k, voices, vel_midi]).astype(np.int32)
         event_offsets = np.zeros(m + 1, np.int64)
         np.cumsum(np.bincount(items, minlength=m), out=event_offsets[1:])
         try:

@@ -64,7 +64,7 @@ def make_on_device_augment(qpms=None, mode: str = "symbolic",
 
     params = mso_params or MSOParams()
     sfs = list(soundfonts) if soundfonts else [None]
-    table, base_map = pack_tables(sfs, params.sr)
+    table, base_map, luts, sf_index = pack_tables(sfs, params.sr)
     qpms = np.asarray(qpms if qpms is not None else [120.0], np.float64)
 
     def augment(key, base_in, base_out):
@@ -82,22 +82,24 @@ def make_on_device_augment(qpms=None, mode: str = "symbolic",
         sps = jnp.asarray((q / 60.0) * 4.0, jnp.float32)
         length = mso_waveform_length(t, float((q.min() / 60.0) * 4.0), params)
         rng = np.random.default_rng(seed)
-        sf_rows = jnp.asarray(
-            [base_map[sfs[i]] for i in rng.integers(0, len(sfs), m)],
-            jnp.int32)
+        item_sf = rng.integers(0, len(sfs), m)
+        sf_rows = jnp.asarray([base_map[sfs[i]] for i in item_sf], jnp.int32)
+        sf_ks = jnp.asarray([sf_index[sfs[i]] for i in item_sf], jnp.int32)
 
         kept, removed = random_mask_on_device(key, base_in, thres_range)
 
         def chunk_fn(args):
-            grids, sps_c, rows_c = args
-            waves = synthesize_on_device(grids, sps_c, table, rows_c, length)
+            grids, sps_c, rows_c, ks_c = args
+            waves = synthesize_on_device(grids, sps_c, table, rows_c, length,
+                                         luts=luts, sf_k=ks_c)
             return mso_batch(waves, sps_c, t, params)
 
         n_chunks = m // chunk
         mso = jax.lax.map(chunk_fn, (
             kept.reshape(n_chunks, chunk, t, base_in.shape[2]),
             sps.reshape(n_chunks, chunk),
-            sf_rows.reshape(n_chunks, chunk)))
+            sf_rows.reshape(n_chunks, chunk),
+            sf_ks.reshape(n_chunks, chunk)))
         return mso.reshape(m, t, params.n_bands), removed
 
     return augment

@@ -39,37 +39,55 @@ _LANES = 128
 def pack_tables(sf_paths, sr: int = 44100, s_max: int | None = None):
     """Build the device-resident sample table for a set of soundfonts.
 
-    Returns ``(table, base)``: ``table`` is ``(K*V, S_max)`` float32 (each
-    soundfont's V voices, zero-padded to the longest sample), ``base`` maps
-    soundfont path → row offset of its first voice. Cached per
+    Returns ``(table, base, luts, sf_index)``: ``table`` is ``(R, S_max)``
+    float32 (every soundfont's flat zone samples, zero-padded to the longest),
+    ``base`` maps soundfont path → row offset of its first sample, ``luts``
+    is ``(K, V, 128)`` int32 mapping (soundfont, voice, MIDI velocity) →
+    *local* table row (velocity-layered kits, audio/sf2.py), and
+    ``sf_index`` maps soundfont path → its ``luts`` index. Cached per
     (soundfonts, sr) so streaming callers pay the pack + transfer once.
     """
+    from ..audio.drumkit import kit_layers
     from ..audio.synth import _sample_table
 
     unique = list(dict.fromkeys(sf_paths))
     key = (tuple(unique), sr, s_max)
     if key in _table_cache:
         return _table_cache[key]
-    tables = {sf: _sample_table(sf, sr) for sf in unique}
+    layered = {sf: kit_layers(_sample_table(sf, sr)) for sf in unique}
     if s_max is None:
-        s_max = max((len(s) for t in tables.values() for s in t), default=1)
+        s_max = max((len(s) for flat, _ in layered.values() for s in flat),
+                    default=1)
     s_max = -(-s_max // _LANES) * _LANES  # lane-aligned for the Pallas kernel
     rows = []
     base = {}
-    for sf in unique:
+    lut_list = []
+    sf_index = {}
+    for k, sf in enumerate(unique):
+        flat, lut = layered[sf]
         base[sf] = len(rows)
-        for s in tables[sf]:
+        sf_index[sf] = k
+        lut_list.append(np.asarray(lut, np.int32))
+        for s in flat:
             row = np.zeros(s_max, np.float32)
             row[: min(len(s), s_max)] = s[:s_max]
             rows.append(row)
     packed = jnp.asarray(np.stack(rows)) if rows else jnp.zeros((1, s_max))
-    _table_cache[key] = (packed, base)
-    return packed, base
+    luts = jnp.asarray(np.stack(lut_list)) if lut_list else jnp.zeros(
+        (1, 1, 128), jnp.int32)
+    result = (packed, base, luts, sf_index)
+    _table_cache[key] = result
+    return result
 
 
-def _extract_events(hvos, sps, sf_base, length: int, sr: float):
+def _extract_events(hvos, sps, sf_base, length: int, sr: float,
+                    luts=None, sf_k=None):
     """(M, T, 3V) grids → flat per-cell event arrays (onset, row, vel), each
-    (M, T·V). Every cell is an "event"; non-hits carry velocity 0."""
+    (M, T·V). Every cell is an "event"; non-hits carry velocity 0.
+
+    With ``luts`` (K, V, 128) + ``sf_k`` (M,), the sample row is selected by
+    MIDI velocity through the kit's velocity-layer LUT (rounding matches the
+    host route's ``np.rint``); otherwise row = sf_base + voice."""
     m, t, width = hvos.shape
     v = width // 3
     h = hvos[:, :, :v].reshape(m, t * v)
@@ -82,8 +100,14 @@ def _extract_events(hvos, sps, sf_base, length: int, sr: float):
 
     onset = (step[None, :] + off) / sps[:, None] * sr
     onset = jnp.clip(onset, 0, length - 1).astype(jnp.int32)  # trunc == host
+    if luts is None:
+        row = (sf_base[:, None] + voice[None, :]).astype(jnp.int32)
+    else:
+        vel_midi = jnp.clip(jnp.round(vel * 127.0), 0, 127).astype(jnp.int32)
+        row = (sf_base[:, None]
+               + luts[sf_k[:, None], voice[None, :], vel_midi]).astype(
+                   jnp.int32)
     vel = jnp.where(h > 0, vel, 0.0).astype(jnp.float32)
-    row = (sf_base[:, None] + voice[None, :]).astype(jnp.int32)
     return onset, row, vel
 
 
@@ -184,26 +208,33 @@ def _synth_pallas(onset, row, vel, table, length: int,
 def synthesize_on_device(hvos: jnp.ndarray, sps: jnp.ndarray,
                          table: jnp.ndarray, sf_base: jnp.ndarray,
                          length: int, sr: float = 44100.0,
-                         use_pallas: bool | None = None) -> jnp.ndarray:
+                         use_pallas: bool | None = None,
+                         luts: jnp.ndarray | None = None,
+                         sf_k: jnp.ndarray | None = None) -> jnp.ndarray:
     """Render ``(M, T, 3V)`` grids to ``(M, length)`` waveforms on device.
 
-    ``sps``: (M,) grid steps/second. ``table``: (K*V, S_max) packed samples.
+    ``sps``: (M,) grid steps/second. ``table``: (R, S_max) packed samples.
     ``sf_base``: (M,) int32 row offset of each item's soundfont in the table.
+    ``luts``/``sf_k`` (optional, from :func:`pack_tables`): velocity-layer
+    row selection for layered kits; omitted = one row per voice.
     ``use_pallas`` default: the VMEM event kernel on TPU, XLA scan elsewhere.
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
-    onset, row, vel = _extract_events(hvos, sps, sf_base, length, sr)
+    onset, row, vel = _extract_events(hvos, sps, sf_base, length, sr,
+                                      luts, sf_k)
     if use_pallas:
         return _synth_pallas(onset, row, vel, table, length)
     return _synth_scan(onset, row, vel, table, length)
 
 
 @partial(jax.jit, static_argnames=("length", "n_steps", "params"))
-def _front_end(hvos, sps, table, sf_base, length, n_steps, params):
+def _front_end(hvos, sps, table, sf_base, length, n_steps, params,
+               luts=None, sf_k=None):
     from .mso import mso_batch
 
-    waves = synthesize_on_device(hvos, sps, table, sf_base, length)
+    waves = synthesize_on_device(hvos, sps, table, sf_base, length,
+                                 luts=luts, sf_k=sf_k)
     return mso_batch(waves, sps, n_steps, params)
 
 
@@ -229,8 +260,9 @@ def mso_batch_from_hvo_device(hvos, soundfonts, qpms, params=None,
     qpms = np.asarray(qpms, np.float64)
     sfs = list(soundfonts) if soundfonts is not None else [None] * m
 
-    table, base = pack_tables(sfs, params.sr)
+    table, base, luts, sf_index = pack_tables(sfs, params.sr)
     sf_base = np.asarray([base[sf] for sf in sfs], np.int32)
+    sf_k = np.asarray([sf_index[sf] for sf in sfs], np.int32)
     min_sps = float((qpms.min() / 60.0) * 4.0)
     length = mso_waveform_length(t, min_sps, params)
     sps = ((qpms / 60.0) * 4.0).astype(np.float32)
@@ -245,7 +277,8 @@ def mso_batch_from_hvo_device(hvos, soundfonts, qpms, params=None,
             jnp.asarray(np.pad(sps[start:end], (0, pad), constant_values=1.0)),
             table,
             jnp.asarray(np.pad(sf_base[start:end], (0, pad))),
-            length, t, params)
+            length, t, params,
+            luts, jnp.asarray(np.pad(sf_k[start:end], (0, pad))))
         pending.append((slice(start, end), dev, end - start))
 
     out = np.zeros((m, t, params.n_bands), np.float32)
