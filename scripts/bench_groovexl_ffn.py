@@ -25,6 +25,9 @@ CONFIGS = {
     # name: (d_model, n_heads, ff, layers, dropout, batch, remat)
     "xl": (1024, 8, 4096, 12, 0.1, 128, True),
     "lm": (256, 4, 2048, 8, 0.16, 512, False),
+    # the flagship production config (InfillingRandom/ClosedHH) — the target
+    # of the whole-encoder-layer fused kernel (--toggle layer, round 4)
+    "flagship": (256, 2, 512, 6, 0.30, 512, False),
 }
 
 
@@ -44,11 +47,12 @@ def main(argv=None):
                    help="override the config's remat setting (0/1) — under "
                         "remat the backward replays the forward, so the "
                         "kernel's h_drop-only residual saving is moot")
-    p.add_argument("--toggle", choices=["ffn", "ln"], default="ffn",
+    p.add_argument("--toggle", choices=["ffn", "ln", "layer"], default="ffn",
                    help="which fused kernel the on/off arms flip: the Pallas "
-                        "FFN (default) or dropout+add+LN (ops/fused_ln.py — "
+                        "FFN (default), dropout+add+LN (ops/fused_ln.py — "
                         "PERF.md's 'flips for much larger d_model' claim, "
-                        "measured here at XL width)")
+                        "measured here at XL width), or the whole-encoder-"
+                        "layer kernel (ops/fused_layer.py, round 4)")
     args = p.parse_args(argv)
 
     import jax
@@ -112,7 +116,8 @@ def main(argv=None):
                 embedding_size_tgt=27, compute_dtype=jnp.bfloat16,
                 remat=remat,
                 fused_ffn=(fused if args.toggle == "ffn" else False),
-                fused_dropout_ln=(fused if args.toggle == "ln" else False))
+                fused_dropout_ln=(fused if args.toggle == "ln" else False),
+                fused_layer=(fused if args.toggle == "layer" else False))
             model = build_model(cfg)
             tx = make_optimizer("sgd", 0.05)
             state = create_train_state(model, cfg, tx, jax.random.PRNGKey(0))

@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Hardware validation of the whole-encoder-layer fused kernel
+(ops/fused_layer.py). Interpret-mode tests (tests/test_fused_layer.py) pin
+rate=0 exactly; everything PRNG-dependent needs the real chip:
+
+1. rate=0 forward parity vs the plain XLA EncoderLayer (bf16 tolerance).
+2. keep-rate statistics of the FFN-internal site, observed through the
+   h_drop residual with W1=0 / b1=+1 (ReLU everywhere-positive → the kept
+   fraction IS the quantized keep rate).
+3. seeded determinism: same seed → identical outputs; different seed →
+   different outputs.
+4. forward/backward mask CONSISTENCY at rate>0: the backward regenerates
+   all four sites' masks from the same per-(tile, site) streams, so the
+   custom-VJP gradient must match central finite differences of the (seed-
+   fixed, deterministic) forward. This is the check that fails if fwd and
+   bwd PRNG streams ever diverge.
+
+Usage: python scripts/validate_fused_layer.py   (real TPU via axon)
+"""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import transformergrooveinfilling_tpu  # noqa: F401
+import jax
+import jax.numpy as jnp
+
+from transformergrooveinfilling_tpu.models.transformer import EncoderLayer
+from transformergrooveinfilling_tpu.ops.dropout import quantized_keep_rate
+from transformergrooveinfilling_tpu.ops.fused_layer import (
+    _fwd_call, encoder_layer_train,
+)
+
+D, H, FF, T = 256, 2, 512, 32
+
+
+def make_args(rng, dtype=jnp.float32):
+    return dict(
+        wqkv=jnp.asarray(rng.standard_normal((D, 3 * D)) * 0.05, dtype),
+        bqkv=jnp.asarray(rng.standard_normal(3 * D) * 0.01, jnp.float32),
+        wo=jnp.asarray(rng.standard_normal((D, D)) * 0.05, dtype),
+        bo=jnp.asarray(rng.standard_normal(D) * 0.01, jnp.float32),
+        g1=jnp.asarray(1 + 0.1 * rng.standard_normal(D), jnp.float32),
+        b1=jnp.asarray(0.1 * rng.standard_normal(D), jnp.float32),
+        w1=jnp.asarray(rng.standard_normal((D, FF)) * 0.05, dtype),
+        b1f=jnp.asarray(rng.standard_normal(FF) * 0.01, jnp.float32),
+        w2=jnp.asarray(rng.standard_normal((FF, D)) * 0.05, dtype),
+        b2f=jnp.asarray(rng.standard_normal(D) * 0.01, jnp.float32),
+        g2=jnp.asarray(1 + 0.1 * rng.standard_normal(D), jnp.float32),
+        b2=jnp.asarray(0.1 * rng.standard_normal(D), jnp.float32))
+
+
+def main():
+    assert jax.default_backend() == "tpu", "hardware validation needs a chip"
+    rng = np.random.default_rng(0)
+    m = 512
+
+    # 1. rate=0 parity vs the module's plain path
+    x3 = jnp.asarray(rng.standard_normal((m // T, T, D)), jnp.float32)
+    layer = EncoderLayer(D, H, FF, 0.0, fused_layer=False)
+    params = layer.init(jax.random.PRNGKey(0), x3, deterministic=True)[
+        "params"]
+    key = {"dropout": jax.random.PRNGKey(3)}
+    y_ref = np.asarray(layer.apply({"params": params}, x3,
+                                   deterministic=False, rngs=key))
+    y_fused = np.asarray(EncoderLayer(D, H, FF, 0.0, fused_layer=True).apply(
+        {"params": params}, x3, deterministic=False, rngs=key))
+    rel = np.max(np.abs(y_fused - y_ref) / (np.abs(y_ref) + 1e-2))
+    print(f"rate=0 forward parity vs XLA: max rel diff {rel:.5f}")
+    assert rel < 5e-3
+
+    # 2. keep-rate through the h_drop residual (W1=0, b1=+1 → ReLU all-on)
+    rate = 0.3
+    args = make_args(np.random.default_rng(1))
+    probe = dict(args, w1=jnp.zeros((D, FF)), b1f=jnp.ones(FF))
+    x = jnp.asarray(rng.standard_normal((m, D)), jnp.float32)
+    seed = jnp.asarray([11], jnp.int32)
+    outs = _fwd_call(x, *probe.values(), seed, rate=rate, n_heads=H,
+                     seq_len=T, interpret=False)
+    h = np.asarray(outs[5])
+    keep = float((h > 0).mean())
+    print(f"FFN-site keep rate @ rate {rate}: {keep:.4f} "
+          f"(quantized target {quantized_keep_rate(rate):.4f})")
+    assert abs(keep - quantized_keep_rate(rate)) < 0.01
+
+    # 3. seeded determinism
+    f = jax.jit(lambda x, s: encoder_layer_train(
+        x, *args.values(), s, rate, H, T, False))
+    y_a = np.asarray(f(x, seed))
+    y_b = np.asarray(f(x, seed))
+    y_c = np.asarray(f(x, jnp.asarray([12], jnp.int32)))
+    assert np.array_equal(y_a, y_b), "same seed must be bit-identical"
+    assert not np.array_equal(y_a, y_c), "different seed must differ"
+    print("seeded determinism: ok (same-seed identical, cross-seed differs)")
+
+    # 4. fwd/bwd mask consistency via finite differences at rate>0
+    def scalar(x):
+        return jnp.sum(encoder_layer_train(
+            x, *args.values(), seed, rate, H, T, False) ** 2)
+
+    g = np.asarray(jax.jit(jax.grad(scalar))(x))
+    eps = 1e-2
+    sf = jax.jit(scalar)
+    for (r, c) in [(5, 17), (300, 200)]:
+        e = np.zeros((m, D), np.float32)
+        e[r, c] = 1.0
+        e = jnp.asarray(e)
+        fd = (float(sf(x + eps * e)) - float(sf(x - eps * e))) / (2 * eps)
+        print(f"grad[{r},{c}] = {g[r, c]:+.5f}  fd = {fd:+.5f}")
+        assert abs(g[r, c] - fd) < max(3e-2 * abs(fd), 2e-3), (
+            "custom-VJP gradient disagrees with finite differences — "
+            "fwd/bwd PRNG streams diverged?")
+    print("fwd/bwd mask consistency: ok")
+
+
+if __name__ == "__main__":
+    main()

@@ -71,6 +71,11 @@ def parse_args(argv=None):
                         help="fused Pallas FFN kernel: 1=on, 0=off, unset="
                         "auto (on for TPU training at ff>=2048, +16%% at "
                         "RandomLow_lm; docs/PERF.md)")
+    parser.add_argument("--fused_layer", type=int, default=None,
+                        help="whole-encoder-layer fused Pallas kernel "
+                        "(attention + LNs + FFN + all dropout sites, one "
+                        "call per layer): 1=on, 0=off, unset=auto "
+                        "(docs/PERF.md round 4)")
     parser.add_argument("--fast_prng", type=int, default=1,
                         help="use the rbg PRNG for dropout masks (~2x step "
                              "time on TPU at this model size)")
@@ -237,6 +242,9 @@ def _run(args, hp_dict, paths):
             # TPU extra: None = auto (fused Pallas FFN on TPU at ff >= 2048)
             "fused_ffn": (bool(args.fused_ffn) if args.fused_ffn is not None
                           else cfg.get("fused_ffn")),
+            "fused_layer": (bool(args.fused_layer)
+                            if args.fused_layer is not None
+                            else cfg.get("fused_layer")),
             # TPU extra: None = auto (remat only when HBM would overflow)
             "remat": (bool(args.remat) if args.remat is not None
                       else cfg.get("remat")),

@@ -68,6 +68,11 @@ class GrooveTransformerConfig:
     # kernel with in-kernel PRNG masks and a custom VJP (ops/fused_ffn.py).
     # Training path only; needs d_model/dim_feedforward multiples of 128.
     fused_ffn: bool = False
+    # fuse the ENTIRE encoder layer (attention + both DropAddLayerNorms +
+    # FFN, all four dropout sites from in-kernel PRNG, custom VJP) into one
+    # Pallas call per layer (ops/fused_layer.py). Training path only; needs
+    # d_model/dim_feedforward/head-dim multiples of 128.
+    fused_layer: bool = False
 
     @property
     def encoder_only(self) -> bool:
@@ -236,6 +241,33 @@ class _Proj(nn.Module):
         return kernel, bias
 
 
+class _AttnParams(nn.Module):
+    """``SelfAttention``'s parameter tree (qkv/out Dense pairs) without the
+    computation — the fused whole-layer kernel consumes the arrays directly
+    while the checkpoint tree stays identical to the unfused path."""
+
+    d_model: int
+
+    @nn.compact
+    def __call__(self):
+        wqkv, bqkv = _Proj(self.d_model, 3 * self.d_model, name="qkv")()
+        wo, bo = _Proj(self.d_model, self.d_model, name="out")()
+        return wqkv, bqkv, wo, bo
+
+
+class _LNParams(nn.Module):
+    """``DropAddLayerNorm``'s parameter pair (scale/bias), names matching
+    ``nn.LayerNorm``, for paths that consume the arrays directly."""
+
+    d_model: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.d_model,))
+        bias = self.param("bias", nn.initializers.zeros, (self.d_model,))
+        return scale, bias
+
+
 def _ffn_block(mod, x, deterministic: bool):
     """Shared FFN (``W2·Drop(relu(W1·x))``) for encoder and decoder layers:
     either two ``nn.Dense`` + dropout, or the whole chain as one Pallas
@@ -286,9 +318,49 @@ class EncoderLayer(nn.Module):
     fast_dropout: bool = False
     dtype: Optional[jnp.dtype] = None
     fused_ffn: bool = False
+    fused_layer: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        # whole-layer fused path: ONE Pallas call for attention + both
+        # DropAddLayerNorms + FFN with in-kernel PRNG dropout
+        # (ops/fused_layer.py). TPU-only when dropout is live — interpret-
+        # mode Pallas stubs the PRNG (same gate as _ffn_block).
+        on_tpu = jax.default_backend() == "tpu"
+        if (self.fused_layer and not deterministic and x.ndim == 3
+                and isinstance(self.dropout, (int, float))
+                and (on_tpu or float(self.dropout) == 0.0)):
+            from ..ops.fused_layer import (
+                encoder_layer_train, supports_fused_layer,
+            )
+
+            b, t = x.shape[0], x.shape[1]
+            if supports_fused_layer(self.d_model, self.n_heads,
+                                    self.dim_feedforward, b * t, t):
+                wqkv, bqkv, wo, bo = _AttnParams(
+                    self.d_model, name="self_attn")()
+                g1, b1 = _LNParams(self.d_model, name="norm1")()
+                w1, b1f = _Proj(self.d_model, self.dim_feedforward,
+                                name="linear1")()
+                w2, b2f = _Proj(self.dim_feedforward, self.d_model,
+                                name="linear2")()
+                g2, b2 = _LNParams(self.d_model, name="norm2")()
+                cd = self.dtype or x.dtype
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (1,), 0, 2**31 - 1,
+                    dtype=jnp.int32)
+                f32 = jnp.float32
+                y = encoder_layer_train(
+                    x.reshape(b * t, self.d_model).astype(cd),
+                    wqkv.astype(cd), bqkv.astype(f32),
+                    wo.astype(cd), bo.astype(f32),
+                    g1.astype(f32), b1.astype(f32),
+                    w1.astype(cd), b1f.astype(f32),
+                    w2.astype(cd), b2f.astype(f32),
+                    g2.astype(f32), b2.astype(f32),
+                    seed, float(self.dropout), self.n_heads, t, not on_tpu)
+                return y.reshape(b, t, self.d_model).astype(x.dtype)
+
         sa = SelfAttention(self.d_model, self.n_heads, self.dropout,
                            use_pallas=self.use_pallas,
                            fast_dropout=self.fast_dropout, dtype=self.dtype,
@@ -423,6 +495,7 @@ class GrooveTransformerEncoder(nn.Module):
                 fast_dropout=cfg.fast_dropout,
                 dtype=cfg.compute_dtype,
                 fused_ffn=cfg.fused_ffn,
+                fused_layer=cfg.fused_layer,
                 name=f"encoder_layer_{i}",
             )(x, deterministic)
         x = nn.LayerNorm(name="encoder_norm")(x)
@@ -458,6 +531,7 @@ class GrooveTransformer(nn.Module):
                 fast_dropout=cfg.fast_dropout,
                 dtype=cfg.compute_dtype,
                 fused_ffn=cfg.fused_ffn,
+                fused_layer=cfg.fused_layer,
                 name=f"encoder_layer_{i}",
             )(x, deterministic)
         memory = nn.LayerNorm(name="encoder_norm")(x).astype(x.dtype)

@@ -53,6 +53,11 @@ class HyperParams:
     # throughput (RandomLow_lm, docs/PERF.md round 3); off at flagship
     # widths (measured negative) and off-TPU. True/False force it.
     fused_ffn: Optional[bool] = None
+    # TPU extra: whole-encoder-layer fused Pallas kernel (ops/fused_layer.py:
+    # attention + both LNs + FFN + all four dropout sites in one call per
+    # layer, masks from in-kernel PRNG). None = auto (resolve_fused_layer,
+    # policy from the measured flagship result). True/False force it.
+    fused_layer: Optional[bool] = None
     # TPU extra: encoder-layer rematerialization. None = auto — off unless
     # the estimated backward residuals would overflow HBM (resolve_remat;
     # remat costs +26 % at GrooveXL scale when memory does NOT force it).
@@ -129,6 +134,17 @@ def resolve_fused_ffn(fused_ffn: Optional[bool], dim_feedforward: int,
     itemsize = jnp.dtype(compute_dtype or jnp.bfloat16).itemsize
     return (on_tpu and dim_feedforward >= 2048
             and fits_resident(d_model, dim_feedforward, itemsize))
+
+
+def resolve_fused_layer(fused_layer: Optional[bool], d_model: int,
+                        n_heads: int, dim_feedforward: int) -> bool:
+    """fused_layer hyperparameter → whole-encoder-layer kernel switch
+    (ops/fused_layer.py). ``None`` = auto (policy set by the measured
+    flagship result, docs/PERF.md round 4). The kernel dispatch itself
+    re-checks shape support per batch (EncoderLayer)."""
+    if fused_layer is not None:
+        return bool(fused_layer)
+    return False
 
 
 # per-chip HBM by TPU generation, matched against the PJRT device_kind
@@ -236,6 +252,9 @@ def derive_model_config(
         fused_ffn=resolve_fused_ffn(getattr(hp, "fused_ffn", None),
                                     hp.dim_feedforward, hp.d_model,
                                     compute_dtype),
+        fused_layer=resolve_fused_layer(getattr(hp, "fused_layer", None),
+                                        hp.d_model, hp.n_heads,
+                                        hp.dim_feedforward),
         remat=resolve_remat(getattr(hp, "remat", None),
                             d_model=hp.d_model, n_heads=hp.n_heads,
                             dim_feedforward=hp.dim_feedforward,
