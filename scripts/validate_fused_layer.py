@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from transformergrooveinfilling_tpu.models.transformer import EncoderLayer
 from transformergrooveinfilling_tpu.ops.dropout import quantized_keep_rate
 from transformergrooveinfilling_tpu.ops.fused_layer import (
-    _fwd_call, encoder_layer_train,
+    _bwd_call, _fwd_call, encoder_layer_train,
 )
 
 D, H, FF, T = 256, 2, 512, 32
@@ -81,7 +81,7 @@ def main():
     seed = jnp.asarray([11], jnp.int32)
     outs = _fwd_call(x, *probe.values(), seed, rate=rate, n_heads=H,
                      seq_len=T, interpret=False)
-    h = np.asarray(outs[5])
+    h = np.asarray(outs[3])  # (y, qkv, a1, h_drop, a2)
     keep = float((h > 0).mean())
     print(f"FFN-site keep rate @ rate {rate}: {keep:.4f} "
           f"(quantized target {quantized_keep_rate(rate):.4f})")
@@ -97,24 +97,62 @@ def main():
     assert not np.array_equal(y_a, y_c), "different seed must differ"
     print("seeded determinism: ok (same-seed identical, cross-seed differs)")
 
-    # 4. fwd/bwd mask consistency via finite differences at rate>0
-    def scalar(x):
-        return jnp.sum(encoder_layer_train(
-            x, *args.values(), seed, rate, H, T, False) ** 2)
+    # 4. fwd/bwd mask consistency via DIRECTIONAL finite differences at
+    # rate>0, with a seed-mismatch NEGATIVE control. At DEFAULT matmul
+    # precision this check is unusable on TPU: every internal matmul
+    # quantizes its operands to bf16 passes, and those deterministic
+    # ~2e-3/entry rounding fields propagate through the Jacobian into the
+    # difference quotient as an x-dependent 10-40 % error (measured round 4;
+    # the plain XLA layer "fails" identically, and one lucky x draw can show
+    # <1 % while the next shows 42 %). Under HIGHEST precision (f32
+    # multi-pass on the MXU — Mosaic honors the trace-time precision inside
+    # pallas_call) the floor drops to ~2-7 % per direction, while a diverged
+    # mask stream shifts the gradient by 50-300 % (the wrong-seed control
+    # below). Rows shrink to 384 (row tile 128): the f32 multi-pass backward
+    # at tile 256 overflows the 16 MB scoped VMEM limit.
+    with jax.default_matmul_precision("highest"):
+        m4 = 384
+        x4 = jnp.asarray(rng.standard_normal((m4, D)), jnp.float32)
+        fwd = jax.jit(lambda x: encoder_layer_train(
+            x, *args.values(), seed, rate, H, T, False))
+        rng2 = np.random.default_rng(7)
+        u = rng2.standard_normal((m4, D)).astype(np.float32)
+        outs = _fwd_call(x4, *args.values(), seed, rate=rate, n_heads=H,
+                         seq_len=T, interpret=False)
+        _, qkv, a1r, hr, a2r = outs
 
-    g = np.asarray(jax.jit(jax.grad(scalar))(x))
-    eps = 1e-2
-    sf = jax.jit(scalar)
-    for (r, c) in [(5, 17), (300, 200)]:
-        e = np.zeros((m, D), np.float32)
-        e[r, c] = 1.0
-        e = jnp.asarray(e)
-        fd = (float(sf(x + eps * e)) - float(sf(x - eps * e))) / (2 * eps)
-        print(f"grad[{r},{c}] = {g[r, c]:+.5f}  fd = {fd:+.5f}")
-        assert abs(g[r, c] - fd) < max(3e-2 * abs(fd), 2e-3), (
-            "custom-VJP gradient disagrees with finite differences — "
-            "fwd/bwd PRNG streams diverged?")
-    print("fwd/bwd mask consistency: ok")
+        def grad_x(s):
+            r = _bwd_call(jnp.asarray(u), x4, qkv, a1r, hr, a2r,
+                          args["wqkv"], args["wo"], args["w1"], args["w2"],
+                          args["g1"], args["b1"], args["g2"],
+                          jnp.asarray([s], jnp.int32),
+                          rate=rate, n_heads=H, seq_len=T, interpret=False)
+            return np.asarray(r[0], np.float64)
+
+        gx_match, gx_mis = grad_x(11), grad_x(12)
+        eps, k = 1e-2, 6
+        fds, ans, anxs = [], [], []
+        for trial in range(k):
+            e = rng2.standard_normal((m4, D)).astype(np.float32)
+            yp = np.asarray(fwd(x4 + eps * jnp.asarray(e)), np.float64)
+            ym = np.asarray(fwd(x4 - eps * jnp.asarray(e)), np.float64)
+            fds.append(np.vdot(u.astype(np.float64), yp - ym) / (2 * eps))
+            ans.append(np.vdot(gx_match, e.astype(np.float64)))
+            anxs.append(np.vdot(gx_mis, e.astype(np.float64)))
+    fds, ans, anxs = (np.array(v) for v in (fds, ans, anxs))
+    rel = np.linalg.norm(fds - ans) / np.linalg.norm(ans)
+    relx = np.linalg.norm(fds - anxs) / np.linalg.norm(anxs)
+    for t in range(k):
+        print(f"  dir {t}: fd {fds[t]:+9.3f}  vjp {ans[t]:+9.3f}  "
+              f"wrong-seed vjp {anxs[t]:+9.3f}")
+    print(f"aggregate rel residual: vjp {rel:.4f}  wrong-seed {relx:.4f}")
+    assert rel < 0.08, (
+        "custom-VJP gradient disagrees with finite differences — "
+        "fwd/bwd PRNG streams diverged?")
+    assert relx > 0.20, (
+        "negative control failed: a wrong-seed backward matched the "
+        "forward — the check has lost its discriminating power")
+    print("fwd/bwd mask consistency: ok (and seed-mismatch is detected)")
 
 
 if __name__ == "__main__":
