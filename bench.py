@@ -83,11 +83,18 @@ def bench_jax() -> float:
     epochs_per_call = 2 if on_cpu else EPOCHS_PER_CALL
     max_calls = 2 if on_cpu else MAX_CALLS
 
+    from transformergrooveinfilling_tpu.train.config import (
+        resolve_fused_layer,
+    )
+
     config = GrooveTransformerConfig(
         d_model=D_MODEL, n_heads=N_HEADS, dim_feedforward=DIM_FF,
         dropout=DROPOUT, num_encoder_layers=N_LAYERS, max_len=T,
         embedding_size_src=E_SRC, embedding_size_tgt=E_TGT,
         compute_dtype=jnp.bfloat16,
+        # the production auto policy (docs/PERF.md round 4: +20 % whole-step
+        # at this config from the whole-encoder-layer fused kernel)
+        fused_layer=resolve_fused_layer(None, D_MODEL, N_HEADS, DIM_FF),
     )
     model = build_model(config)
     tx = make_optimizer("sgd", LEARNING_RATE)

@@ -208,6 +208,14 @@ def run_batched(trials, metric: str, goal: str, project: str, args) -> int:
             fallback_trials.extend(idxs)
             continue
         config = derive_model_config(hp)
+        if config.fused_layer and getattr(hp, "fused_layer", None) is None:
+            # the batched sweep vmaps the whole train step over K stacked
+            # trials; the whole-encoder-layer Pallas kernel is only
+            # validated un-vmapped (its per-tile PRNG seeding assumes the
+            # row grid IS the batch), so auto keeps it off here
+            import dataclasses as _dc
+
+            config = _dc.replace(config, fused_layer=False)
         if getattr(hp, "remat", None) is None:
             # the auto-remat estimate must see the BATCHED picture: K stacked
             # trials of params/optimizer state/batch share ONE device (vmap,

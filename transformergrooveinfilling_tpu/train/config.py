@@ -137,14 +137,25 @@ def resolve_fused_ffn(fused_ffn: Optional[bool], dim_feedforward: int,
 
 
 def resolve_fused_layer(fused_layer: Optional[bool], d_model: int,
-                        n_heads: int, dim_feedforward: int) -> bool:
+                        n_heads: int, dim_feedforward: int,
+                        n_devices: int = 1) -> bool:
     """fused_layer hyperparameter → whole-encoder-layer kernel switch
-    (ops/fused_layer.py). ``None`` = auto (policy set by the measured
-    flagship result, docs/PERF.md round 4). The kernel dispatch itself
-    re-checks shape support per batch (EncoderLayer)."""
+    (ops/fused_layer.py). ``None`` = auto: ON whenever the kernel's static
+    shape gate admits the width AND execution is single-device — measured
+    +26 % on the headline flagship step (96.0k → 121.4k seqs/s/chip,
+    docs/PERF.md round 4) by amortizing one fusion boundary over all four
+    dropout sites, both LNs, attention and the FFN. Multi-device meshes turn
+    it off: the training step shards via GSPMD (NamedSharding + jit), which
+    cannot partition an opaque Pallas custom call — it would replicate the
+    whole layer's activations per chip. The kernel dispatch itself re-checks
+    backend and per-batch row divisibility (EncoderLayer), so this resolves
+    the width/topology gate only."""
     if fused_layer is not None:
         return bool(fused_layer)
-    return False
+    return (n_devices == 1
+            and d_model % 128 == 0 and dim_feedforward % 128 == 0
+            and d_model % max(n_heads, 1) == 0
+            and (d_model // max(n_heads, 1)) % 128 == 0 and n_heads <= 5)
 
 
 # per-chip HBM by TPU generation, matched against the PJRT device_kind
@@ -243,7 +254,7 @@ def resolve_remat(remat: Optional[bool], *, d_model: int, n_heads: int,
 
 
 def derive_model_config(
-    hp: HyperParams, compute_dtype=None
+    hp: HyperParams, compute_dtype=None, n_devices: int = 1
 ) -> GrooveTransformerConfig:
     if compute_dtype is None:
         compute_dtype = resolve_compute_dtype(getattr(hp, "bf16", None))
@@ -254,7 +265,8 @@ def derive_model_config(
                                     compute_dtype),
         fused_layer=resolve_fused_layer(getattr(hp, "fused_layer", None),
                                         hp.d_model, hp.n_heads,
-                                        hp.dim_feedforward),
+                                        hp.dim_feedforward,
+                                        n_devices=n_devices),
         remat=resolve_remat(getattr(hp, "remat", None),
                             d_model=hp.d_model, n_heads=hp.n_heads,
                             dim_feedforward=hp.dim_feedforward,

@@ -331,8 +331,15 @@ def run_training(
             "pipeline parallelism is single-process; across hosts use "
             "dp or dp×tp (parallel/multihost.py)")
 
+    n_mesh_devices = int(plan.mesh.size) if getattr(plan, "mesh", None) else 1
+    if getattr(hp, "fused_layer", None) and n_mesh_devices > 1:
+        raise NotImplementedError(
+            "--fused_layer 1 is single-device: the whole-encoder-layer "
+            "Pallas kernel is an opaque custom call GSPMD cannot partition "
+            "across a mesh. Drop the flag (auto turns it off on meshes) or "
+            "run single-chip — the unfused path shards fine under dp/tp/pp.")
     if bundle is None:
-        config = derive_model_config(hp)
+        config = derive_model_config(hp, n_devices=n_mesh_devices)
         model = build_model(config)
         tx = make_optimizer(hp.optimizer_algorithm, hp.learning_rate)
         state = create_train_state(model, config, tx, jax.random.PRNGKey(seed))
