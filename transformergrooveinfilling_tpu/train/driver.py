@@ -329,7 +329,10 @@ def run_training(
     if is_pp and jax.process_count() > 1:
         raise NotImplementedError(
             "pipeline parallelism is single-process; across hosts use "
-            "dp or dp×tp (parallel/multihost.py)")
+            "dp or dp×tp (parallel/multihost.py). Capacity never requires "
+            "multi-host pp in this family: even enc-dec 4× GrooveXL "
+            "(1.41 B params) peaks at 11.9 GiB on ONE v5e chip "
+            "(docs/PERF.md 'Parallelism matrix', docs/capacity_matrix.json)")
 
     n_mesh_devices = int(plan.mesh.size) if getattr(plan, "mesh", None) else 1
     if getattr(hp, "fused_layer", None) and n_mesh_devices > 1:
@@ -354,8 +357,11 @@ def run_training(
         if not bundle.config.encoder_only:
             raise NotImplementedError(
                 "pipeline parallelism covers the encoder-only family; the "
-                "encoder-decoder family fits one chip at every shipped size "
-                "(docs/PERF.md)")
+                "encoder-decoder family fits one chip at every size in its "
+                "design space — measured peak HBM 1.52 GiB at the flagship, "
+                "11.88 GiB at 4× GrooveXL (1.41 B params) vs 16 GiB/chip "
+                "(docs/PERF.md 'Parallelism matrix', "
+                "docs/capacity_matrix.json); scale out with dp or dp×tp")
         check_pipeline_batch(plan, hp.batch_size,
                              bundle.config.num_encoder_layers)
         pp_step = make_pipeline_step(bundle.config, plan, bundle.tx,
