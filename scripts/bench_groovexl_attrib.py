@@ -59,9 +59,20 @@ def main(argv=None):
                    help="epochs per compiled dispatch (tunnel amortization)")
     p.add_argument("--smoke", action="store_true",
                    help="tiny dims, CPU-runnable shape/plumbing check only")
+    p.add_argument("--probes-only", action="store_true",
+                   help="skip the whole-step arms; reuse the arm numbers "
+                        "already in docs/groovexl_attrib.json")
+    p.add_argument("--bs", type=int, default=None,
+                   help="override batch size (bs-scaling recovery probe); "
+                        "results print but are NOT written to the json")
+    p.add_argument("--arms", default=None,
+                   help="comma list of arms to run (default: all four)")
     args = p.parse_args(argv)
     if args.smoke:
         D, HEADS, FF, LAYERS, BS = 128, 1, 256, 2, 16
+        N = BS * 4
+    if args.bs:
+        BS = args.bs
         N = BS * 4
 
     import transformergrooveinfilling_tpu  # noqa: F401 (applies TGI_PLATFORM)
@@ -89,15 +100,16 @@ def main(argv=None):
     fps = flops_per_seq(D, FF, LAYERS)
     fwd_fps = fps / 3  # flops_per_seq counts fwd + 2x for the backward
 
-    def timed(fn, *a, reps=args.steps, result_of=None):
-        """Best-of-reps wall time of a jitted fn; forces a scalar fetch."""
+    def timed(fn, *a, reps=args.steps):
+        """Best-of-reps wall time of a jitted fn returning a SCALAR; forces
+        materialization with a host fetch (the tunnel's block_until_ready
+        returns early — docs/PERF.md measurement hygiene). Probes must
+        amortize the ~30-100 ms dispatch RT over many in-program iterations."""
         out = fn(*a)  # compile
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            out = fn(*a)
-            leaf = result_of(out) if result_of else out
-            jax.block_until_ready(leaf)
+            float(np.asarray(fn(*a)))
             best = min(best, time.perf_counter() - t0)
         return best, out
 
@@ -153,7 +165,8 @@ def main(argv=None):
             float(np.asarray(m["loss"]))
             best = min(best, time.perf_counter() - t0)
         seqs = N * args.epochs / best
-        tf = seqs * fps / 1e12
+        # fwd_only runs a third of the step's FLOPs (no backward)
+        tf = seqs * (fwd_fps if step_kind == "fwd_only" else fps) / 1e12
         ms = best / args.epochs * 1e3
         results["arms"][name] = {"seqs_per_s": round(seqs),
                                  "tflops": round(tf, 1),
@@ -162,27 +175,49 @@ def main(argv=None):
               f"{ms:7.2f} ms/epoch", flush=True)
         return best / args.epochs
 
-    run_arm("full", RATE, "train")
-    run_arm("no_dropout", 0.0, "train")
-    run_arm("no_update", RATE, "no_update")
-    run_arm("fwd_only", RATE, "fwd_only")
+    json_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "docs", "groovexl_attrib.json")
+    if args.probes_only:
+        with open(json_path) as f:
+            results["arms"] = json.load(f)["arms"]
+    else:
+        wanted = args.arms.split(",") if args.arms else None
+        for name, rate, kind in [("full", RATE, "train"),
+                                 ("no_dropout", 0.0, "train"),
+                                 ("no_update", RATE, "no_update"),
+                                 ("fwd_only", RATE, "fwd_only")]:
+            if wanted is None or name in wanted:
+                run_arm(name, rate, kind)
+    if args.bs:
+        print(json.dumps(results["arms"], indent=1))
+        return 0
 
     # ---------------- standalone probes ----------------
     steps_per_epoch = N // BS
 
-    # MXU ceiling at the step's dominant matmul shape (the FFN pair)
+    # measured dispatch round-trip: a trivial scalar program, fetched — the
+    # floor every single-dispatch timing carries on the tunneled link
+    one = jnp.ones((8, 8), jnp.float32)
+    rt, _ = timed(jax.jit(lambda a: jnp.sum(a + 1.0)), one)
+    results["probes"]["dispatch_rt_ms"] = round(rt * 1e3, 2)
+    print(f"dispatch RT: {rt * 1e3:.1f} ms", flush=True)
+
+    # MXU ceiling at the step's dominant matmul shape (the FFN pair);
+    # enough serial pairs that compute dwarfs the dispatch RT
     w1 = jnp.asarray(rng.standard_normal((D, FF)) * 0.02, jnp.bfloat16)
     w2 = jnp.asarray(rng.standard_normal((FF, D)) * 0.02, jnp.bfloat16)
     xm = jnp.asarray(rng.standard_normal((BS * T, D)), jnp.bfloat16)
-    PAIRS = 24
+    PAIRS = 512
 
     @jax.jit
     def mm_ffn(xm):
         def body(i, a):
             return jnp.maximum(a @ w1, 0) @ w2 * 0.5
-        return jax.lax.fori_loop(0, PAIRS, body, xm)
+        return jnp.sum(jax.lax.fori_loop(0, PAIRS, body, xm)
+                       .astype(jnp.float32))
 
     t, _ = timed(mm_ffn, xm)
+    t -= rt
     fl = PAIRS * 2 * (BS * T) * D * FF * 2
     results["probes"]["mm_ffn_tflops"] = round(fl / t / 1e12, 1)
     print(f"mm_ffn ceiling: {fl / t / 1e12:6.1f} TFLOP/s "
@@ -193,7 +228,7 @@ def main(argv=None):
     q = jnp.asarray(rng.standard_normal((BS * HEADS, T, hd)), jnp.bfloat16)
     k = jnp.asarray(rng.standard_normal((BS * HEADS, T, hd)), jnp.bfloat16)
     v = jnp.asarray(rng.standard_normal((BS * HEADS, T, hd)), jnp.bfloat16)
-    ITER = 48
+    ITER = 1024
 
     @jax.jit
     def mm_attn(q):
@@ -201,9 +236,11 @@ def main(argv=None):
             s = jnp.einsum("bth,bsh->bts", q, k) * (1.0 / np.sqrt(hd))
             w = jax.nn.softmax(s.astype(jnp.float32), axis=-1)
             return jnp.einsum("bts,bsh->bth", w.astype(jnp.bfloat16), v)
-        return jax.lax.fori_loop(0, ITER, body, q)
+        return jnp.sum(jax.lax.fori_loop(0, ITER, body, q)
+                       .astype(jnp.float32))
 
     t, _ = timed(mm_attn, q)
+    t -= rt
     fl = ITER * 2 * 2 * (BS * HEADS) * T * T * hd
     results["probes"]["mm_attn_tflops"] = round(fl / t / 1e12, 1)
     # what the step spends there per epoch (12 layers x steps_per_epoch)
@@ -218,6 +255,7 @@ def main(argv=None):
     b = jnp.zeros((D,), jnp.float32)
     xf = jnp.asarray(rng.standard_normal((BS * T, D)), jnp.float32)
     SITES = 2 * LAYERS + 1
+    LN_REPS = 40
 
     @jax.jit
     def ln(xf):
@@ -225,12 +263,16 @@ def main(argv=None):
             mu = jnp.mean(a, axis=-1, keepdims=True)
             var = jnp.mean(jnp.square(a - mu), axis=-1, keepdims=True)
             return (a - mu) * jax.lax.rsqrt(var + 1e-5) * g + b
-        return jax.lax.fori_loop(0, SITES, body, xf)
+        return jnp.sum(jax.lax.fori_loop(0, SITES * LN_REPS, body, xf))
 
     t, _ = timed(ln, xf)
+    t = (t - rt) / LN_REPS
     ln_ms = t * steps_per_epoch * 1e3
     results["probes"]["ln_ms_per_epoch"] = round(ln_ms, 2)
-    print(f"ln x{SITES} sites: {ln_ms:.2f} ms/epoch", flush=True)
+    ln_gbs = SITES * 2 * xf.nbytes / t / 1e9
+    results["probes"]["ln_hbm_gb_s"] = round(ln_gbs, 1)
+    print(f"ln x{SITES} sites: {ln_ms:.2f} ms/epoch (~{ln_gbs:.0f} GB/s)",
+          flush=True)
 
     # SGD update over the real parameter tree: pure f32 HBM traffic
     cfg = GrooveTransformerConfig(
@@ -240,18 +282,38 @@ def main(argv=None):
     model = build_model(cfg)
     tx = make_optimizer("sgd", 0.05)
     state = create_train_state(model, cfg, tx, jax.random.PRNGKey(0))
-    grads = jax.tree.map(jnp.ones_like, state.params)
+    gkey = jax.random.PRNGKey(3)
+    grads = jax.tree.map(
+        lambda a: jax.random.normal(gkey, a.shape, a.dtype) * 1e-3,
+        state.params)
     n_params = sum(int(np.prod(l.shape))
                    for l in jax.tree.leaves(state.params))
     results["params_millions"] = round(n_params / 1e6, 1)
 
+    SGD_REPS = 40
+
     @jax.jit
     def sgd(params, grads):
-        updates, _ = tx.update(grads, state.opt_state, params)
-        return optax.apply_updates(params, updates)
+        def body(i, p):
+            # scale the grads by one element OF THE EVOLVING PARAMS: a true
+            # loop-carried data dependence. A purely index-based scale
+            # (1 + i*eps) is NOT enough — the unrolled updates are affine in
+            # the constant grads and XLA's algebraic simplifier folds all 40
+            # AXPYs into one (measured: the loop ran faster than a bare
+            # dispatch). The one-element read is free; the multiply fuses
+            # into the update's elementwise pass, so HBM traffic per
+            # iteration stays read-p + read-g + write-p.
+            s = jax.tree.leaves(p)[0].reshape(-1)[0] * 1e-30 + 1.0
+            g = jax.tree.map(lambda a: a * s, grads)
+            updates, _ = tx.update(g, state.opt_state, p)
+            return optax.apply_updates(p, updates)
+        p = jax.lax.fori_loop(0, SGD_REPS, body, params)
+        # consume EVERY leaf — a partial sum lets XLA dead-code-eliminate
+        # the untouched leaves' updates out of the loop entirely
+        return sum(jnp.sum(l) for l in jax.tree.leaves(p))
 
-    t, _ = timed(sgd, state.params, grads,
-                 result_of=lambda p: jax.tree.leaves(p)[0])
+    t, _ = timed(sgd, state.params, grads)
+    t = (t - rt) / SGD_REPS
     sgd_ms = t * steps_per_epoch * 1e3
     results["probes"]["sgd_ms_per_epoch"] = round(sgd_ms, 2)
     gbs = 3 * 4 * n_params / t / 1e9
@@ -267,18 +329,19 @@ def main(argv=None):
         "backward_ms": round(e["no_update"] - e["fwd_only"], 2),
         "forward_ms": round(e["fwd_only"], 2),
     }
-    # speed-of-light epoch at the measured matmul ceiling
-    ideal_ms = (N * fps / (results["probes"]["mm_ffn_tflops"] * 1e12)) * 1e3
-    attrib["ideal_ms_at_mm_ceiling"] = round(ideal_ms, 2)
+    # speed-of-light epoch at the measured matmul ceiling (CPU smoke can
+    # round the tiny probe to 0.0 TFLOP/s — skip the ratio there)
+    ceiling = results["probes"]["mm_ffn_tflops"]
+    if ceiling > 0:
+        ideal_ms = (N * fps / (ceiling * 1e12)) * 1e3
+        attrib["ideal_ms_at_mm_ceiling"] = round(ideal_ms, 2)
     results["attribution"] = attrib
     print(json.dumps(attrib, indent=1), flush=True)
 
     if not args.smoke:
-        out = os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "docs", "groovexl_attrib.json")
-        with open(out, "w") as f:
+        with open(json_path, "w") as f:
             json.dump(results, f, indent=1)
-        print("wrote", out, flush=True)
+        print("wrote", json_path, flush=True)
     return 0
 
 

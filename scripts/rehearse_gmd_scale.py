@@ -108,17 +108,27 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     os.makedirs(args.workdir, exist_ok=True)
+    # stage results persist in the workdir so the host-side stages (CPU) and
+    # the train stage (needs the chip) can run as separate invocations
+    stages_path = os.path.join(args.workdir, "stages.json")
+    stages = []
+    if os.path.exists(stages_path):
+        with open(stages_path) as f:
+            stages = json.load(f)
     report = {"loops": args.loops, "fanout": args.fanout,
               "aug_items": args.loops * args.fanout,
-              "partial": args.partial, "stages": []}
+              "partial": args.partial, "stages": stages}
+
+    def record(r):
+        print(r, flush=True)
+        stages[:] = [s for s in stages if s["stage"] != r["stage"]]
+        stages.append(r)
+        with open(stages_path, "w") as f:
+            json.dump(stages, f, indent=1)
 
     if not args.skip_archive:
-        r = build_archive(args.workdir, args.loops)
-        print(r, flush=True)
-        report["stages"].append(r)
-        r = convert_tree(args.workdir)
-        print(r, flush=True)
-        report["stages"].append(r)
+        record(build_archive(args.workdir, args.loops))
+        record(convert_tree(args.workdir))
 
     if not args.skip_dataset:
         # full-scale dataset pickles through the production CLI; the
@@ -132,17 +142,13 @@ def main(argv=None):
                         "--source", os.path.join(args.workdir, "processed"),
                         "--params-json", pj],
                        env={"TGI_PLATFORM": "cpu"})
-        r = {"stage": "process_dataset", "wall_s": round(wall, 1)}
-        print(r, flush=True)
-        report["stages"].append(r)
+        record({"stage": "process_dataset", "wall_s": round(wall, 1)})
         wall = run_cli([sys.executable, "process_evaluator.py",
                         "--experiments", "InfillingRandom",
                         "--source", os.path.join(args.workdir, "processed"),
                         "--splits", "train", "validation"],
                        env={"TGI_PLATFORM": "cpu"})
-        r = {"stage": "process_evaluator", "wall_s": round(wall, 1)}
-        print(r, flush=True)
-        report["stages"].append(r)
+        record({"stage": "process_evaluator", "wall_s": round(wall, 1)})
 
     if args.skip_train:
         out = os.path.join(REPO, "docs", "gmd_scale_rehearsal.json")
@@ -159,9 +165,7 @@ def main(argv=None):
              "--regen_partial", str(args.partial),
              "--epoch_block", "25"])
     wall = time.perf_counter() - t0
-    r = {"stage": "train_e2e", "wall_s": round(wall, 1)}
-    print(r, flush=True)
-    report["stages"].append(r)
+    record({"stage": "train_e2e", "wall_s": round(wall, 1)})
 
     # newest run dir → block-gap / swap stats from metrics.jsonl
     runs = os.path.join(REPO, "runs", "InfillingRandom")
