@@ -154,6 +154,61 @@ def main():
         "forward — the check has lost its discriminating power")
     print("fwd/bwd mask consistency: ok (and seed-mismatch is detected)")
 
+    # 5. the kernel INSIDE the shard_map dp step (fused_layer × data
+    # parallelism, round 4): a 1-device "data" mesh on the real chip checks
+    # that Mosaic lowers under the vma-checked manual context and that the
+    # custom-VJP's varying weight cotangents psum into the replicated param
+    # gradients (train/loop.py::_make_dp_shard_step). With the dp step's
+    # shard-index key fold replicated on the plain step, the in-kernel PRNG
+    # streams are identical → the two steps must agree to f32 reduction
+    # noise at dropout 0.3.
+    from transformergrooveinfilling_tpu.models import build_model
+    from transformergrooveinfilling_tpu.models.transformer import (
+        GrooveTransformerConfig,
+    )
+    from transformergrooveinfilling_tpu.parallel.mesh import (
+        make_mesh, replicated,
+    )
+    from transformergrooveinfilling_tpu.train.loop import (
+        create_train_state, make_optimizer, make_train_step,
+    )
+
+    cfg = GrooveTransformerConfig(
+        d_model=D, n_heads=H, dim_feedforward=FF, dropout=0.3,
+        num_encoder_layers=2, embedding_size_src=16, fused_layer=True)
+    model = build_model(cfg)
+    tx = make_optimizer("sgd", 0.05)
+    st = create_train_state(model, cfg, tx, jax.random.PRNGKey(0))
+    bx = jnp.asarray(rng.standard_normal((8, T, 16)), jnp.float32)
+    hb = (rng.random((8, T, 9)) < 0.3).astype(np.float32)
+    by = jnp.asarray(np.concatenate([hb, hb * 0.5, hb * 0.1], 2),
+                     jnp.float32)
+    w = jnp.ones((8,), jnp.float32)
+    key0 = jax.random.PRNGKey(21)
+
+    plan = make_mesh(n_data=1, n_model=1, devices=jax.devices()[:1])
+    dp_step = make_train_step(model, tx, 0.73, dp_mesh=plan.mesh)
+    s_dp, m_dp = dp_step(
+        jax.device_put(st, replicated(plan)),
+        jax.device_put(bx, replicated(plan)),
+        jax.device_put(by, replicated(plan)),
+        jax.device_put(w, replicated(plan)), key0)
+
+    plain_step = make_train_step(model, tx, 0.73)
+    s_pl, m_pl = plain_step(st, bx, by, w, jax.random.fold_in(key0, 0))
+
+    dl = abs(float(m_dp["loss"]) - float(m_pl["loss"]))
+    dp_params = jax.device_get(s_dp.params)
+    pl_params = jax.device_get(s_pl.params)
+    dmax = max(jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(np.max(np.abs(np.asarray(a) - np.asarray(b)))),
+        dp_params, pl_params)))
+    print(f"dp_shard fused step vs plain fused step: dloss {dl:.2e}, "
+          f"max param diff {dmax:.2e}")
+    assert dl < 1e-5 and dmax < 1e-5, (
+        "fused kernel under shard_map diverged from the plain fused step")
+    print("fused_layer x dp (shard_map) on hardware: ok")
+
 
 if __name__ == "__main__":
     main()

@@ -95,6 +95,95 @@ def test_sharded_training_matches_single_device(n_model, rng):
         s1.params, jax.device_get(s2.params))
 
 
+def test_dp_shard_step_matches_single_device(rng):
+    """The shard_map dp step (fused_layer's mesh path) must reproduce the
+    single-device epoch: same weighted loss/metrics and same params after a
+    full epoch, including a padded final batch (n=30, bs=8 → the last
+    batch's zero-weight rows land on real shards and must drop out of the
+    psum-weighted means and gradients)."""
+    x, y = _data(rng, n=30)
+    model = build_model(CFG)
+    tx = make_optimizer("sgd", 0.05)
+    state0 = create_train_state(model, CFG, tx, jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(9)
+
+    epoch_single = make_epoch_fn(model, tx, 0.5, 8, 30, donate=False)
+    s1, m1 = epoch_single(state0, x, y, key)
+
+    plan = make_mesh(n_model=1)
+    state_r = jax.device_put(state0, replicated(plan))
+    epoch_dp = make_epoch_fn(model, tx, 0.5, 8, 30, plan=plan, donate=False,
+                             dp_shard=True)
+    s2, m2 = epoch_dp(state_r, jax.device_put(x, replicated(plan)),
+                      jax.device_put(y, replicated(plan)), key)
+
+    assert set(m1) == set(m2)
+    for k in m1:
+        np.testing.assert_allclose(float(m1[k]), float(m2[k]), rtol=1e-4,
+                                   err_msg=k)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5),
+        s1.params, jax.device_get(s2.params))
+
+
+def test_dp_shard_fused_layer_matches_unfused_single_device(rng):
+    """fused_layer × data parallelism: a fused_layer=True flagship-width
+    model inside the shard_map dp step must match the plain single-device
+    XLA path — the composition the GSPMD partitioner refuses (opaque custom
+    call) and the driver now routes through dp_shard. On CPU the layer
+    detects the manual trace and takes its rate-0-identical unfused branch
+    (the Pallas HLO interpreter rejects vma-tracked operands); the kernel
+    itself runs under shard_map on real TPU, validated by check 5 of
+    scripts/validate_fused_layer.py."""
+    import dataclasses
+
+    fused_cfg = GrooveTransformerConfig(
+        d_model=256, n_heads=2, dim_feedforward=512, dropout=0.0,
+        num_encoder_layers=1, embedding_size_src=16, fused_layer=True)
+    x, y = _data(rng, n=64)
+    fused_model = build_model(fused_cfg)
+    plain_model = build_model(
+        dataclasses.replace(fused_cfg, fused_layer=False))
+    tx = make_optimizer("sgd", 0.05)
+    state0 = create_train_state(plain_model, fused_cfg, tx,
+                                jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(9)
+
+    epoch_single = make_epoch_fn(plain_model, tx, 0.5, 32, 64, donate=False)
+    s1, m1 = epoch_single(state0, x, y, key)
+
+    plan = make_mesh(n_model=1)
+    state_r = jax.device_put(state0, replicated(plan))
+    epoch_dp = make_epoch_fn(fused_model, tx, 0.5, 32, 64, plan=plan,
+                             donate=False, dp_shard=True)
+    s2, m2 = epoch_dp(state_r, jax.device_put(x, replicated(plan)),
+                      jax.device_put(y, replicated(plan)), key)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=2e-4)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-4),
+        s1.params, jax.device_get(s2.params))
+
+
+def test_resolve_fused_layer_dp_topology():
+    from transformergrooveinfilling_tpu.train.config import (
+        resolve_fused_layer,
+    )
+
+    # flagship width: single-device and dp-shard meshes qualify, plain
+    # multi-device (tp/pp or non-dividing batch) does not
+    assert resolve_fused_layer(None, 256, 2, 512, n_devices=1)
+    assert resolve_fused_layer(None, 256, 2, 512, n_devices=8,
+                               dp_shard_ok=True)
+    assert not resolve_fused_layer(None, 256, 2, 512, n_devices=8)
+    # explicit flag still wins
+    assert resolve_fused_layer(True, 256, 2, 512, n_devices=8)
+    assert not resolve_fused_layer(False, 256, 2, 512, n_devices=1)
+
+
 def test_data_sharding_spec():
     plan = make_mesh()
     sh = data_sharding(plan)

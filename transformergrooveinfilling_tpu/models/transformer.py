@@ -325,11 +325,17 @@ class EncoderLayer(nn.Module):
         # whole-layer fused path: ONE Pallas call for attention + both
         # DropAddLayerNorms + FFN with in-kernel PRNG dropout
         # (ops/fused_layer.py). TPU-only when dropout is live — interpret-
-        # mode Pallas stubs the PRNG (same gate as _ffn_block).
+        # mode Pallas stubs the PRNG (same gate as _ffn_block). Under a
+        # shard_map trace (x varying over mesh axes — the dp_shard step,
+        # train/loop.py) interpret mode is additionally out: the Pallas HLO
+        # interpreter rejects vma-tracked operands, so non-TPU backends
+        # take the (numerically identical at rate 0) unfused path there.
         on_tpu = jax.default_backend() == "tpu"
+        in_manual_trace = bool(getattr(jax.typeof(x), "vma", ()))
         if (self.fused_layer and not deterministic and x.ndim == 3
                 and isinstance(self.dropout, (int, float))
-                and (on_tpu or float(self.dropout) == 0.0)):
+                and (on_tpu or (float(self.dropout) == 0.0
+                                and not in_manual_trace))):
             from ..ops.fused_layer import (
                 encoder_layer_train, supports_fused_layer,
             )

@@ -379,11 +379,14 @@ def _fwd_call(x, wqkv, bqkv, wo, bo, g1, b1, w1, b1f, w2, b2f, g2, b2, seed,
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((m, d), x.dtype),
-            jax.ShapeDtypeStruct((m, 3 * d), x.dtype),
-            jax.ShapeDtypeStruct((m, d), x.dtype),
-            jax.ShapeDtypeStruct((m, ff), x.dtype),
-            jax.ShapeDtypeStruct((m, d), x.dtype),
+            # vma follows x: under a check_vma shard_map (the dp step,
+            # train/loop.py::_make_dp_shard_step) outputs vary over the same
+            # mesh axes as the sharded rows; outside shard_map it's empty
+            jax.ShapeDtypeStruct((m, d), x.dtype, vma=jax.typeof(x).vma),
+            jax.ShapeDtypeStruct((m, 3 * d), x.dtype, vma=jax.typeof(x).vma),
+            jax.ShapeDtypeStruct((m, d), x.dtype, vma=jax.typeof(x).vma),
+            jax.ShapeDtypeStruct((m, ff), x.dtype, vma=jax.typeof(x).vma),
+            jax.ShapeDtypeStruct((m, d), x.dtype, vma=jax.typeof(x).vma),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * m * (3 * d * d + d * d + 2 * d * ff)
@@ -443,19 +446,35 @@ def _bwd_call(dy, x, qkv, a1, h, a2, wqkv, wo, w1, w2, g1, b1, g2,
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((m, d), x.dtype),
-            jax.ShapeDtypeStruct((d, 3 * d), jnp.float32),
-            jax.ShapeDtypeStruct((1, 3 * d), jnp.float32),
-            jax.ShapeDtypeStruct((d, d), jnp.float32),
-            jax.ShapeDtypeStruct((1, d), jnp.float32),
-            jax.ShapeDtypeStruct((1, d), jnp.float32),
-            jax.ShapeDtypeStruct((1, d), jnp.float32),
-            jax.ShapeDtypeStruct((d, ff), jnp.float32),
-            jax.ShapeDtypeStruct((1, ff), jnp.float32),
-            jax.ShapeDtypeStruct((ff, d), jnp.float32),
-            jax.ShapeDtypeStruct((1, d), jnp.float32),
-            jax.ShapeDtypeStruct((1, d), jnp.float32),
-            jax.ShapeDtypeStruct((1, d), jnp.float32),
+            # per-shard weight grads VARY over the dp shard_map's mesh axes
+            # (each shard reduced over its own rows) — vma follows the
+            # cotangent; the shard_map boundary then psums them into the
+            # replicated params' cotangents. Empty outside shard_map.
+            jax.ShapeDtypeStruct((m, d), x.dtype, vma=jax.typeof(dy).vma),
+            jax.ShapeDtypeStruct((d, 3 * d), jnp.float32,
+                                 vma=jax.typeof(dy).vma),
+            jax.ShapeDtypeStruct((1, 3 * d), jnp.float32,
+                                 vma=jax.typeof(dy).vma),
+            jax.ShapeDtypeStruct((d, d), jnp.float32,
+                                 vma=jax.typeof(dy).vma),
+            jax.ShapeDtypeStruct((1, d), jnp.float32,
+                                 vma=jax.typeof(dy).vma),
+            jax.ShapeDtypeStruct((1, d), jnp.float32,
+                                 vma=jax.typeof(dy).vma),
+            jax.ShapeDtypeStruct((1, d), jnp.float32,
+                                 vma=jax.typeof(dy).vma),
+            jax.ShapeDtypeStruct((d, ff), jnp.float32,
+                                 vma=jax.typeof(dy).vma),
+            jax.ShapeDtypeStruct((1, ff), jnp.float32,
+                                 vma=jax.typeof(dy).vma),
+            jax.ShapeDtypeStruct((ff, d), jnp.float32,
+                                 vma=jax.typeof(dy).vma),
+            jax.ShapeDtypeStruct((1, d), jnp.float32,
+                                 vma=jax.typeof(dy).vma),
+            jax.ShapeDtypeStruct((1, d), jnp.float32,
+                                 vma=jax.typeof(dy).vma),
+            jax.ShapeDtypeStruct((1, d), jnp.float32,
+                                 vma=jax.typeof(dy).vma),
         ],
         cost_estimate=pl.CostEstimate(
             flops=4 * m * (3 * d * d + d * d + 2 * d * ff)

@@ -138,21 +138,29 @@ def resolve_fused_ffn(fused_ffn: Optional[bool], dim_feedforward: int,
 
 def resolve_fused_layer(fused_layer: Optional[bool], d_model: int,
                         n_heads: int, dim_feedforward: int,
-                        n_devices: int = 1) -> bool:
+                        n_devices: int = 1,
+                        dp_shard_ok: bool = False) -> bool:
     """fused_layer hyperparameter → whole-encoder-layer kernel switch
     (ops/fused_layer.py). ``None`` = auto: ON whenever the kernel's static
-    shape gate admits the width AND execution is single-device — measured
+    shape gate admits the width AND the topology supports it — measured
     +26 % on the headline flagship step (96.0k → 121.4k seqs/s/chip,
     docs/PERF.md round 4) by amortizing one fusion boundary over all four
-    dropout sites, both LNs, attention and the FFN. Multi-device meshes turn
-    it off: the training step shards via GSPMD (NamedSharding + jit), which
-    cannot partition an opaque Pallas custom call — it would replicate the
-    whole layer's activations per chip. The kernel dispatch itself re-checks
-    backend and per-batch row divisibility (EncoderLayer), so this resolves
-    the width/topology gate only."""
+    dropout sites, both LNs, attention and the FFN.
+
+    Topology: single-device always qualifies. A *data-parallel-only* mesh
+    qualifies when the caller confirms the shard_map dp step is available
+    (``dp_shard_ok`` — the driver checks dp-only + batch divisibility):
+    each shard then traces a single-device program where the Pallas call is
+    legal, with an explicit psum gradient all-reduce
+    (train/loop.py::_make_dp_shard_step). Tensor-parallel or pipeline
+    meshes keep it off: the step shards via GSPMD, which cannot partition
+    an opaque custom call — it would replicate the whole layer's
+    activations per chip. The kernel dispatch itself re-checks backend and
+    per-batch row divisibility (EncoderLayer), so this resolves the
+    width/topology gate only."""
     if fused_layer is not None:
         return bool(fused_layer)
-    return (n_devices == 1
+    return ((n_devices == 1 or dp_shard_ok)
             and d_model % 128 == 0 and dim_feedforward % 128 == 0
             and d_model % max(n_heads, 1) == 0
             and (d_model // max(n_heads, 1)) % 128 == 0 and n_heads <= 5)
@@ -254,7 +262,8 @@ def resolve_remat(remat: Optional[bool], *, d_model: int, n_heads: int,
 
 
 def derive_model_config(
-    hp: HyperParams, compute_dtype=None, n_devices: int = 1
+    hp: HyperParams, compute_dtype=None, n_devices: int = 1,
+    dp_shard_ok: bool = False
 ) -> GrooveTransformerConfig:
     if compute_dtype is None:
         compute_dtype = resolve_compute_dtype(getattr(hp, "bf16", None))
@@ -266,7 +275,8 @@ def derive_model_config(
         fused_layer=resolve_fused_layer(getattr(hp, "fused_layer", None),
                                         hp.d_model, hp.n_heads,
                                         hp.dim_feedforward,
-                                        n_devices=n_devices),
+                                        n_devices=n_devices,
+                                        dp_shard_ok=dp_shard_ok),
         remat=resolve_remat(getattr(hp, "remat", None),
                             d_model=hp.d_model, n_heads=hp.n_heads,
                             dim_feedforward=hp.dim_feedforward,

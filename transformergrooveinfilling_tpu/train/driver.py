@@ -335,20 +335,35 @@ def run_training(
             "(docs/PERF.md 'Parallelism matrix', docs/capacity_matrix.json)")
 
     n_mesh_devices = int(plan.mesh.size) if getattr(plan, "mesh", None) else 1
-    if getattr(hp, "fused_layer", None) and n_mesh_devices > 1:
-        raise NotImplementedError(
-            "--fused_layer 1 is single-device: the whole-encoder-layer "
-            "Pallas kernel is an opaque custom call GSPMD cannot partition "
-            "across a mesh. Drop the flag (auto turns it off on meshes) or "
-            "run single-chip — the unfused path shards fine under dp/tp/pp.")
+    # fused_layer × data parallelism (round 4): the shard_map dp step
+    # (train/loop.py::_make_dp_shard_step) traces a single-device program
+    # per shard, so the whole-encoder-layer Pallas kernel is legal under
+    # dp — each shard runs the kernel on its batch rows and gradients
+    # all-reduce via an explicit psum. tp/pp still shard via GSPMD, which
+    # cannot partition an opaque custom call, and keep the kernel off.
+    dp_shard_ok = (not is_pp and n_mesh_devices > 1
+                   and int(getattr(plan, "n_model", 1)) == 1
+                   and hp.batch_size % int(plan.n_data) == 0)
     if bundle is None:
-        config = derive_model_config(hp, n_devices=n_mesh_devices)
+        config = derive_model_config(hp, n_devices=n_mesh_devices,
+                                     dp_shard_ok=dp_shard_ok)
         model = build_model(config)
         tx = make_optimizer(hp.optimizer_algorithm, hp.learning_rate)
         state = create_train_state(model, config, tx, jax.random.PRNGKey(seed))
         bundle = ModelBundle(model=model, config=config, tx=tx, state=state,
                              optimizer_algorithm=hp.optimizer_algorithm,
                              learning_rate=hp.learning_rate)
+
+    use_dp_shard = (bool(getattr(bundle.config, "fused_layer", False))
+                    and n_mesh_devices > 1)
+    if use_dp_shard and not dp_shard_ok:
+        raise NotImplementedError(
+            "fused_layer on this mesh is unsupported: the whole-encoder-"
+            "layer Pallas kernel composes with DATA parallelism only, via "
+            "the shard_map dp step (batch_size must divide the data axis). "
+            "tp/pp shard via GSPMD, which cannot partition an opaque custom "
+            "call. Drop the flag (auto turns it off here), use a dp-only "
+            "mesh with a dividing batch size, or run single-chip.")
 
     pp_step = None
     if is_pp:
@@ -493,7 +508,8 @@ def run_training(
         bundle.model, bundle.tx, hp.hit_loss_penalty, hp.batch_size, n,
         plan=plan, donate=True, n_epochs=epoch_block,
         encoder_only=encoder_only, augment=on_device_augment,
-        augment_per_epoch=augment_per_epoch, step_fn=pp_step)
+        augment_per_epoch=augment_per_epoch, step_fn=pp_step,
+        dp_shard=use_dp_shard)
     eval_loss_fn = make_eval_loss_fn(bundle.model, hp.hit_loss_penalty,
                                      encoder_only=encoder_only)
 
@@ -604,8 +620,18 @@ def run_training(
         # executable into a cache miss
         from .loop import make_watch_fn
 
+        watch_model = bundle.model
+        if use_dp_shard:
+            # watch jits a train-mode backward under GSPMD (data-sharded
+            # batch), where the fused whole-layer Pallas call is not
+            # partitionable — trace it with the unfused path instead. The
+            # param tree is shared between paths by construction, and watch
+            # histograms never promised the kernel's dropout stream (the
+            # plain path's stream already differs from in-kernel PRNG).
+            watch_model = build_model(
+                dataclasses.replace(bundle.config, fused_layer=False))
         return make_watch_fn(
-            bundle.model, hp.hit_loss_penalty, hp.batch_size,
+            watch_model, hp.hit_loss_penalty, hp.batch_size,
             encoder_only=encoder_only, augment=on_device_augment)
 
     # warm inputs: the resident arrays, or (host-streaming mode, where the
@@ -661,7 +687,8 @@ def run_training(
                     bundle.model, bundle.tx, hp.hit_loss_penalty, hp.batch_size,
                     n, plan=plan, donate=True, n_epochs=block,
                     encoder_only=encoder_only, augment=on_device_augment,
-                    augment_per_epoch=augment_per_epoch, step_fn=pp_step)
+                    augment_per_epoch=augment_per_epoch, step_fn=pp_step,
+                    dp_shard=use_dp_shard)
             if streamer is not None and blocks_run % cadence == 0:
                 if n_proc > 1:
                     from jax.experimental import multihost_utils

@@ -74,7 +74,8 @@ def create_train_state(model, config, tx, rng) -> TrainState:
 
 def make_train_step(model, tx, hit_loss_penalty: float,
                     encoder_only: bool = True,
-                    forward_fn: Callable | None = None) -> Callable:
+                    forward_fn: Callable | None = None,
+                    dp_mesh=None) -> Callable:
     """One SGD step: forward (train-mode dropout) → penalty-masked 3-term loss →
     grads → update. Returns (state, metrics-dict).
 
@@ -84,7 +85,21 @@ def make_train_step(model, tx, hit_loss_penalty: float,
     ``forward_fn``: optional ``(params, x, y, dropout_key) -> preds``
     replacing the plain ``model.apply`` (the pipeline-parallel step injects
     its pipelined forward here — one copy of the grad/update/metrics body).
+
+    ``dp_mesh``: optional ``Mesh`` with a "data" axis. When set, the
+    forward/backward runs under ``jax.shard_map`` over "data" instead of
+    GSPMD auto-sharding: each shard traces a SINGLE-DEVICE program — which
+    makes opaque Pallas custom calls (the whole-encoder-layer fused kernel,
+    ops/fused_layer.py) legal under data parallelism, where GSPMD would have
+    to replicate them — and the gradient all-reduce is an explicit
+    ``psum`` over "data" (the same ICI collective XLA emits for GSPMD dp).
+    Params must be replicated (no tensor parallelism on this path) and the
+    per-step batch must divide the "data" axis. Per-shard dropout streams
+    are decorrelated by folding the shard index into the step key.
     """
+    if dp_mesh is not None:
+        return _make_dp_shard_step(model, tx, hit_loss_penalty, dp_mesh,
+                                   encoder_only=encoder_only)
 
     def step(state: TrainState, x, y, w, dropout_key):
         def loss_fn(params):
@@ -118,6 +133,86 @@ def make_train_step(model, tx, hit_loss_penalty: float,
     return step
 
 
+def _make_dp_shard_step(model, tx, hit_loss_penalty, mesh,
+                        encoder_only: bool = True) -> Callable:
+    """The shard_map data-parallel train step (see make_train_step).
+
+    Numerics: ``calculate_loss`` normalizes by the shard's live-row count, so
+    the global loss is the live-row-weighted mean of shard losses — identical
+    to the single-device value (including zero-weight padding shards, where
+    the guarded denominator yields a harmless 0·0 term). The gradient of that
+    weighted psum-mean, psum'd across shards, equals the single-device
+    gradient. ``hit_perplexity`` is exp(bce) and must be rebuilt from the
+    global bce, not averaged.
+    """
+    import functools
+
+    from jax.sharding import PartitionSpec  # local alias: P is module-level
+
+    # check_vma stays ON (the default): vma tracking is what makes regular
+    # autodiff all-reduce the replicated params' cotangents automatically —
+    # measured bit-exact against the single-device step — and what lets the
+    # grad-reduction below tell custom_vjp leaves apart. (check_vma=False
+    # was measured WRONG here: no auto-reduction happens and each shard
+    # updates params with its local gradient contribution, diverging
+    # per-device within an epoch.)
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(PartitionSpec(), PartitionSpec("data"),
+                  PartitionSpec("data"), PartitionSpec("data"),
+                  PartitionSpec()),
+        out_specs=(PartitionSpec(), PartitionSpec()))
+    def grads_and_metrics(params, x, y, w, dropout_key):
+        key = jax.random.fold_in(dropout_key, jax.lax.axis_index("data"))
+
+        def loss_fn(p):
+            args = (x,) if encoder_only else (x, y)
+            pred = model.apply({"params": p}, *args, deterministic=False,
+                               rngs={"dropout": key})
+            out = calculate_loss(pred, y, hit_loss_penalty, sample_weights=w)
+            wsum = jnp.sum(w)
+            wtot = jnp.maximum(jax.lax.psum(wsum, "data"), 1.0)
+            loss = jax.lax.psum(out.total_loss * wsum, "data") / wtot
+            return loss, (out, wsum, wtot)
+
+        # Gradient all-reduce, leaf-by-leaf via the vma tags: regular
+        # autodiff already psum'd the replicated params' cotangents (an
+        # unconditional extra psum double-counts by n_data — caught by
+        # test_dp_shard_step_matches_single_device's grad_norm check), but
+        # custom_vjp layers (the fused whole-encoder-layer kernel) opt out
+        # of that machinery and return per-shard weight cotangents still
+        # VARYING over "data" — exactly those leaves need the explicit psum.
+        grads, (out, wsum, wtot) = jax.grad(loss_fn, has_aux=True)(params)
+        grads = jax.tree.map(
+            lambda g: (jax.lax.psum(g, "data")
+                       if "data" in jax.typeof(g).vma else g),
+            grads)
+
+        def comb(m):  # live-row-weighted global mean of a shard-mean metric
+            return jax.lax.psum(m * wsum, "data") / wtot
+
+        bce = comb(out.bce_hits)
+        metrics = {
+            "loss": comb(out.total_loss),
+            "hit_accuracy": comb(out.hit_accuracy),
+            "hit_perplexity": jnp.exp(bce),
+            "bce_hits": bce,
+            "mse_velocities": comb(out.mse_velocities),
+            "mse_offsets": comb(out.mse_offsets),
+        }
+        return grads, metrics
+
+    def step(state: TrainState, x, y, w, dropout_key):
+        grads, metrics = grads_and_metrics(state.params, x, y, w, dropout_key)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(metrics, grad_norm=optax.global_norm(grads))
+        return TrainState(step=state.step + 1, params=params,
+                          opt_state=opt_state), metrics
+
+    return step
+
+
 def make_epoch_fn(
     model,
     tx,
@@ -132,6 +227,7 @@ def make_epoch_fn(
     augment=None,
     augment_per_epoch: bool = True,
     step_fn=None,
+    dp_shard: bool = False,
 ):
     """Compile a whole-epoch function ``(state, inputs, outputs, key) ->
     (state, metrics)``.
@@ -152,10 +248,25 @@ def make_epoch_fn(
     ``step_fn``: optional ``(state, x, y, w, dropout_key) -> (state, metrics)``
     replacing the plain train step — how the pipeline-parallel step
     (parallel.pipeline.make_pipeline_step) rides the same epoch program.
+
+    ``dp_shard``: run the train step under ``jax.shard_map`` over the plan's
+    "data" axis instead of GSPMD auto-sharding (see make_train_step's
+    ``dp_mesh``) — required for the fused whole-encoder-layer kernel on a
+    data-parallel mesh. Needs ``plan`` dp-only and ``batch_size`` divisible
+    by the data-axis size.
     """
     if step_fn is None:
+        dp_mesh = None
+        if dp_shard and plan is not None and plan.mesh.size > 1:
+            assert plan.n_model == 1, \
+                "dp_shard replicates params per shard; tp needs GSPMD"
+            assert batch_size % plan.n_data == 0, (
+                f"dp_shard: batch_size {batch_size} must divide the data "
+                f"axis ({plan.n_data})")
+            dp_mesh = plan.mesh
         step_fn = make_train_step(model, tx, hit_loss_penalty,
-                                  encoder_only=encoder_only)
+                                  encoder_only=encoder_only,
+                                  dp_mesh=dp_mesh)
     n_batches = -(-n_samples // batch_size)
     padded = n_batches * batch_size
 
