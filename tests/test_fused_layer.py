@@ -128,12 +128,49 @@ def test_kernel_rate0_matches_manual():
 
 def test_shape_gate():
     assert supports_fused_layer(256, 2, 512, 4096, 32)
-    assert not supports_fused_layer(256, 3, 512, 4096, 32)   # hd not 128-mult
+    assert supports_fused_layer(256, 4, 2048, 4096, 32)      # hd 64, packed
+    assert supports_fused_layer(128, 2, 512, 4096, 32)       # hd 64, packed
+    assert not supports_fused_layer(256, 3, 512, 4096, 32)   # hd 85, no slice
+    assert not supports_fused_layer(128, 4, 512, 4096, 32)   # hd 32 unsupported
     assert not supports_fused_layer(200, 2, 512, 4096, 32)   # d not 128-mult
     assert not supports_fused_layer(256, 2, 512, 96, 32)     # no legal tile
     assert pick_layer_tile(4096, 32) == 256
     assert pick_layer_tile(128, 32) == 128
     assert pick_layer_tile(96, 32) is None
+
+
+def test_forward_and_grad_parity_rate0_packed_heads():
+    """hd-64 lane-group packing (the lm config shape d256/h4/ff2048): the
+    fused layer must reproduce the unfused XLA path's forward and every
+    gradient at rate 0 — the packed matmuls' zeroed lanes must neither leak
+    cross-head terms nor drop head contributions."""
+    d, h, ff = 256, 4, 2048
+    x = jnp.asarray(np.random.default_rng(4).standard_normal((4, T, d)),
+                    jnp.float32)
+    layer = lambda fused: EncoderLayer(d, h, ff, 0.0, fused_layer=fused)
+    params = layer(False).init(jax.random.PRNGKey(0), x,
+                               deterministic=True)["params"]
+    key = {"dropout": jax.random.PRNGKey(3)}
+
+    def loss(fused, params, x):
+        y = layer(fused).apply({"params": params}, x, deterministic=False,
+                               rngs=key)
+        w = jnp.arange(y.size, dtype=jnp.float32).reshape(y.shape) / y.size
+        return jnp.sum(y * w), y
+
+    (l_ref, y_ref), g_ref = jax.value_and_grad(
+        loss, argnums=(1, 2), has_aux=True)(False, params, x)
+    (l_fused, y_fused), g_fused = jax.value_and_grad(
+        loss, argnums=(1, 2), has_aux=True)(True, params, x)
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref),
+                               rtol=2e-4, atol=2e-4)
+    flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
+    flat_fused = jax.tree.leaves(g_fused)
+    assert len(flat_ref) == len(flat_fused)
+    for (path, r), f in zip(flat_ref, flat_fused):
+        np.testing.assert_allclose(
+            np.asarray(f), np.asarray(r), rtol=5e-3, atol=5e-4,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
 
 
 def test_interpret_rate_positive_consistent_grads():

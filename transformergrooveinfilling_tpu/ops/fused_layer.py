@@ -40,7 +40,12 @@ tile x site) rather than jax.random's — dropout streams are not bit-portable
 across paths anyway.
 
 Constraints: training path only; ``d_model`` and ``dim_feedforward``
-multiples of 128; per-head dim a multiple of 128 (flagship: d256/h2 → 128);
+multiples of 128; per-head dim a multiple of 128 (flagship: d256/h2 → 128)
+OR exactly 64 with an even head count (the lm config d256/h4 → 64): 64-wide
+heads are packed two-per-128-lane group and each head's score/output
+matmuls run on LANE-MASKED full-group operands — the zeroed lanes kill the
+cross-head terms — so every slice stays 128-aligned for Mosaic at 2× (not
+4×) attention-FLOP waste, noise at ~3 % of layer FLOPs;
 ``n_heads`` <= 5 (seed-site layout); rows divisible by a tile that is a
 multiple of the sequence length. Interpreter mode (CPU tests) stubs the PRNG
 exactly like ops/fused_ffn.py: masks keep everything (still rescaled), so
@@ -78,10 +83,14 @@ def pick_layer_tile(rows: int, seq_len: int) -> int | None:
 def supports_fused_layer(d_model: int, n_heads: int, dim_feedforward: int,
                          rows: int, seq_len: int) -> bool:
     """Static shape gate shared by the model dispatch and tests."""
-    return (d_model % 128 == 0 and dim_feedforward % 128 == 0
-            and d_model % n_heads == 0
-            and (d_model // n_heads) % 128 == 0 and n_heads <= 5
-            and pick_layer_tile(rows, seq_len) is not None)
+    if not (d_model % 128 == 0 and dim_feedforward % 128 == 0
+            and d_model % n_heads == 0 and n_heads <= 5
+            and pick_layer_tile(rows, seq_len) is not None):
+        return False
+    hd = d_model // n_heads
+    # 128-multiple heads slice directly; 64-wide heads pack two per
+    # 128-lane group (needs an even head count)
+    return hd % 128 == 0 or (hd == 64 and n_heads % 2 == 0)
 
 
 def _ln_stats(a):
@@ -104,13 +113,30 @@ def _make_mask(seed0, i, site, shape, thresh: int, interpret: bool):
     return (pltpu.bitcast(bits, jnp.uint32) & 0xFF) < thresh
 
 
-def _block_diag_softmax(qkvc, d, hd, hh, seq_len, scale):
+def _head_groups(n_heads: int, hd: int):
+    """(heads_per_group, group_width, n_groups) for the lane-group packing:
+    one head per group at hd % 128 == 0, two per 128-lane group at hd 64."""
+    g = 2 if hd == 64 else 1
+    return g, hd * g, n_heads // g
+
+
+def _lane_mask(arr, lane_group, pos: int, g: int):
+    """Zero every lane of ``arr`` outside head-position ``pos`` of its
+    group. Identity when the group holds a single head — the validated
+    hd-128 path stays byte-identical."""
+    if g == 1:
+        return arr
+    return jnp.where(lane_group == pos, arr, jnp.zeros((), arr.dtype))
+
+
+def _block_diag_softmax(q, k, seq_len, scale):
     """One head's masked softmax over the tile's dense (tile, tile) scores —
     shared by forward and backward (the backward's recomputation is
-    bit-identical because both read the same stored bf16 qkv)."""
-    tile = qkvc.shape[0]
-    q = qkvc[:, hh * hd:(hh + 1) * hd]
-    k = qkvc[:, d + hh * hd:d + (hh + 1) * hd]
+    bit-identical because both read the same stored bf16 qkv). ``q``/``k``
+    are the head's operands; when heads are lane-group packed, ``q`` is
+    lane-masked so the zeroed lanes kill the other head's contraction
+    terms."""
+    tile = q.shape[0]
     s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
     row = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 0) // seq_len
     col = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 1) // seq_len
@@ -140,15 +166,26 @@ def _fwd_kernel(seed_ref, x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
     qkvc = qkv.astype(cd)
     qkv_ref[:] = qkvc
 
+    g, gw, n_groups = _head_groups(n_heads, hd)
     attn_parts = []
-    for hh in range(n_heads):
-        v = qkvc[:, 2 * d + hh * hd:2 * d + (hh + 1) * hd]
-        p = _block_diag_softmax(qkvc, d, hd, hh, seq_len, scale)
-        if drop:
-            mh = _make_mask(seed0, i, hh, (tile, tile), thresh, interpret)
-            p = jnp.where(mh, p / keep, 0.0)
-        attn_parts.append(
-            jnp.dot(p.astype(cd), v, preferred_element_type=jnp.float32))
+    for gg in range(n_groups):
+        qg = qkvc[:, gg * gw:(gg + 1) * gw]
+        kg = qkvc[:, d + gg * gw:d + (gg + 1) * gw]
+        vg = qkvc[:, 2 * d + gg * gw:2 * d + (gg + 1) * gw]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (tile, gw), 1) // hd
+        acc = None
+        for pos in range(g):
+            hh = gg * g + pos
+            p = _block_diag_softmax(_lane_mask(qg, lane, pos, g), kg,
+                                    seq_len, scale)
+            if drop:
+                mh = _make_mask(seed0, i, hh, (tile, tile), thresh,
+                                interpret)
+                p = jnp.where(mh, p / keep, 0.0)
+            a = jnp.dot(p.astype(cd), _lane_mask(vg, lane, pos, g),
+                        preferred_element_type=jnp.float32)
+            acc = a if acc is None else acc + a
+        attn_parts.append(acc)
     attn = jnp.concatenate(attn_parts, axis=1).astype(cd)
 
     proj = jnp.dot(attn, wo_ref[:],
@@ -252,19 +289,29 @@ def _bwd_kernel(seed_ref, dy_ref, x_ref, qkv_ref, a1_ref,
     # bf16 qkv (same inputs, same ops as the forward kernel), so neither the
     # softmax probabilities nor the attention output ever touch HBM
     qkv = qkv_ref[:]
+    g, gw, n_groups = _head_groups(n_heads, hd)
     ps, pds, mhs = [], [], []
     ah_parts = []
-    for hh in range(n_heads):
-        v = qkv[:, 2 * d + hh * hd:2 * d + (hh + 1) * hd]
-        p = _block_diag_softmax(qkv, d, hd, hh, seq_len, scale)
-        mh = (_make_mask(seed0, i, hh, (tile, tile), thresh, interpret)
-              if drop else None)
-        pd = jnp.where(mh, p / keep, 0.0) if drop else p
-        ps.append(p)
-        pds.append(pd)
-        mhs.append(mh)
-        ah_parts.append(jnp.dot(pd.astype(cd), v,
-                                preferred_element_type=jnp.float32))
+    for gg in range(n_groups):
+        qg = qkv[:, gg * gw:(gg + 1) * gw]
+        kg = qkv[:, d + gg * gw:d + (gg + 1) * gw]
+        vg = qkv[:, 2 * d + gg * gw:2 * d + (gg + 1) * gw]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (tile, gw), 1) // hd
+        acc = None
+        for pos in range(g):
+            hh = gg * g + pos
+            p = _block_diag_softmax(_lane_mask(qg, lane, pos, g), kg,
+                                    seq_len, scale)
+            mh = (_make_mask(seed0, i, hh, (tile, tile), thresh, interpret)
+                  if drop else None)
+            pd = jnp.where(mh, p / keep, 0.0) if drop else p
+            ps.append(p)
+            pds.append(pd)
+            mhs.append(mh)
+            a = jnp.dot(pd.astype(cd), _lane_mask(vg, lane, pos, g),
+                        preferred_element_type=jnp.float32)
+            acc = a if acc is None else acc + a
+        ah_parts.append(acc)
     attn = jnp.concatenate(ah_parts, axis=1).astype(cd)
 
     dwo_t = jnp.dot(attn.T, dprojb, preferred_element_type=jnp.float32)
@@ -272,26 +319,42 @@ def _bwd_kernel(seed_ref, dy_ref, x_ref, qkv_ref, a1_ref,
     dattn = jnp.dot(dprojb, wo_ref[:].T,
                     preferred_element_type=jnp.float32).astype(cd)
 
-    # attention backward per head (dense block-diagonal, like the forward)
+    # attention backward per head (dense block-diagonal, like the forward).
+    # With lane-group packing the masked-operand identities carry over: a
+    # matmul where ONE operand is zeroed outside the head's lanes equals the
+    # head's narrow matmul, and masking the non-contracted operand leaves
+    # the result zero outside the head's lanes, so per-head contributions
+    # accumulate into the group slot by addition.
     dq_parts, dk_parts, dv_parts = [], [], []
-    for hh in range(n_heads):
-        q = qkv[:, hh * hd:(hh + 1) * hd]
-        k = qkv[:, d + hh * hd:d + (hh + 1) * hd]
-        v = qkv[:, 2 * d + hh * hd:2 * d + (hh + 1) * hd]
-        dah = dattn[:, hh * hd:(hh + 1) * hd]
-        p, pd, mh = ps[hh], pds[hh], mhs[hh]
-        dv_parts.append(jnp.dot(pd.astype(cd).T, dah,
-                                preferred_element_type=jnp.float32).astype(cd))
-        dpd = jnp.dot(dah, v.T, preferred_element_type=jnp.float32)
-        dp = jnp.where(mh, dpd / keep, 0.0) if drop else dpd
-        # softmax jacobian: invalid (cross-sequence) columns have p == 0,
-        # so their dS vanishes without re-applying the block-diagonal mask
-        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-        ds = (ds * scale).astype(cd)
-        dq_parts.append(jnp.dot(ds, k,
-                                preferred_element_type=jnp.float32).astype(cd))
-        dk_parts.append(jnp.dot(ds.T, q,
-                                preferred_element_type=jnp.float32).astype(cd))
+    for gg in range(n_groups):
+        qg = qkv[:, gg * gw:(gg + 1) * gw]
+        kg = qkv[:, d + gg * gw:d + (gg + 1) * gw]
+        vg = qkv[:, 2 * d + gg * gw:2 * d + (gg + 1) * gw]
+        dag = dattn[:, gg * gw:(gg + 1) * gw]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (tile, gw), 1) // hd
+        dqg = dkg = dvg = None
+        for pos in range(g):
+            hh = gg * g + pos
+            dah = _lane_mask(dag, lane, pos, g)
+            p, pd, mh = ps[hh], pds[hh], mhs[hh]
+            dv_c = jnp.dot(pd.astype(cd).T, dah,
+                           preferred_element_type=jnp.float32)
+            dpd = jnp.dot(dah, vg.T, preferred_element_type=jnp.float32)
+            dp = jnp.where(mh, dpd / keep, 0.0) if drop else dpd
+            # softmax jacobian: invalid (cross-sequence) columns have p == 0,
+            # so their dS vanishes without re-applying the block-diagonal mask
+            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            ds = (ds * scale).astype(cd)
+            dq_c = jnp.dot(ds, _lane_mask(kg, lane, pos, g),
+                           preferred_element_type=jnp.float32)
+            dk_c = jnp.dot(ds.T, _lane_mask(qg, lane, pos, g),
+                           preferred_element_type=jnp.float32)
+            dqg = dq_c if dqg is None else dqg + dq_c
+            dkg = dk_c if dkg is None else dkg + dk_c
+            dvg = dv_c if dvg is None else dvg + dv_c
+        dq_parts.append(dqg.astype(cd))
+        dk_parts.append(dkg.astype(cd))
+        dv_parts.append(dvg.astype(cd))
     dqkv = jnp.concatenate(dq_parts + dk_parts + dv_parts, axis=1)
 
     dbqkv_t = jnp.sum(dqkv.astype(jnp.float32), axis=0, keepdims=True)

@@ -160,10 +160,16 @@ def resolve_fused_layer(fused_layer: Optional[bool], d_model: int,
     width/topology gate only."""
     if fused_layer is not None:
         return bool(fused_layer)
-    return ((n_devices == 1 or dp_shard_ok)
+    if not ((n_devices == 1 or dp_shard_ok)
             and d_model % 128 == 0 and dim_feedforward % 128 == 0
-            and d_model % max(n_heads, 1) == 0
-            and (d_model // max(n_heads, 1)) % 128 == 0 and n_heads <= 5)
+            and d_model % max(n_heads, 1) == 0 and n_heads <= 5):
+        return False
+    hd = d_model // max(n_heads, 1)
+    # auto-on is measurement-gated: hd % 128 == 0 widths carry the +26 %
+    # bench.py record. hd-64 lane-group packing (lm's d256/h4) is supported
+    # by the kernel (ops/fused_layer.py) and reachable via --fused_layer 1;
+    # it joins auto once its own on-chip win is recorded in docs/PERF.md.
+    return hd % 128 == 0
 
 
 # per-chip HBM by TPU generation, matched against the PJRT device_kind
