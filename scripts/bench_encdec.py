@@ -27,6 +27,10 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=512)
     p.add_argument("--n", type=int, default=4096)
     p.add_argument("--remat", action="store_true")
+    p.add_argument("--fused", type=int, default=None,
+                   help="whole-layer fused kernels: 1 = encoder + decoder "
+                        "kernels on, 0 = both off, unset = both arms (the "
+                        "round-4 decoder-kernel adoption measurement)")
     args = p.parse_args(argv)
 
     import jax
@@ -39,16 +43,6 @@ def main(argv=None):
     from transformergrooveinfilling_tpu.train.loop import (
         create_train_state, make_epoch_fn, make_optimizer)
 
-    cfg = GrooveTransformerConfig(
-        d_model=256, n_heads=2, dim_feedforward=512, dropout=0.30,
-        num_encoder_layers=6, num_decoder_layers=6, max_len=32,
-        embedding_size_src=16, embedding_size_tgt=27,
-        compute_dtype=jnp.bfloat16 if jax.default_backend() == "tpu"
-        else jnp.float32, remat=args.remat)
-    model = build_model(cfg)
-    tx = make_optimizer("sgd", 0.089)
-    state = create_train_state(model, cfg, tx, jax.random.PRNGKey(0))
-
     rng = np.random.default_rng(0)
     n = args.n
     x = jnp.asarray(rng.standard_normal((n, 32, 16)), jnp.float32)
@@ -57,22 +51,36 @@ def main(argv=None):
         [h, h * rng.random(h.shape), h * (rng.random(h.shape) - 0.5)], 2),
         jnp.float32)
 
-    fn = make_epoch_fn(model, tx, 0.73, args.batch, n, donate=True,
-                       n_epochs=args.epochs_per_call, encoder_only=False)
-    key = jax.random.PRNGKey(1)
-    state, m = fn(state, x, y, key)
-    loss0 = final = float(np.asarray(m["loss"]))
-    best = float("inf")
-    for _ in range(args.steps):
-        key, k = jax.random.split(key)
-        t0 = time.perf_counter()
-        state, m = fn(state, x, y, k)
-        final = float(np.asarray(m["loss"]))
-        best = min(best, time.perf_counter() - t0)
-    seqs = n * args.epochs_per_call / best
-    print(f"enc-dec d256/ff512 6+6L bs{args.batch} remat={args.remat} "
-          f"({jax.default_backend()}): {seqs:,.0f} seqs/s "
-          f"(loss {loss0:.3f}->{final:.3f})")
+    arms = ((False, True) if args.fused is None else (bool(args.fused),))
+    for fused in arms:
+        cfg = GrooveTransformerConfig(
+            d_model=256, n_heads=2, dim_feedforward=512, dropout=0.30,
+            num_encoder_layers=6, num_decoder_layers=6, max_len=32,
+            embedding_size_src=16, embedding_size_tgt=27,
+            compute_dtype=jnp.bfloat16 if jax.default_backend() == "tpu"
+            else jnp.float32, remat=args.remat,
+            fused_layer=fused, fused_decoder_layer=fused)
+        model = build_model(cfg)
+        tx = make_optimizer("sgd", 0.089)
+        state = create_train_state(model, cfg, tx, jax.random.PRNGKey(0))
+
+        fn = make_epoch_fn(model, tx, 0.73, args.batch, n, donate=True,
+                           n_epochs=args.epochs_per_call, encoder_only=False)
+        key = jax.random.PRNGKey(1)
+        state, m = fn(state, x, y, key)
+        loss0 = final = float(np.asarray(m["loss"]))
+        best = float("inf")
+        for _ in range(args.steps):
+            key, k = jax.random.split(key)
+            t0 = time.perf_counter()
+            state, m = fn(state, x, y, k)
+            final = float(np.asarray(m["loss"]))
+            best = min(best, time.perf_counter() - t0)
+        seqs = n * args.epochs_per_call / best
+        print(f"enc-dec d256/ff512 6+6L bs{args.batch} remat={args.remat} "
+              f"fused_layers={fused} ({jax.default_backend()}): "
+              f"{seqs:,.0f} seqs/s (loss {loss0:.3f}->{final:.3f})",
+              flush=True)
     return 0
 
 

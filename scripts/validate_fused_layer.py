@@ -209,6 +209,60 @@ def main():
         "fused kernel under shard_map diverged from the plain fused step")
     print("fused_layer x dp (shard_map) on hardware: ok")
 
+    # 6. hd-64 lane-group packing on hardware (lm width d256/h4/ff2048):
+    # interpret mode already pins rate-0 math, but only real Mosaic lowering
+    # exercises the masked-operand matmuls' lane layout. Check rate-0
+    # forward + full grad parity vs the plain XLA layer, then seeded
+    # determinism at rate>0 (the packed path reuses the validated per-head
+    # mask sites, so keep-rate stats are covered by check 2).
+    dl_, hl_, ffl_ = 256, 4, 2048
+    x6 = jnp.asarray(np.random.default_rng(8).standard_normal((16, T, dl_)),
+                     jnp.float32)
+    mk = lambda fused: EncoderLayer(dl_, hl_, ffl_, 0.0, fused_layer=fused)
+    params6 = mk(False).init(jax.random.PRNGKey(0), x6,
+                             deterministic=True)["params"]
+    key6 = {"dropout": jax.random.PRNGKey(5)}
+
+    def loss6(fused, params, x):
+        y = mk(fused).apply({"params": params}, x, deterministic=False,
+                            rngs=key6)
+        w = jnp.arange(y.size, dtype=jnp.float32).reshape(y.shape) / y.size
+        return jnp.sum(y * w), y
+
+    (_, y6r), g6r = jax.value_and_grad(loss6, argnums=(1, 2), has_aux=True)(
+        False, params6, x6)
+    (_, y6f), g6f = jax.value_and_grad(loss6, argnums=(1, 2), has_aux=True)(
+        True, params6, x6)
+    y6r, y6f = np.asarray(y6r), np.asarray(y6f)
+    rel6 = np.max(np.abs(y6f - y6r) / (np.abs(y6r) + 1e-2))
+    gr = np.concatenate([np.asarray(l).ravel() for l in jax.tree.leaves(g6r)])
+    gf = np.concatenate([np.asarray(l).ravel() for l in jax.tree.leaves(g6f)])
+    grel6 = np.linalg.norm(gf - gr) / max(np.linalg.norm(gr), 1e-9)
+    print(f"hd-64 packed rate=0 parity: fwd max rel {rel6:.5f}, "
+          f"grad norm-rel {grel6:.5f}")
+    assert rel6 < 5e-3 and grel6 < 5e-3, "hd-64 packing diverged from XLA"
+    # arg dict at lm width (make_args is flagship-shaped)
+    r10 = np.random.default_rng(10)
+    args6 = dict(
+        wqkv=jnp.asarray(r10.standard_normal((dl_, 3 * dl_)) * 0.05,
+                         jnp.float32),
+        bqkv=jnp.zeros(3 * dl_), wo=jnp.asarray(
+            r10.standard_normal((dl_, dl_)) * 0.05, jnp.float32),
+        bo=jnp.zeros(dl_), g1=jnp.ones(dl_), b1=jnp.zeros(dl_),
+        w1=jnp.asarray(r10.standard_normal((dl_, ffl_)) * 0.05, jnp.float32),
+        b1f=jnp.zeros(ffl_),
+        w2=jnp.asarray(r10.standard_normal((ffl_, dl_)) * 0.05, jnp.float32),
+        b2f=jnp.zeros(dl_), g2=jnp.ones(dl_), b2=jnp.zeros(dl_))
+    x6f = jnp.asarray(np.random.default_rng(11).standard_normal((512, dl_)),
+                      jnp.float32)
+    f6 = jax.jit(lambda x, s: encoder_layer_train(
+        x, *args6.values(), s, 0.16, hl_, T, False))
+    ya = np.asarray(f6(x6f, jnp.asarray([3], jnp.int32)))
+    yb = np.asarray(f6(x6f, jnp.asarray([3], jnp.int32)))
+    yc = np.asarray(f6(x6f, jnp.asarray([4], jnp.int32)))
+    assert np.array_equal(ya, yb) and not np.array_equal(ya, yc)
+    print("hd-64 packed heads on hardware: ok")
+
 
 if __name__ == "__main__":
     main()

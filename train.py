@@ -76,6 +76,12 @@ def parse_args(argv=None):
                         "(attention + LNs + FFN + all dropout sites, one "
                         "call per layer): 1=on, 0=off, unset=auto "
                         "(docs/PERF.md round 4)")
+    parser.add_argument("--fused_decoder_layer", type=int, default=None,
+                        help="whole-DECODER-layer fused Pallas kernel "
+                        "(causal self-attn + cross-attn + 3 LN sites + FFN "
+                        "per call; encoder-decoder family only): 1=on, "
+                        "0=off, unset=auto (currently off — opt-in until "
+                        "its bench win is recorded, docs/PERF.md)")
     parser.add_argument("--fast_prng", type=int, default=1,
                         help="use the rbg PRNG for dropout masks (~2x step "
                              "time on TPU at this model size)")
@@ -245,6 +251,9 @@ def _run(args, hp_dict, paths):
             "fused_layer": (bool(args.fused_layer)
                             if args.fused_layer is not None
                             else cfg.get("fused_layer")),
+            "fused_decoder_layer": (bool(args.fused_decoder_layer)
+                                    if args.fused_decoder_layer is not None
+                                    else cfg.get("fused_decoder_layer")),
             # TPU extra: None = auto (remat only when HBM would overflow)
             "remat": (bool(args.remat) if args.remat is not None
                       else cfg.get("remat")),

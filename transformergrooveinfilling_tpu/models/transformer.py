@@ -71,8 +71,14 @@ class GrooveTransformerConfig:
     # fuse the ENTIRE encoder layer (attention + both DropAddLayerNorms +
     # FFN, all four dropout sites from in-kernel PRNG, custom VJP) into one
     # Pallas call per layer (ops/fused_layer.py). Training path only; needs
-    # d_model/dim_feedforward/head-dim multiples of 128.
+    # d_model/dim_feedforward multiples of 128, head dim 128-multiple or 64.
     fused_layer: bool = False
+    # same treatment for DECODER layers (causal self-attn + cross-attn +
+    # three LN sites + FFN, 2·n_heads + 4 dropout sites in one call —
+    # ops/fused_decoder_layer.py). Separate switch: the encoder kernel's
+    # measured adoption doesn't transfer; stays opt-in until the enc-dec
+    # bench records its own win (repo policy, docs/PERF.md).
+    fused_decoder_layer: bool = False
 
     @property
     def encoder_only(self) -> bool:
@@ -255,6 +261,22 @@ class _AttnParams(nn.Module):
         return wqkv, bqkv, wo, bo
 
 
+class _CrossAttnParams(nn.Module):
+    """``SelfAttention``'s cross-attention parameter tree (q/kv/out Dense
+    trios) without the computation — the fused whole-decoder-layer kernel
+    consumes the arrays directly while the checkpoint tree stays identical
+    to the unfused path."""
+
+    d_model: int
+
+    @nn.compact
+    def __call__(self):
+        wq, bq = _Proj(self.d_model, self.d_model, name="q")()
+        wkv, bkv = _Proj(self.d_model, 2 * self.d_model, name="kv")()
+        wo, bo = _Proj(self.d_model, self.d_model, name="out")()
+        return wq, bq, wkv, bkv, wo, bo
+
+
 class _LNParams(nn.Module):
     """``DropAddLayerNorm``'s parameter pair (scale/bias), names matching
     ``nn.LayerNorm``, for paths that consume the arrays directly."""
@@ -404,9 +426,61 @@ class DecoderLayer(nn.Module):
     fast_dropout: bool = False
     dtype: Optional[jnp.dtype] = None
     fused_ffn: bool = False
+    fused_layer: bool = False
 
     @nn.compact
     def __call__(self, x, memory, deterministic: bool = True):
+        # whole-layer fused path: ONE Pallas call for causal self-attention
+        # + cross-attention + all three DropAddLayerNorms + FFN with
+        # in-kernel PRNG dropout (ops/fused_decoder_layer.py). Gating
+        # mirrors EncoderLayer's: TPU-only when dropout is live, and the
+        # interpret path is out under a shard_map manual trace.
+        on_tpu = jax.default_backend() == "tpu"
+        in_manual_trace = bool(getattr(jax.typeof(x), "vma", ()))
+        if (self.fused_layer and not deterministic and x.ndim == 3
+                and memory.shape == x.shape
+                and isinstance(self.dropout, (int, float))
+                and (on_tpu or (float(self.dropout) == 0.0
+                                and not in_manual_trace))):
+            from ..ops.fused_decoder_layer import (
+                decoder_layer_train, supports_fused_decoder_layer,
+            )
+
+            b, t = x.shape[0], x.shape[1]
+            if supports_fused_decoder_layer(self.d_model, self.n_heads,
+                                            self.dim_feedforward, b * t, t):
+                wqkv, bqkv, wo, bo = _AttnParams(
+                    self.d_model, name="self_attn")()
+                g1, b1 = _LNParams(self.d_model, name="norm1")()
+                wq, bq, wkv, bkv, wo2, bo2 = _CrossAttnParams(
+                    self.d_model, name="cross_attn")()
+                g2, b2 = _LNParams(self.d_model, name="norm2")()
+                w1, b1f = _Proj(self.d_model, self.dim_feedforward,
+                                name="linear1")()
+                w2, b2f = _Proj(self.dim_feedforward, self.d_model,
+                                name="linear2")()
+                g3, b3 = _LNParams(self.d_model, name="norm3")()
+                cd = self.dtype or x.dtype
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (1,), 0, 2**31 - 1,
+                    dtype=jnp.int32)
+                f32 = jnp.float32
+                y = decoder_layer_train(
+                    x.reshape(b * t, self.d_model).astype(cd),
+                    memory.reshape(b * t, self.d_model).astype(cd),
+                    wqkv.astype(cd), bqkv.astype(f32),
+                    wo.astype(cd), bo.astype(f32),
+                    wq.astype(cd), bq.astype(f32),
+                    wkv.astype(cd), bkv.astype(f32),
+                    wo2.astype(cd), bo2.astype(f32),
+                    g1.astype(f32), b1.astype(f32),
+                    w1.astype(cd), b1f.astype(f32),
+                    w2.astype(cd), b2f.astype(f32),
+                    g2.astype(f32), b2.astype(f32),
+                    g3.astype(f32), b3.astype(f32),
+                    seed, float(self.dropout), self.n_heads, t, not on_tpu)
+                return y.reshape(b, t, self.d_model).astype(x.dtype)
+
         sa = SelfAttention(self.d_model, self.n_heads, self.dropout,
                            use_pallas=self.use_pallas,
                            fast_dropout=self.fast_dropout, dtype=self.dtype,
@@ -568,6 +642,7 @@ class GrooveTransformer(nn.Module):
                 fast_dropout=cfg.fast_dropout,
                 dtype=cfg.compute_dtype,
                 fused_ffn=cfg.fused_ffn,
+                fused_layer=cfg.fused_decoder_layer,
                 name=f"decoder_layer_{i}",
             )(y, memory, deterministic)
         y = nn.LayerNorm(name="decoder_norm")(y)

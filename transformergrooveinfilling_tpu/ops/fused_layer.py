@@ -102,13 +102,17 @@ def _ln_stats(a):
     return (a - mu) * rstd, rstd
 
 
-def _make_mask(seed0, i, site, shape, thresh: int, interpret: bool):
+def _make_mask(seed0, i, site, shape, thresh: int, interpret: bool,
+               stride: int = 8):
     """8-bit keep mask from the per-(tile, site) PRNG stream. Interpreter
     mode keeps everything (PRNG is stubbed there) — consistent between the
-    forward and backward kernels, so grads stay exact on that path."""
+    forward and backward kernels, so grads stay exact on that path.
+    ``stride`` is the per-tile seed stride: 8 for this kernel (5 head sites
+    + 3 elementwise), 16 for the decoder kernel's 14 sites
+    (ops/fused_decoder_layer.py)."""
     if interpret:
         return jnp.ones(shape, bool)
-    pltpu.prng_seed(seed0 + i * 8 + site)
+    pltpu.prng_seed(seed0 + i * stride + site)
     bits = pltpu.prng_random_bits(shape)
     return (pltpu.bitcast(bits, jnp.uint32) & 0xFF) < thresh
 
@@ -129,18 +133,22 @@ def _lane_mask(arr, lane_group, pos: int, g: int):
     return jnp.where(lane_group == pos, arr, jnp.zeros((), arr.dtype))
 
 
-def _block_diag_softmax(q, k, seq_len, scale):
+def _block_diag_softmax(q, k, seq_len, scale, causal: bool = False):
     """One head's masked softmax over the tile's dense (tile, tile) scores —
     shared by forward and backward (the backward's recomputation is
     bit-identical because both read the same stored bf16 qkv). ``q``/``k``
     are the head's operands; when heads are lane-group packed, ``q`` is
     lane-masked so the zeroed lanes kill the other head's contraction
-    terms."""
+    terms. ``causal`` additionally masks future positions within each
+    sequence (the decoder's teacher-forced self-attention)."""
     tile = q.shape[0]
     s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
-    row = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 0) // seq_len
-    col = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 1) // seq_len
-    s = jnp.where(row == col, s, -1e30)
+    row = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 1)
+    valid = (row // seq_len) == (col // seq_len)
+    if causal:
+        valid = valid & (col % seq_len <= row % seq_len)
+    s = jnp.where(valid, s, -1e30)
     s = s - jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s)
     return e / jnp.sum(e, axis=-1, keepdims=True)

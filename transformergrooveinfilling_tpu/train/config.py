@@ -58,6 +58,12 @@ class HyperParams:
     # layer, masks from in-kernel PRNG). None = auto (resolve_fused_layer,
     # policy from the measured flagship result). True/False force it.
     fused_layer: Optional[bool] = None
+    # TPU extra: whole-DECODER-layer fused Pallas kernel
+    # (ops/fused_decoder_layer.py: causal self-attn + cross-attn + three LN
+    # sites + FFN in one call per layer). None = auto — currently OFF (the
+    # encoder kernel's measured win doesn't transfer; flips once the
+    # enc-dec bench records its own, repo policy). True forces it on.
+    fused_decoder_layer: Optional[bool] = None
     # TPU extra: encoder-layer rematerialization. None = auto — off unless
     # the estimated backward residuals would overflow HBM (resolve_remat;
     # remat costs +26 % at GrooveXL scale when memory does NOT force it).
@@ -283,6 +289,11 @@ def derive_model_config(
                                         hp.dim_feedforward,
                                         n_devices=n_devices,
                                         dp_shard_ok=dp_shard_ok),
+        # auto = OFF until the enc-dec bench records the decoder kernel's
+        # own win (scripts/bench_encdec.py; adoption policy in PERF.md) —
+        # the dispatch re-checks widths, so forcing True is shape-safe
+        fused_decoder_layer=bool(
+            getattr(hp, "fused_decoder_layer", None) or False),
         remat=resolve_remat(getattr(hp, "remat", None),
                             d_model=hp.d_model, n_heads=hp.n_heads,
                             dim_feedforward=hp.dim_feedforward,
