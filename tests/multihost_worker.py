@@ -29,6 +29,7 @@ def main():
     p.add_argument("--resume", action="store_true")
     p.add_argument("--streaming", action="store_true")
     p.add_argument("--fused", action="store_true")
+    p.add_argument("--dp_shard", action="store_true")
     args = p.parse_args()
 
     os.environ["TGI_PLATFORM"] = "cpu"
@@ -72,7 +73,13 @@ def main():
         "optimizer_algorithm": "sgd", "d_model": 16, "n_heads": 2,
         "dropout": 0.0, "num_encoder_decoder_layers": 1,
         "hit_loss_penalty": 0.5, "batch_size": 8, "dim_feedforward": 16,
-        "learning_rate": 0.1, "epochs": args.epochs})
+        "learning_rate": 0.1, "epochs": args.epochs,
+        # --dp_shard: force fused_layer so the driver routes through the
+        # shard_map dp step (train/loop.py::_make_dp_shard_step) across
+        # REAL jax.distributed processes. At d16 the kernel's width gate
+        # rejects inside the layer (rate-0-identical unfused math), so this
+        # leg validates the cross-process shard_map step machinery itself.
+        "fused_layer": 1 if args.dp_shard else None})
 
     plan = global_mesh(n_model=args.n_model)
 

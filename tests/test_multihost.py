@@ -184,6 +184,25 @@ def test_two_process_training_matches_single_process(tmp_path):
     assert len(ckpts) == 1, ckpts
 
 
+def test_two_process_dp_shard_matches_plain(tmp_path):
+    """fused_layer's shard_map dp step across REAL jax.distributed
+    processes (--dp_shard forces the driver's use_dp_shard routing): the
+    explicit-psum step must train to the same loss as the GSPMD dp step on
+    the same 2-process mesh, and both processes must agree bit-identically.
+    Validates the round-4 fused_layer × dp composition beyond the
+    single-process harness (test_parallel.py)."""
+    ckd = tmp_path / "ckd"
+    ckp = tmp_path / "ckp"
+    ckd.mkdir()
+    ckp.mkdir()
+
+    shard = _run_group(2, str(ckd), tmp_path, "dps", extra=("--dp_shard",))
+    plain = _run_group(2, str(ckp), tmp_path, "dpp")
+
+    np.testing.assert_allclose(shard[0]["loss"], plain[0]["loss"], rtol=1e-5)
+    np.testing.assert_allclose(shard[1]["loss"], shard[0]["loss"], rtol=1e-6)
+
+
 def test_four_process_group_matches_two(tmp_path):
     """A 4-process (8 global devices) dp group trains to the same loss as
     the 2-process group — the batch schedule is mesh-independent (VERDICT r2
