@@ -1,0 +1,216 @@
+#!/usr/bin/env python
+"""Weather-resilient on-chip test-suite runner (TGI_TEST_TPU=1).
+
+The tunneled TPU aborts/hangs intermittently ("tunnel weather",
+.claude/skills/verify/SKILL.md). A single long pytest process is poisoned by
+the first abort: every subsequent dispatch fails with
+``ABORTED: TPU backend error`` even after the chip recovers, so two round-4
+full-suite attempts lost 50-75 % of their results to one mid-run outage.
+
+This runner isolates the damage: each test FILE runs in its own fresh
+process, a trivial-matmul probe (subprocess, hard timeout) gates every file,
+and a file whose output shows the abort signature — or that times out — is
+retried after the probe goes green again. The per-file summary is written to
+docs/TESTS_TPU.md (VERDICT r3 directive #5's artifact).
+
+Usage:
+  python scripts/run_tpu_suite.py [--files tests/test_x.py ...] [--max-retries 3]
+"""
+
+import argparse
+import datetime
+import glob
+import os
+import re
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+ABORT_SIGNATURES = (
+    "ABORTED: TPU backend error",
+    "FAILED_PRECONDITION: TPU backend error",
+    "DEADLINE_EXCEEDED",
+)
+
+PROBE = (
+    "import numpy as np, jax, jax.numpy as jnp;"
+    "x = jnp.asarray(np.ones((128,128), np.float32));"
+    "print(float(np.asarray(x @ x)[0,0]))"
+)
+
+
+def probe_ok(timeout=75):
+    try:
+        r = subprocess.run([sys.executable, "-c", PROBE], timeout=timeout,
+                           capture_output=True, text=True, cwd=REPO)
+        return r.returncode == 0 and "128.0" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def wait_for_tpu(log, poll_s=240, max_wait_s=None):
+    t0 = time.time()
+    while True:
+        if probe_ok():
+            log(f"probe UP after {time.time() - t0:.0f}s")
+            return True
+        if max_wait_s is not None and time.time() - t0 > max_wait_s:
+            log(f"probe still DOWN after {max_wait_s}s — giving up")
+            return False
+        log("probe DOWN; sleeping")
+        time.sleep(poll_s)
+
+
+SUMMARY_RE = re.compile(
+    r"(?:(\d+) failed)?(?:, )?(?:(\d+) passed)?(?:, )?(?:(\d+) skipped)?"
+    r"(?:, )?(?:(\d+) error(?:s)?)?.* in ([0-9.]+)s")
+
+
+def parse_tail(text):
+    """Return (passed, failed, skipped, errors, seconds) from pytest -q output."""
+    for line in reversed(text.splitlines()):
+        if " in " not in line or "=" not in line and "passed" not in line \
+                and "failed" not in line and "error" not in line:
+            continue
+        line = line.strip("= ")
+        counts = {"passed": 0, "failed": 0, "skipped": 0, "error": 0,
+                  "errors": 0, "deselected": 0, "warning": 0, "warnings": 0,
+                  "xfailed": 0, "xpassed": 0}
+        m_time = re.search(r"in ([0-9.]+)s", line)
+        hit = False
+        for n, word in re.findall(r"(\d+) (\w+)", line):
+            if word in counts:
+                counts[word] = int(n)
+                hit = True
+        if hit:
+            return (counts["passed"], counts["failed"], counts["skipped"],
+                    counts["error"] + counts["errors"],
+                    float(m_time.group(1)) if m_time else 0.0)
+    return None
+
+
+def run_file(path, timeout):
+    env = dict(os.environ, TGI_TEST_TPU="1")
+    t0 = time.time()
+    try:
+        r = subprocess.run(
+            [sys.executable, "-m", "pytest", path, "-q", "--no-header", "-p",
+             "no:cacheprovider"],
+            timeout=timeout, capture_output=True, text=True, cwd=REPO, env=env)
+        out = r.stdout + r.stderr
+    except subprocess.TimeoutExpired as e:
+        out = ((e.stdout or b"").decode(errors="replace") if
+               isinstance(e.stdout, bytes) else (e.stdout or ""))
+        return "timeout", out, time.time() - t0
+    aborted = any(s in out for s in ABORT_SIGNATURES)
+    return ("aborted" if aborted else "done"), out, time.time() - t0
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--files", nargs="*", default=None)
+    p.add_argument("--max-retries", type=int, default=3)
+    p.add_argument("--file-timeout", type=float, default=2400.0)
+    p.add_argument("--out", default=os.path.join(REPO, "docs", "TESTS_TPU.md"))
+    p.add_argument("--log", default="/tmp/tpu_suite_runner.log")
+    args = p.parse_args(argv)
+
+    logf = open(args.log, "a", buffering=1)
+
+    def log(msg):
+        line = f"{datetime.datetime.now():%H:%M:%S} {msg}"
+        print(line, flush=True)
+        logf.write(line + "\n")
+
+    files = args.files or sorted(
+        glob.glob(os.path.join(REPO, "tests", "test_*.py")))
+    files = [os.path.relpath(f, REPO) for f in files]
+    log(f"suite start: {len(files)} files")
+
+    results = {}
+    weather_events = 0
+    t_suite = time.time()
+    if not wait_for_tpu(log):
+        log("TPU never came up; exiting")
+        return 1
+    for path in files:
+        for attempt in range(args.max_retries + 1):
+            status, out, dt = run_file(path, args.file_timeout)
+            tail = parse_tail(out)
+            if status == "done" and tail is not None:
+                results[path] = {"attempts": attempt + 1, "time_s": dt,
+                                 "counts": tail, "output": out}
+                log(f"{path}: p{tail[0]} f{tail[1]} s{tail[2]} e{tail[3]} "
+                    f"in {dt:.0f}s (attempt {attempt + 1})")
+                break
+            weather_events += 1
+            log(f"{path}: {status} after {dt:.0f}s (attempt {attempt + 1}) — "
+                "waiting for TPU")
+            if not wait_for_tpu(log):
+                results[path] = {"attempts": attempt + 1, "time_s": dt,
+                                 "counts": None, "output": out}
+                break
+        else:
+            results[path] = {"attempts": args.max_retries + 1, "time_s": dt,
+                             "counts": None, "output": out}
+            log(f"{path}: exhausted retries")
+
+    total = [0, 0, 0, 0]
+    unresolved = []
+    for path, r in results.items():
+        if r["counts"] is None:
+            unresolved.append(path)
+            continue
+        for i in range(4):
+            total[i] += r["counts"][i]
+    wall = time.time() - t_suite
+    log(f"suite done: passed={total[0]} failed={total[1]} skipped={total[2]} "
+        f"errors={total[3]} unresolved_files={len(unresolved)} "
+        f"weather_events={weather_events} wall={wall:.0f}s")
+
+    with open(args.out, "w") as f:
+        f.write(render_markdown(results, total, unresolved, weather_events,
+                                wall))
+    log(f"wrote {args.out}")
+    return 0 if (total[1] == 0 and total[3] == 0 and not unresolved) else 2
+
+
+def render_markdown(results, total, unresolved, weather_events, wall):
+    now = datetime.datetime.now().strftime("%Y-%m-%d %H:%M UTC")
+    lines = [
+        "# On-chip test-suite run (`TGI_TEST_TPU=1`)",
+        "",
+        f"Recorded {now} on the real tunneled TPU (v5 lite) via "
+        "`scripts/run_tpu_suite.py` — each test file in a fresh process with "
+        "a health probe + retry between files (one tunnel abort poisons a "
+        "process permanently; two monolithic attempts lost most of their "
+        "results to mid-run weather before this runner existed).",
+        "",
+        f"**Totals: {total[0]} passed, {total[1]} failed, {total[2]} skipped, "
+        f"{total[3]} errors** across {len(results)} files; "
+        f"{weather_events} weather events absorbed; wall {wall / 60:.0f} min.",
+        "",
+        "| file | passed | failed | skipped | errors | attempts | time (s) |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for path in sorted(results):
+        r = results[path]
+        c = r["counts"]
+        if c is None:
+            lines.append(f"| {path} | — | — | — | — | {r['attempts']} | "
+                         f"{r['time_s']:.0f} | ")
+            continue
+        lines.append(f"| {path} | {c[0]} | {c[1]} | {c[2]} | {c[3]} | "
+                     f"{r['attempts']} | {r['time_s']:.0f} |")
+    if unresolved:
+        lines += ["", "Unresolved files (TPU never recovered within the "
+                      "retry budget):", ""]
+        lines += [f"- {p}" for p in unresolved]
+    lines.append("")
+    return "\n".join(lines)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
