@@ -20,6 +20,7 @@ Usage:
 import argparse
 import datetime
 import glob
+import json
 import os
 import re
 import subprocess
@@ -115,6 +116,10 @@ def main(argv=None):
     p.add_argument("--file-timeout", type=float, default=2400.0)
     p.add_argument("--out", default=os.path.join(REPO, "docs", "TESTS_TPU.md"))
     p.add_argument("--log", default="/tmp/tpu_suite_runner.log")
+    p.add_argument("--resume", action="store_true",
+                   help="skip files already recorded in the state sidecar "
+                        "(<out>.state.json) — a killed/interrupted run "
+                        "continues where it left off instead of starting over")
     args = p.parse_args(argv)
 
     logf = open(args.log, "a", buffering=1)
@@ -127,15 +132,59 @@ def main(argv=None):
     files = args.files or sorted(
         glob.glob(os.path.join(REPO, "tests", "test_*.py")))
     files = [os.path.relpath(f, REPO) for f in files]
-    log(f"suite start: {len(files)} files")
 
+    # Incremental state: one mid-run tunnel death (or a wall-clock kill) must
+    # not discard hours of completed files. Every finished file updates the
+    # sidecar AND re-renders the markdown artifact, so the artifact is always
+    # current; --resume picks up from the sidecar.
+    state_path = args.out + ".state.json"
     results = {}
     weather_events = 0
+    prior_wall = 0.0
+    if args.resume and os.path.exists(state_path):
+        with open(state_path) as f:
+            st = json.load(f)
+        results = {k: {**v, "counts": tuple(v["counts"]) if v["counts"]
+                       else None}
+                   for k, v in st["results"].items()}
+        weather_events = st.get("weather_events", 0)
+        prior_wall = st.get("wall_s", 0.0)
+        done = [f for f in files
+                if results.get(f, {}).get("counts") is not None]
+        log(f"resume: {len(done)}/{len(files)} files already recorded")
+    log(f"suite start: {len(files)} files")
+
     t_suite = time.time()
+
+    def totals_now():
+        tot, unres = [0, 0, 0, 0], []
+        for pth, r in results.items():
+            if r["counts"] is None:
+                unres.append(pth)
+                continue
+            for i in range(4):
+                tot[i] += r["counts"][i]
+        return tot, unres
+
+    def flush_artifacts():
+        tot, unres = totals_now()
+        wall = prior_wall + (time.time() - t_suite)
+        with open(state_path, "w") as f:
+            json.dump({"results": {k: {kk: vv for kk, vv in v.items()
+                                       if kk != "output"}
+                                   for k, v in results.items()},
+                       "weather_events": weather_events, "wall_s": wall}, f)
+        with open(args.out, "w") as f:
+            f.write(render_markdown(results, tot, unres, weather_events,
+                                    wall))
+        return tot, unres, wall
+
     if not wait_for_tpu(log):
         log("TPU never came up; exiting")
         return 1
     for path in files:
+        if results.get(path, {}).get("counts") is not None:
+            continue
         for attempt in range(args.max_retries + 1):
             status, out, dt = run_file(path, args.file_timeout)
             tail = parse_tail(out)
@@ -144,6 +193,7 @@ def main(argv=None):
                                  "counts": tail, "output": out}
                 log(f"{path}: p{tail[0]} f{tail[1]} s{tail[2]} e{tail[3]} "
                     f"in {dt:.0f}s (attempt {attempt + 1})")
+                flush_artifacts()
                 break
             weather_events += 1
             log(f"{path}: {status} after {dt:.0f}s (attempt {attempt + 1}) — "
@@ -151,28 +201,18 @@ def main(argv=None):
             if not wait_for_tpu(log):
                 results[path] = {"attempts": attempt + 1, "time_s": dt,
                                  "counts": None, "output": out}
+                flush_artifacts()
                 break
         else:
             results[path] = {"attempts": args.max_retries + 1, "time_s": dt,
                              "counts": None, "output": out}
             log(f"{path}: exhausted retries")
+            flush_artifacts()
 
-    total = [0, 0, 0, 0]
-    unresolved = []
-    for path, r in results.items():
-        if r["counts"] is None:
-            unresolved.append(path)
-            continue
-        for i in range(4):
-            total[i] += r["counts"][i]
-    wall = time.time() - t_suite
+    total, unresolved, wall = flush_artifacts()
     log(f"suite done: passed={total[0]} failed={total[1]} skipped={total[2]} "
         f"errors={total[3]} unresolved_files={len(unresolved)} "
         f"weather_events={weather_events} wall={wall:.0f}s")
-
-    with open(args.out, "w") as f:
-        f.write(render_markdown(results, total, unresolved, weather_events,
-                                wall))
     log(f"wrote {args.out}")
     return 0 if (total[1] == 0 and total[3] == 0 and not unresolved) else 2
 

@@ -44,6 +44,43 @@ def test_abort_signature_matches_observed_error():
     assert any(s in observed for s in ABORT_SIGNATURES)
 
 
+def test_resume_skips_recorded_files_and_writes_incrementally(
+        tmp_path, monkeypatch):
+    """--resume must re-run only unrecorded files, and every completed file
+    must update both the state sidecar and the markdown artifact (a mid-run
+    kill may strike at any moment — the artifact must always be current)."""
+    import json
+
+    import run_tpu_suite as rts
+
+    out = tmp_path / "TESTS_TPU.md"
+    state = str(out) + ".state.json"
+    with open(state, "w") as f:
+        json.dump({"results": {"tests/test_a.py": {
+            "attempts": 1, "time_s": 5.0, "counts": [4, 0, 0, 0, 5.0]}},
+            "weather_events": 1, "wall_s": 100.0}, f)
+
+    ran = []
+
+    def fake_run_file(path, timeout):
+        ran.append(path)
+        return "done", "2 passed in 1.00s", 1.0
+
+    monkeypatch.setattr(rts, "run_file", fake_run_file)
+    monkeypatch.setattr(rts, "wait_for_tpu", lambda log, **kw: True)
+    rc = rts.main(["--resume", "--out", str(out), "--log",
+                   str(tmp_path / "log"),
+                   "--files", "tests/test_a.py", "tests/test_b.py"])
+    assert rc == 0
+    assert ran == ["tests/test_b.py"]  # test_a.py came from the sidecar
+    md = out.read_text()
+    assert "6 passed, 0 failed, 0 skipped, 0 errors" in md
+    assert "1 weather events" in md
+    st = json.loads(open(state).read())
+    assert set(st["results"]) == {"tests/test_a.py", "tests/test_b.py"}
+    assert st["wall_s"] > 100.0  # prior wall carried forward
+
+
 def test_render_markdown_totals_and_unresolved():
     results = {
         "tests/test_a.py": {"attempts": 1, "time_s": 12.0,
