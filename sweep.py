@@ -208,14 +208,22 @@ def run_batched(trials, metric: str, goal: str, project: str, args) -> int:
             fallback_trials.extend(idxs)
             continue
         config = derive_model_config(hp)
-        if config.fused_layer and getattr(hp, "fused_layer", None) is None:
+        if ((config.fused_layer and getattr(hp, "fused_layer", None) is None)
+                or (config.fused_decoder_layer
+                    and getattr(hp, "fused_decoder_layer", None) is None)):
             # the batched sweep vmaps the whole train step over K stacked
-            # trials; the whole-encoder-layer Pallas kernel is only
-            # validated un-vmapped (its per-tile PRNG seeding assumes the
-            # row grid IS the batch), so auto keeps it off here
+            # trials; the whole-layer Pallas kernels are only validated
+            # un-vmapped (their per-tile PRNG seeding assumes the row grid
+            # IS the batch), so auto keeps both off here
             import dataclasses as _dc
 
-            config = _dc.replace(config, fused_layer=False)
+            config = _dc.replace(
+                config,
+                fused_layer=(False if getattr(hp, "fused_layer", None) is None
+                             else config.fused_layer),
+                fused_decoder_layer=(
+                    False if getattr(hp, "fused_decoder_layer", None) is None
+                    else config.fused_decoder_layer))
         if getattr(hp, "remat", None) is None:
             # the auto-remat estimate must see the BATCHED picture: K stacked
             # trials of params/optimizer state/batch share ONE device (vmap,

@@ -83,6 +83,31 @@ def test_demo_checkpoint_config_derivation():
             cfg.num_encoder_layers, cfg.embedding_size_src) == (32, 4, 16, 6, 16)
 
 
+def test_fused_decoder_layer_auto_resolution():
+    """None = auto: the decoder kernel follows the encoder kernel's
+    width/topology gate (adopted on the measured +25 % enc-dec win,
+    docs/PERF.md round 4) — and stays False for encoder-only models."""
+    base = {"experiment": "InfillingRandom", "d_model": 256, "n_heads": 2,
+            "dim_feedforward": 512, "dropout": 0.3,
+            "num_encoder_decoder_layers": 6, "batch_size": 512,
+            "learning_rate": 0.089, "epochs": 1, "hit_loss_penalty": 0.73}
+    encdec = derive_model_config(
+        HyperParams.from_dict({**base, "encoder_only": 0}))
+    assert encdec.fused_decoder_layer  # qualifying width, single device
+    enc = derive_model_config(
+        HyperParams.from_dict({**base, "encoder_only": 1}))
+    assert not enc.fused_decoder_layer  # no decoder stack
+    # non-qualifying width (head dim 256/8=32): auto stays off
+    narrow = derive_model_config(HyperParams.from_dict(
+        {**base, "encoder_only": 0, "n_heads": 8}))
+    assert not narrow.fused_decoder_layer
+    # explicit override still wins
+    forced = derive_model_config(HyperParams.from_dict(
+        {**base, "encoder_only": 0, "n_heads": 8,
+         "fused_decoder_layer": True}))
+    assert forced.fused_decoder_layer
+
+
 def test_encoder_decoder_variant(rng):
     """encoder_only=0 builds the full enc-dec model and it runs."""
     import jax

@@ -80,8 +80,8 @@ def parse_args(argv=None):
                         help="whole-DECODER-layer fused Pallas kernel "
                         "(causal self-attn + cross-attn + 3 LN sites + FFN "
                         "per call; encoder-decoder family only): 1=on, "
-                        "0=off, unset=auto (currently off — opt-in until "
-                        "its bench win is recorded, docs/PERF.md)")
+                        "0=off, unset=auto (on at qualifying widths — "
+                        "+25 % measured, docs/PERF.md round 4)")
     parser.add_argument("--fast_prng", type=int, default=1,
                         help="use the rbg PRNG for dropout masks (~2x step "
                              "time on TPU at this model size)")

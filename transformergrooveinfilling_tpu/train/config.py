@@ -60,9 +60,10 @@ class HyperParams:
     fused_layer: Optional[bool] = None
     # TPU extra: whole-DECODER-layer fused Pallas kernel
     # (ops/fused_decoder_layer.py: causal self-attn + cross-attn + three LN
-    # sites + FFN in one call per layer). None = auto — currently OFF (the
-    # encoder kernel's measured win doesn't transfer; flips once the
-    # enc-dec bench records its own, repo policy). True forces it on.
+    # sites + FFN in one call per layer). None = auto — same
+    # width/topology gate as the encoder kernel, measured +25 % on the
+    # flagship enc-dec step (scripts/bench_encdec.py, docs/PERF.md
+    # round 4). True/False force it.
     fused_decoder_layer: Optional[bool] = None
     # TPU extra: encoder-layer rematerialization. None = auto — off unless
     # the estimated backward residuals would overflow HBM (resolve_remat;
@@ -289,11 +290,15 @@ def derive_model_config(
                                         hp.dim_feedforward,
                                         n_devices=n_devices,
                                         dp_shard_ok=dp_shard_ok),
-        # auto = OFF until the enc-dec bench records the decoder kernel's
-        # own win (scripts/bench_encdec.py; adoption policy in PERF.md) —
-        # the dispatch re-checks widths, so forcing True is shape-safe
-        fused_decoder_layer=bool(
-            getattr(hp, "fused_decoder_layer", None) or False),
+        # auto = same width/topology gate as the encoder kernel — measured
+        # +25 % on the flagship enc-dec step (37.1k → 46.3k seqs/s/chip,
+        # scripts/bench_encdec.py, docs/PERF.md round 4); the dispatch
+        # re-checks backend/shape, so the gate resolves width/topology only
+        fused_decoder_layer=(
+            resolve_fused_layer(getattr(hp, "fused_decoder_layer", None),
+                                hp.d_model, hp.n_heads, hp.dim_feedforward,
+                                n_devices=n_devices, dp_shard_ok=dp_shard_ok)
+            if n_dec > 0 else False),
         remat=resolve_remat(getattr(hp, "remat", None),
                             d_model=hp.d_model, n_heads=hp.n_heads,
                             dim_feedforward=hp.dim_feedforward,

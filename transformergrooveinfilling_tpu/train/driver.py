@@ -354,7 +354,9 @@ def run_training(
                              optimizer_algorithm=hp.optimizer_algorithm,
                              learning_rate=hp.learning_rate)
 
-    use_dp_shard = (bool(getattr(bundle.config, "fused_layer", False))
+    use_dp_shard = ((bool(getattr(bundle.config, "fused_layer", False))
+                     or bool(getattr(bundle.config, "fused_decoder_layer",
+                                     False)))
                     and n_mesh_devices > 1)
     if use_dp_shard and not dp_shard_ok:
         raise NotImplementedError(
@@ -629,7 +631,8 @@ def run_training(
             # histograms never promised the kernel's dropout stream (the
             # plain path's stream already differs from in-kernel PRNG).
             watch_model = build_model(
-                dataclasses.replace(bundle.config, fused_layer=False))
+                dataclasses.replace(bundle.config, fused_layer=False,
+                                    fused_decoder_layer=False))
         return make_watch_fn(
             watch_model, hp.hit_loss_penalty, hp.batch_size,
             encoder_only=encoder_only, augment=on_device_augment)
