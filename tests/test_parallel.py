@@ -168,6 +168,47 @@ def test_dp_shard_fused_layer_matches_unfused_single_device(rng):
         s1.params, jax.device_get(s2.params))
 
 
+def test_dp_shard_fused_decoder_layer_matches_unfused_single_device(rng):
+    """fused_decoder_layer × data parallelism (the round-4 auto-on): an
+    enc-dec flagship-width model with BOTH whole-layer kernels forced must
+    match the plain single-device XLA path inside the shard_map dp step.
+    On CPU both layers detect the manual trace and take the rate-0-identical
+    unfused branch (Pallas interpret rejects vma-tracked operands); the real
+    kernels ran under this routing on TPU in scripts/bench_encdec.py."""
+    import dataclasses
+
+    fused_cfg = GrooveTransformerConfig(
+        d_model=256, n_heads=2, dim_feedforward=512, dropout=0.0,
+        num_encoder_layers=1, num_decoder_layers=1, embedding_size_src=16,
+        embedding_size_tgt=27, fused_layer=True, fused_decoder_layer=True)
+    x, y = _data(rng, n=64)
+    fused_model = build_model(fused_cfg)
+    plain_model = build_model(dataclasses.replace(
+        fused_cfg, fused_layer=False, fused_decoder_layer=False))
+    tx = make_optimizer("sgd", 0.05)
+    state0 = create_train_state(plain_model, fused_cfg, tx,
+                                jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(9)
+
+    epoch_single = make_epoch_fn(plain_model, tx, 0.5, 32, 64, donate=False,
+                                 encoder_only=False)
+    s1, m1 = epoch_single(state0, x, y, key)
+
+    plan = make_mesh(n_model=1)
+    state_r = jax.device_put(state0, replicated(plan))
+    epoch_dp = make_epoch_fn(fused_model, tx, 0.5, 32, 64, plan=plan,
+                             donate=False, dp_shard=True, encoder_only=False)
+    s2, m2 = epoch_dp(state_r, jax.device_put(x, replicated(plan)),
+                      jax.device_put(y, replicated(plan)), key)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=2e-4)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-4),
+        s1.params, jax.device_get(s2.params))
+
+
 def test_resolve_fused_layer_dp_topology():
     from transformergrooveinfilling_tpu.train.config import (
         resolve_fused_layer,
