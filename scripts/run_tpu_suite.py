@@ -120,7 +120,12 @@ def main(argv=None):
                    help="skip files already recorded in the state sidecar "
                         "(<out>.state.json) — a killed/interrupted run "
                         "continues where it left off instead of starting over")
+    p.add_argument("--render-only", action="store_true",
+                   help="regenerate the markdown artifact from the state "
+                        "sidecar and exit (no TPU needed)")
     args = p.parse_args(argv)
+    if args.render_only:
+        args.resume = True
 
     logf = open(args.log, "a", buffering=1)
 
@@ -174,10 +179,17 @@ def main(argv=None):
                                        if kk != "output"}
                                    for k, v in results.items()},
                        "weather_events": weather_events, "wall_s": wall}, f)
+        pending = [p for p in files if p not in results]
         with open(args.out, "w") as f:
             f.write(render_markdown(results, tot, unres, weather_events,
-                                    wall))
+                                    wall, pending=pending))
         return tot, unres, wall
+
+    if args.render_only:
+        tot, unres, wall = flush_artifacts()
+        log(f"render-only: passed={tot[0]} failed={tot[1]} skipped={tot[2]} "
+            f"errors={tot[3]} across {len(results)} files -> {args.out}")
+        return 0
 
     if not wait_for_tpu(log):
         log("TPU never came up; exiting")
@@ -217,7 +229,8 @@ def main(argv=None):
     return 0 if (total[1] == 0 and total[3] == 0 and not unresolved) else 2
 
 
-def render_markdown(results, total, unresolved, weather_events, wall):
+def render_markdown(results, total, unresolved, weather_events, wall,
+                    pending=None):
     now = datetime.datetime.now().strftime("%Y-%m-%d %H:%M UTC")
     lines = [
         "# On-chip test-suite run (`TGI_TEST_TPU=1`)",
@@ -248,6 +261,12 @@ def render_markdown(results, total, unresolved, weather_events, wall):
         lines += ["", "Unresolved files (TPU never recovered within the "
                       "retry budget):", ""]
         lines += [f"- {p}" for p in unresolved]
+    if pending:
+        lines += ["", f"**Run in progress** — {len(pending)} files not yet "
+                      "attempted (on-chip files run ~10-40 min each through "
+                      "the tunnel; resume with `scripts/run_tpu_suite.py "
+                      "--resume` to continue from the state sidecar):", ""]
+        lines += [f"- {p}" for p in pending]
     lines.append("")
     return "\n".join(lines)
 
