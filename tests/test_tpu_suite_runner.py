@@ -62,7 +62,7 @@ def test_resume_skips_recorded_files_and_writes_incrementally(
 
     ran = []
 
-    def fake_run_file(path, timeout):
+    def fake_run_file(path, timeout, per_test_timeout, deselect=()):
         ran.append(path)
         return "done", "2 passed in 1.00s", 1.0
 
@@ -79,6 +79,100 @@ def test_resume_skips_recorded_files_and_writes_incrementally(
     st = json.loads(open(state).read())
     assert set(st["results"]) == {"tests/test_a.py", "tests/test_b.py"}
     assert st["wall_s"] > 100.0  # prior wall carried forward
+
+
+def test_order_key_puts_kernel_files_last_and_host_logic_first():
+    from run_tpu_suite import order_key
+
+    files = ["tests/test_fused_ln.py", "tests/test_config.py",
+             "tests/test_train.py", "tests/test_tpu_suite_runner.py",
+             "tests/test_torch_parity.py", "tests/test_serve.py"]
+    ordered = sorted(files, key=order_key)
+    assert ordered[0] == "tests/test_tpu_suite_runner.py"
+    assert ordered[1] == "tests/test_config.py"
+    assert ordered[-1] == "tests/test_fused_ln.py"
+    assert ordered[-2] == "tests/test_torch_parity.py"
+
+
+def test_wedged_test_is_deselected_and_counted_as_error(tmp_path, monkeypatch):
+    """A per-test watchdog fire must cost one re-run with the wedged test
+    deselected — not the whole file budget — and surface as an error in the
+    totals + a 'Wedged tests' section in the artifact."""
+    import json
+
+    import run_tpu_suite as rts
+
+    out = tmp_path / "TESTS_TPU.md"
+    calls = []
+
+    def fake_run_file(path, timeout, per_test_timeout, deselect=()):
+        calls.append(tuple(deselect))
+        if not deselect:
+            return ("wedged",
+                    "WATCHDOG_TIMEOUT tests/test_a.py::test_wedge\n", 360.0)
+        return "done", "3 passed, 1 deselected in 2.00s", 2.0
+
+    monkeypatch.setattr(rts, "run_file", fake_run_file)
+    monkeypatch.setattr(rts, "wait_for_tpu", lambda log, **kw: True)
+    rc = rts.main(["--out", str(out), "--log", str(tmp_path / "log"),
+                   "--files", "tests/test_a.py"])
+    assert calls == [(), ("tests/test_a.py::test_wedge",)]
+    md = out.read_text()
+    assert "3 passed, 0 failed, 0 skipped, 1 errors" in md
+    assert "tests/test_a.py::test_wedge" in md
+    assert rc == 2  # wedged test counts as a failure for the exit code
+    st = json.loads(open(str(out) + ".state.json").read())
+    assert st["results"]["tests/test_a.py"]["wedged"] == [
+        "tests/test_a.py::test_wedge"]
+
+
+def test_render_only_refuses_missing_sidecar(tmp_path):
+    import run_tpu_suite as rts
+
+    out = tmp_path / "TESTS_TPU.md"
+    rc = rts.main(["--render-only", "--out", str(out),
+                   "--log", str(tmp_path / "log")])
+    assert rc == 1
+    assert not out.exists()
+    assert not os.path.exists(str(out) + ".state.json")
+
+
+def test_render_only_exit_code_reflects_failures(tmp_path):
+    import json
+
+    import run_tpu_suite as rts
+
+    out = tmp_path / "TESTS_TPU.md"
+    state = str(out) + ".state.json"
+    with open(state, "w") as f:
+        json.dump({"results": {"tests/test_a.py": {
+            "attempts": 1, "time_s": 5.0, "counts": [4, 1, 0, 0, 5.0]}},
+            "weather_events": 0, "wall_s": 10.0}, f)
+    rc = rts.main(["--render-only", "--out", str(out),
+                   "--log", str(tmp_path / "log")])
+    assert rc == 2
+    # render-only must not advance the recorded wall clock / rewrite state
+    st = json.loads(open(state).read())
+    assert st["wall_s"] == 10.0
+
+
+def test_weather_attempts_capped_at_two_by_default(tmp_path, monkeypatch):
+    import run_tpu_suite as rts
+
+    out = tmp_path / "TESTS_TPU.md"
+    calls = []
+
+    def fake_run_file(path, timeout, per_test_timeout, deselect=()):
+        calls.append(path)
+        return "aborted", "ABORTED: TPU backend error", 30.0
+
+    monkeypatch.setattr(rts, "run_file", fake_run_file)
+    monkeypatch.setattr(rts, "wait_for_tpu", lambda log, **kw: True)
+    rc = rts.main(["--out", str(out), "--log", str(tmp_path / "log"),
+                   "--files", "tests/test_a.py"])
+    assert len(calls) == 2
+    assert rc == 2
+    assert "Unresolved files" in out.read_text()
 
 
 def test_render_markdown_totals_and_unresolved():

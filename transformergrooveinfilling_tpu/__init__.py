@@ -46,10 +46,25 @@ _cache = _os.environ.get("TGI_COMPILE_CACHE", "")
 if _cache != "0" and not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
     import jax as _jax
 
+    def _machine_cache_dir():
+        # ~/.cache persists across VM reincarnations whose host CPUs differ;
+        # XLA:CPU AOT artifacts compiled for one host's feature set spam
+        # cpu_aot_loader warnings (and risk SIGILL) on the next. Key the
+        # default cache dir by a CPU-feature fingerprint so each machine
+        # generation gets its own cache instead of tripping over stale AOT.
+        import hashlib
+
+        try:
+            with open("/proc/cpuinfo") as f:
+                flags = next((ln for ln in f if ln.startswith("flags")), "")
+        except OSError:
+            flags = ""
+        fp = hashlib.sha1(flags.encode()).hexdigest()[:10]
+        return _os.path.expanduser(f"~/.cache/tgi_xla_{fp}")
+
     try:
         _jax.config.update(
-            "jax_compilation_cache_dir",
-            _cache or _os.path.expanduser("~/.cache/tgi_xla"))
+            "jax_compilation_cache_dir", _cache or _machine_cache_dir())
         _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:

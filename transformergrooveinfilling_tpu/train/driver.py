@@ -359,13 +359,17 @@ def run_training(
                                      False)))
                     and n_mesh_devices > 1)
     if use_dp_shard and not dp_shard_ok:
+        culprits = [flag for flag in ("fused_layer", "fused_decoder_layer")
+                    if bool(getattr(bundle.config, flag, False))]
         raise NotImplementedError(
-            "fused_layer on this mesh is unsupported: the whole-encoder-"
-            "layer Pallas kernel composes with DATA parallelism only, via "
-            "the shard_map dp step (batch_size must divide the data axis). "
-            "tp/pp shard via GSPMD, which cannot partition an opaque custom "
-            "call. Drop the flag (auto turns it off here), use a dp-only "
-            "mesh with a dividing batch size, or run single-chip.")
+            f"{'/'.join(culprits)} on this mesh is unsupported: the "
+            "whole-layer Pallas kernels (encoder and decoder) compose with "
+            "DATA parallelism only, via the shard_map dp step (batch_size "
+            "must divide the data axis). tp/pp shard via GSPMD, which "
+            "cannot partition an opaque custom call. Drop "
+            f"{'those flags' if len(culprits) > 1 else 'that flag'} "
+            "(auto turns them off here), use a dp-only mesh with a "
+            "dividing batch size, or run single-chip.")
 
     pp_step = None
     if is_pp:
