@@ -281,7 +281,11 @@ def test_sf2_velocity_split_drives_synthesis(tmp_path):
     y_hard = render(1.0)   # MIDI 127 → hard layer
     n = 2000
     scale = 0.9 / 0.8
-    np.testing.assert_allclose(y_soft[:n], 0.3 * scale * soft[:n], atol=3e-3)
+    # amplitude follows the SF2 default modulator's (v/127)² law
+    # (audio/synth.py::velocity_gain), not linear velocity
+    gain_soft = (38 / 127.0) ** 2
+    np.testing.assert_allclose(y_soft[:n], gain_soft * scale * soft[:n],
+                               atol=3e-3)
     np.testing.assert_allclose(y_hard[:n], scale * hard[:n], atol=3e-3)
 
 
@@ -410,3 +414,95 @@ def test_sf2_layered_kit_device_route_matches_host(tmp_path):
     dev = mso_batch_from_hvo(hvo, [path] * m, qpms, device_synth=True)
     scale = np.max(np.abs(host)) + 1e-9
     np.testing.assert_allclose(host, dev, atol=2e-5 * scale, rtol=1e-3)
+
+
+def test_velocity_gain_matches_sf2_default_modulator_curve():
+    """The closed-form (v/127)² law must equal the SF2 spec's concave
+    default modulator evaluated the long way: att_cB = 400·log10(127/v),
+    amplitude = 10^(-att/200) (fluidsynth 2.2.6 fluid_conv.c derivation in
+    audio/synth.py::velocity_gain; reference renders every loop through it,
+    /root/reference/dataset.py:94)."""
+    v = np.arange(1, 128, dtype=np.float64)
+    att_cb = 400.0 * np.log10(127.0 / v)
+    expected = 10.0 ** (-att_cb / 200.0)
+    np.testing.assert_allclose(synth.velocity_gain(v), expected, rtol=1e-6)
+    assert synth.velocity_gain(0) == 0.0          # vel-0 note-on is silence
+    assert synth.velocity_gain(127) == 1.0
+
+
+def test_rendered_amplitude_follows_concave_velocity_curve(tmp_path):
+    """End to end through synthesize_hvo at several velocities: the peak of
+    the render must scale as (round(v·127)/127)² relative to full velocity —
+    the square law, measurably different from linear (at v=0.5, 0.25 vs
+    0.5)."""
+    from transformergrooveinfilling_tpu.audio.sf2 import write_minimal_sf2
+
+    sr = 44100
+    tone = _tone(400.0, 0.05, sr)
+    kick_key = VOICE_TO_MIDI_NOTE[0]
+    path = str(tmp_path / "velcurve.sf2")
+    write_minimal_sf2(path, {kick_key: tone}, sr=sr)
+
+    def peak(vel):
+        hvo = np.zeros((32, 27), np.float32)
+        hvo[0, 0] = 1.0
+        hvo[0, 9] = vel
+        return float(np.abs(synth.synthesize_hvo(
+            hvo, qpm=120, sf_path=path, sr=sr)).max())
+
+    ref = peak(1.0)
+    for vel in (0.25, 0.5, 0.75, 0.9):
+        vel_midi = np.rint(vel * 127)
+        expected = (vel_midi / 127.0) ** 2
+        assert abs(peak(vel) / ref - expected) < 1e-3, vel
+
+
+def test_preset_zone_key_ranges_route_multi_instrument_banks(tmp_path):
+    """A bank whose kick and snare live in different instruments, gated by
+    preset-zone keyRanges, must route each key to its own instrument
+    (sf2 spec §7.3; previously the first instrument with a key-matching
+    zone won regardless of preset ranges)."""
+    from transformergrooveinfilling_tpu.audio.sf2 import (
+        kit_from_sf2, write_minimal_sf2)
+
+    sr = 44100
+    kick_tone = _tone(100.0, 0.05, sr)
+    snare_tone = _tone(800.0, 0.05, sr)
+    kick_key, snare_key = VOICE_TO_MIDI_NOTE[0], VOICE_TO_MIDI_NOTE[1]
+    path = str(tmp_path / "multiinst.sf2")
+    # both instruments cover BOTH keys internally; only the preset-zone
+    # keyRange separates them — honoring it is the thing under test
+    write_minimal_sf2(path, instruments=[
+        {"samples": {kick_key: kick_tone, snare_key: kick_tone},
+         "key_lo": kick_key, "key_hi": kick_key},
+        {"samples": {kick_key: snare_tone, snare_key: snare_tone},
+         "key_lo": snare_key, "key_hi": snare_key},
+    ], sr=sr)
+    kit = kit_from_sf2(path, sr)
+    n = 1500
+    scale = 0.9 / 0.8
+    np.testing.assert_allclose(kit[0][:n], scale * kick_tone[:n], atol=3e-3)
+    np.testing.assert_allclose(kit[1][:n], scale * snare_tone[:n], atol=3e-3)
+
+
+def test_preset_zone_vel_ranges_intersect_instrument_zones(tmp_path):
+    """The preset zone's velRange must gate velocities even when the
+    instrument zone covers 0-127: velocities outside the preset range
+    render silence (no zone sounds)."""
+    from transformergrooveinfilling_tpu.audio.sf2 import (
+        kit_from_sf2, write_minimal_sf2)
+
+    sr = 44100
+    tone = _tone(300.0, 0.05, sr)
+    kick_key = VOICE_TO_MIDI_NOTE[0]
+    path = str(tmp_path / "pvel.sf2")
+    write_minimal_sf2(path, instruments=[
+        {"samples": {kick_key: tone}, "vel_lo": 64, "vel_hi": 127},
+    ], sr=sr)
+    kit = kit_from_sf2(path, sr)
+    lut = kit.lut[0]
+    # velocities below the preset range map to the silence row
+    low = kit.samples[lut[32]]
+    high = kit.samples[lut[100]]
+    assert np.abs(low).max() == 0.0
+    assert np.abs(high).max() > 0.1

@@ -27,12 +27,19 @@ Generator model (SF2 spec 2.01 §8.1), per instrument zone:
   instantaneous so unspecified envelopes are exactly identity.
 - a first zone without a sampleID is the instrument's global zone (spec
   §7.7) and seeds the other zones' generator defaults.
+- preset zones (§7.3): each preset zone's keyRange/velRange gates which
+  notes reach its instrument; preset zones stack, and a note sounds only
+  where both the preset-zone and instrument-zone ranges cover it
+  (multi-instrument banks route keys to the right instrument).
+- the concave velocity→attenuation default modulator (spec §8.4.2) is
+  applied at mix time — it collapses to an exact (v/127)² amplitude law
+  (see audio/synth.py::velocity_gain for the derivation against
+  fluidsynth 2.2.6's fluid_conv.c).
 
-Out of scope (documented deviations from full fluidsynth): modulators,
-filter (initialFilterFc) and modulation envelopes/LFOs, preset-level
-relative generators, stereo sample links (channels render mono), and the
-concave velocity→attenuation default modulator (velocity scales amplitude
-linearly, matching the rest of this synth).
+Out of scope (documented deviations from full fluidsynth): non-default
+modulators, filter (initialFilterFc) and modulation envelopes/LFOs,
+preset-level *relative value* generators (only the preset-zone selection
+ranges are honored), and stereo sample links (channels render mono).
 """
 
 from __future__ import annotations
@@ -128,9 +135,25 @@ def parse_sf2(path: str) -> dict:
     }
 
 
-def _preset_instruments(sf: dict, bank_preference=(128, 0)):
-    """Instrument indices reachable from the first percussion preset found
-    (bank 128 preferred, else bank 0 preset 0)."""
+@dataclasses.dataclass
+class _PresetZone:
+    """A preset zone's instrument + selection ranges (spec §7.3/§8.5: the
+    preset-level keyRange/velRange gate which notes reach the instrument —
+    fluidsynth only sounds a voice when BOTH the preset zone's and the
+    instrument zone's ranges cover the note)."""
+
+    instrument: int
+    key_lo: int = 0
+    key_hi: int = 127
+    vel_lo: int = 0
+    vel_hi: int = 127
+
+
+def _preset_zones(sf: dict, bank_preference=(128, 0)) -> list[_PresetZone]:
+    """Preset zones of the first percussion preset found (bank 128
+    preferred, else bank 0), carrying each zone's key/vel ranges. A first
+    zone without an instrument generator is the preset's global zone and
+    seeds the other zones' ranges (spec §7.3)."""
     for want_bank in bank_preference:
         for p_idx, (name, preset, bank, bag_ndx, *_rest) in enumerate(
                 sf["phdr"]):
@@ -138,19 +161,32 @@ def _preset_instruments(sf: dict, bank_preference=(128, 0)):
                 continue
             next_bag = (sf["phdr"][p_idx + 1][3] if p_idx + 1 < len(sf["phdr"])
                         else len(sf["pbag"]))
-            instruments = []
+            zones: list[_PresetZone] = []
+            global_ranges = (0, 127, 0, 127)
             for bag in range(bag_ndx, next_bag):
                 gen_start = sf["pbag"][bag][0]
                 gen_end = (sf["pbag"][bag + 1][0] if bag + 1 < len(sf["pbag"])
                            else len(sf["pgen"]))
+                ranges = list(global_ranges)
+                instrument = None
                 for oper, amount in sf["pgen"][gen_start:gen_end]:
-                    if oper == _GEN_INSTRUMENT:
+                    if oper == _GEN_KEY_RANGE:
+                        raw = amount & 0xFFFF
+                        ranges[0], ranges[1] = raw & 0xFF, (raw >> 8) & 0xFF
+                    elif oper == _GEN_VEL_RANGE:
+                        raw = amount & 0xFFFF
+                        ranges[2], ranges[3] = raw & 0xFF, (raw >> 8) & 0xFF
+                    elif oper == _GEN_INSTRUMENT:
                         # genAmount is a union: instrument IDs are unsigned
                         # words, but the record parses as signed (value
                         # generators need the sign) — reinterpret
-                        instruments.append(amount & 0xFFFF)
-            if instruments:
-                return instruments
+                        instrument = amount & 0xFFFF
+                if instrument is not None:
+                    zones.append(_PresetZone(instrument, *ranges))
+                elif bag == bag_ndx:
+                    global_ranges = tuple(ranges)
+            if zones:
+                return zones
     raise SF2Error("no percussion (bank 128) or default preset found")
 
 
@@ -328,46 +364,52 @@ def _render_zone(sf: dict, zone: _Zone, key: int, sr: int) -> np.ndarray | None:
     return out
 
 
-def _layers_for_key(sf: dict, zone_lists, key: int, sr: int):
+def _layers_for_key(sf: dict, preset_entries, key: int, sr: int):
     """Velocity layers for ``key``: ``(samples, lut128)`` or None.
 
-    The first instrument with a key-matching zone wins (multi-instrument
-    presets keep their reference ordering); within it, *all* matching zones
-    participate — zones overlapping in velocity stack (their renders sum),
-    velocity splits select different layers. ``lut128[v]`` indexes
-    ``samples`` (-1 = no zone covers that velocity → silence)."""
-    for zones in zone_lists:
-        matching = [z for z in zones if z.key_lo <= key <= z.key_hi]
-        if not matching:
+    ``preset_entries`` is ``[(_PresetZone, [instrument _Zone, ...]), ...]``.
+    Every preset zone whose keyRange covers ``key`` contributes its
+    instrument's key-matching zones (preset zones stack, as in fluidsynth);
+    a zone sounds at a velocity only when BOTH its own velRange and its
+    preset zone's velRange cover it. Zones overlapping in velocity stack
+    (their renders sum), velocity splits select different layers.
+    ``lut128[v]`` indexes ``samples`` (-1 = no zone covers that velocity →
+    silence)."""
+    cand: list[tuple[_Zone, int, int]] = []  # (zone, eff_vel_lo, eff_vel_hi)
+    for pz, zones in preset_entries:
+        if not (pz.key_lo <= key <= pz.key_hi):
             continue
-        renders: dict[int, np.ndarray | None] = {}
+        for z in zones:
+            if z.key_lo <= key <= z.key_hi:
+                cand.append((z, max(pz.vel_lo, z.vel_lo),
+                             min(pz.vel_hi, z.vel_hi)))
+    if not cand:
+        return None
+    renders: dict[int, np.ndarray | None] = {}
 
-        def render(i):
-            if i not in renders:
-                renders[i] = _render_zone(sf, matching[i], key, sr)
-            return renders[i]
+    def render(i):
+        if i not in renders:
+            renders[i] = _render_zone(sf, cand[i][0], key, sr)
+        return renders[i]
 
-        groups: dict[tuple, int] = {}
-        samples: list[np.ndarray] = []
-        lut = np.full(128, -1, np.int32)
-        for vel in range(128):
-            sel = tuple(i for i, z in enumerate(matching)
-                        if z.vel_lo <= vel <= z.vel_hi
-                        and render(i) is not None)
-            if not sel:
-                continue
-            if sel not in groups:
-                parts = [renders[i] for i in sel]
-                n = max(len(p) for p in parts)
-                acc = np.zeros(n, np.float32)
-                for p in parts:
-                    acc[: len(p)] += p
-                groups[sel] = len(samples)
-                samples.append(acc)
-            lut[vel] = groups[sel]
-        if samples:
-            return samples, lut
-    return None
+    groups: dict[tuple, int] = {}
+    samples: list[np.ndarray] = []
+    lut = np.full(128, -1, np.int32)
+    for vel in range(128):
+        sel = tuple(i for i, (z, vlo, vhi) in enumerate(cand)
+                    if vlo <= vel <= vhi and render(i) is not None)
+        if not sel:
+            continue
+        if sel not in groups:
+            parts = [renders[i] for i in sel]
+            n = max(len(p) for p in parts)
+            acc = np.zeros(n, np.float32)
+            for p in parts:
+                acc[: len(p)] += p
+            groups[sel] = len(samples)
+            samples.append(acc)
+        lut[vel] = groups[sel]
+    return (samples, lut) if samples else None
 
 
 @functools.lru_cache(maxsize=16)
@@ -392,14 +434,14 @@ def kit_from_sf2(path: str, sr: int = 44100) -> DrumKit:
     n_voices = len(VOICE_TO_MIDI_NOTE)
     try:
         sf = parse_sf2(path)
-        zone_lists = [
-            _zones_for_instrument(sf, i)
-            for i in _preset_instruments(sf)
-            if i < len(sf["inst"])
+        preset_entries = [
+            (pz, _zones_for_instrument(sf, pz.instrument))
+            for pz in _preset_zones(sf)
+            if pz.instrument < len(sf["inst"])
         ]
         per_voice_layers = {}
         for voice, key in enumerate(VOICE_TO_MIDI_NOTE):
-            layers = _layers_for_key(sf, zone_lists, key, sr)
+            layers = _layers_for_key(sf, preset_entries, key, sr)
             if layers is not None:
                 per_voice_layers[voice] = layers
     except SF2Error:
@@ -440,10 +482,11 @@ def kit_from_sf2(path: str, sr: int = 44100) -> DrumKit:
     return DrumKit(per_voice, flat, lut)
 
 
-def write_minimal_sf2(path: str, samples: dict,
-                      sr: int = 44100, name: str = "TGI Kit"):
-    """Write a minimal valid percussion SoundFont (one instrument) — used for
-    test fixtures and to export the procedural kit as .sf2.
+def write_minimal_sf2(path: str, samples: dict | None = None,
+                      sr: int = 44100, name: str = "TGI Kit",
+                      instruments: list | None = None):
+    """Write a minimal valid percussion SoundFont — used for test fixtures
+    and to export the procedural kit as .sf2.
 
     ``samples`` maps MIDI key → either a waveform array (one full-velocity
     zone rooted at the key, legacy form) or a list of zone dicts for
@@ -456,33 +499,48 @@ def write_minimal_sf2(path: str, samples: dict,
          "root": key,                   # overridingRootKey (gen 58)
          "delay_tc"/"attack_tc"/"hold_tc"/"decay_tc"/
          "sustain_cb"/"release_tc": ...}   # volume envelope (gens 33-38)
+
+    ``instruments`` (mutually exclusive with ``samples``) builds a
+    multi-instrument preset for preset-zone fixtures: a list of
+    ``{"samples": {key: ...}, "key_lo": 0, "key_hi": 127,
+    "vel_lo": 0, "vel_hi": 127}`` — each entry becomes its own instrument
+    reached through a preset zone carrying those key/vel ranges.
     """
-    keys = sorted(samples)
-    zone_specs: list[tuple[int, dict]] = []  # (key, zone dict)
-    for key in keys:
-        val = samples[key]
-        if isinstance(val, (list, tuple)):
-            for z in val:
-                zone_specs.append((key, dict(z)))
-        else:
-            zone_specs.append((key, {"sample": val}))
+    if (samples is None) == (instruments is None):
+        raise ValueError("pass exactly one of samples= or instruments=")
+    if instruments is None:
+        instruments = [{"samples": samples}]
+
+    # per instrument: flatten {key: zones} into ordered (key, zone) specs
+    inst_zone_specs: list[list[tuple[int, dict]]] = []
+    for spec in instruments:
+        zone_specs: list[tuple[int, dict]] = []
+        for key in sorted(spec["samples"]):
+            val = spec["samples"][key]
+            if isinstance(val, (list, tuple)):
+                for z in val:
+                    zone_specs.append((key, dict(z)))
+            else:
+                zone_specs.append((key, {"sample": val}))
+        inst_zone_specs.append(zone_specs)
 
     pool = []
     shdr_entries = []
     pos = 0
-    for key, z in zone_specs:
-        pcm = np.clip(np.asarray(z["sample"], np.float32), -1, 1)
-        pcm16 = (pcm * 32767).astype("<i2")
-        pool.append(pcm16)
-        pool.append(np.zeros(46, "<i2"))  # spec: 46 zero points after sample
-        loop = z.get("loop")
-        if loop is not None:
-            loop_abs = (pos + int(loop[0]), pos + int(loop[1]))
-        else:
-            loop_abs = (pos, max(pos + len(pcm16) - 1, pos))
-        shdr_entries.append(
-            (pos, pos + len(pcm16), loop_abs, sr, z.get("root", key)))
-        pos += len(pcm16) + 46
+    for zone_specs in inst_zone_specs:
+        for key, z in zone_specs:
+            pcm = np.clip(np.asarray(z["sample"], np.float32), -1, 1)
+            pcm16 = (pcm * 32767).astype("<i2")
+            pool.append(pcm16)
+            pool.append(np.zeros(46, "<i2"))  # spec: 46 zeros after sample
+            loop = z.get("loop")
+            if loop is not None:
+                loop_abs = (pos + int(loop[0]), pos + int(loop[1]))
+            else:
+                loop_abs = (pos, max(pos + len(pcm16) - 1, pos))
+            shdr_entries.append(
+                (pos, pos + len(pcm16), loop_abs, sr, z.get("root", key)))
+            pos += len(pcm16) + 46
     smpl = np.concatenate(pool) if pool else np.zeros(0, "<i2")
 
     def chunk(fourcc: bytes, payload: bytes) -> bytes:
@@ -500,45 +558,69 @@ def write_minimal_sf2(path: str, samples: dict,
                  + chunk(b"INAM", zstr(name, 20)))
     sdta = chunk(b"LIST", b"sdta" + chunk(b"smpl", smpl.tobytes()))
 
-    # pdta: one preset (bank 128, preset 0) → one instrument → zone per key
+    # pdta: one preset (bank 128, preset 0) → one preset zone per instrument
+    # (with optional key/vel ranges) → zone per key within each instrument
     phdr = (struct.pack("<20sHHHIII", zstr("DrumKit", 20), 0, 128, 0, 0, 0, 0)
-            + struct.pack("<20sHHHIII", zstr("EOP", 20), 0, 0, 1, 0, 0, 0))
-    pbag = struct.pack("<HH", 0, 0) + struct.pack("<HH", 1, 0)
-    pgen = struct.pack("<Hh", _GEN_INSTRUMENT, 0)
+            + struct.pack("<20sHHHIII", zstr("EOP", 20), 0, 0,
+                          len(instruments), 0, 0, 0))
+    pbag = b""
+    pgen = b""
+    n_pgens = 0
+    for i, spec in enumerate(instruments):
+        pbag += struct.pack("<HH", n_pgens, 0)
+        pzgens: list[bytes] = []
+        klo, khi = spec.get("key_lo", 0), spec.get("key_hi", 127)
+        vlo, vhi = spec.get("vel_lo", 0), spec.get("vel_hi", 127)
+        if (klo, khi) != (0, 127):
+            pzgens.append(struct.pack("<HH", _GEN_KEY_RANGE,
+                                      klo | (khi << 8)))
+        if (vlo, vhi) != (0, 127):
+            pzgens.append(struct.pack("<HH", _GEN_VEL_RANGE,
+                                      vlo | (vhi << 8)))
+        pzgens.append(struct.pack("<Hh", _GEN_INSTRUMENT, i))
+        pgen += b"".join(pzgens)
+        n_pgens += len(pzgens)
+    pbag += struct.pack("<HH", n_pgens, 0)
     pmod = b"\0" * 10
-    inst = (struct.pack("<20sH", zstr("Drums", 20), 0)
-            + struct.pack("<20sH", zstr("EOI", 20), len(zone_specs)))
+    inst = b""
     ibag = b""
     igen = b""
     n_gens = 0
-    for i, (key, z) in enumerate(zone_specs):
-        ibag += struct.pack("<HH", n_gens, 0)
-        # generator order per spec: keyRange first, velRange second,
-        # sampleID last
-        gens: list[bytes] = [
-            struct.pack("<HH", _GEN_KEY_RANGE, key | (key << 8))]
-        vel_lo, vel_hi = z.get("vel_lo", 0), z.get("vel_hi", 127)
-        if (vel_lo, vel_hi) != (0, 127):
-            gens.append(struct.pack("<HH", _GEN_VEL_RANGE,
-                                    vel_lo | (vel_hi << 8)))
-        for field, oper in (("delay_tc", _GEN_DELAY_VOL_ENV),
-                            ("attack_tc", _GEN_ATTACK_VOL_ENV),
-                            ("hold_tc", _GEN_HOLD_VOL_ENV),
-                            ("decay_tc", _GEN_DECAY_VOL_ENV),
-                            ("sustain_cb", _GEN_SUSTAIN_VOL_ENV),
-                            ("release_tc", _GEN_RELEASE_VOL_ENV)):
-            if field in z:
-                gens.append(struct.pack("<Hh", oper, int(z[field])))
-        if z.get("atten_cb"):
-            gens.append(struct.pack("<Hh", _GEN_INITIAL_ATTENUATION,
-                                    int(z["atten_cb"])))
-        if z.get("loop") is not None:
-            gens.append(struct.pack("<Hh", _GEN_SAMPLE_MODES, 1))
-        gens.append(struct.pack("<Hh", _GEN_OVERRIDING_ROOT_KEY,
-                                int(z.get("root", key))))
-        gens.append(struct.pack("<Hh", _GEN_SAMPLE_ID, i))
-        igen += b"".join(gens)
-        n_gens += len(gens)
+    n_bags = 0
+    sample_i = 0
+    for ii, zone_specs in enumerate(inst_zone_specs):
+        inst += struct.pack("<20sH", zstr(f"Drums{ii}", 20), n_bags)
+        for key, z in zone_specs:
+            ibag += struct.pack("<HH", n_gens, 0)
+            n_bags += 1
+            # generator order per spec: keyRange first, velRange second,
+            # sampleID last
+            gens: list[bytes] = [
+                struct.pack("<HH", _GEN_KEY_RANGE, key | (key << 8))]
+            vel_lo, vel_hi = z.get("vel_lo", 0), z.get("vel_hi", 127)
+            if (vel_lo, vel_hi) != (0, 127):
+                gens.append(struct.pack("<HH", _GEN_VEL_RANGE,
+                                        vel_lo | (vel_hi << 8)))
+            for field, oper in (("delay_tc", _GEN_DELAY_VOL_ENV),
+                                ("attack_tc", _GEN_ATTACK_VOL_ENV),
+                                ("hold_tc", _GEN_HOLD_VOL_ENV),
+                                ("decay_tc", _GEN_DECAY_VOL_ENV),
+                                ("sustain_cb", _GEN_SUSTAIN_VOL_ENV),
+                                ("release_tc", _GEN_RELEASE_VOL_ENV)):
+                if field in z:
+                    gens.append(struct.pack("<Hh", oper, int(z[field])))
+            if z.get("atten_cb"):
+                gens.append(struct.pack("<Hh", _GEN_INITIAL_ATTENUATION,
+                                        int(z["atten_cb"])))
+            if z.get("loop") is not None:
+                gens.append(struct.pack("<Hh", _GEN_SAMPLE_MODES, 1))
+            gens.append(struct.pack("<Hh", _GEN_OVERRIDING_ROOT_KEY,
+                                    int(z.get("root", key))))
+            gens.append(struct.pack("<Hh", _GEN_SAMPLE_ID, sample_i))
+            sample_i += 1
+            igen += b"".join(gens)
+            n_gens += len(gens)
+    inst += struct.pack("<20sH", zstr("EOI", 20), n_bags)
     ibag += struct.pack("<HH", n_gens, 0)
     imod = b"\0" * 10
     shdr = b""

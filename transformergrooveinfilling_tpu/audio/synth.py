@@ -3,8 +3,9 @@
 An HVO grid renders as sample accumulation: for every hit, its voice's sample —
 from the procedural kit or a parsed SoundFont — is added at the hit's onset time
 (grid step + fractional offset, in 16th-note units at the loop's tempo), scaled
-by velocity. The accumulation loop runs in native C++ when the extension is
-built (audio/native/sf2synth.cpp via ctypes), with an identical numpy fallback.
+by the SF2 default modulator's velocity gain (:func:`velocity_gain`). The
+accumulation loop runs in native C++ when the extension is built
+(audio/native/sf2synth.cpp via ctypes), with an identical numpy fallback.
 
 WAV I/O uses the stdlib ``wave`` module (no soundfile dependency).
 """
@@ -19,6 +20,25 @@ import numpy as np
 from .drumkit import default_kit, kit_layers
 
 _TAIL_SECONDS = 1.0  # let the last hits ring out (cymbal decay)
+
+
+def velocity_gain(vel_midi):
+    """MIDI velocity → amplitude per the SF2 default modulator, closed form.
+
+    SF2 spec §8.4.2's first default modulator routes note-on velocity through
+    a *concave, unipolar, negative* curve into initialAttenuation with 960 cB
+    amount. fluidsynth 2.2.6 (the reference's renderer,
+    /root/reference/environment.yaml:14) implements the curve as
+    ``att_cB(v) = -(200/960)·960·log10(v²/127²) = 400·log10(127/v)``
+    (fluid_conv.c concave table), so the amplitude factor collapses to
+    exactly ``10^(-att/200) = (v/127)²`` for v in [1,127] — a square law,
+    not the linear scaling a naive velocity→amplitude map gives. v = 0 is a
+    MIDI note-off and renders silence.
+
+    Takes/returns numpy arrays or scalars; vel_midi in [0, 127].
+    """
+    v = np.asarray(vel_midi, np.float32) / np.float32(127.0)
+    return v * v
 
 
 def _sample_table(sf_path: str | None, sr: int):
@@ -134,10 +154,12 @@ def synthesize_hvo_batch(hvos: np.ndarray, qpms, sf_paths, sr: int = 44100,
         vels = hvos[items, steps, n_voices + voices].astype(np.float32)
         onsets = np.clip((steps + offs) / sps[items] * sr,
                          0, fixed_length - 1).astype(np.int64)
-        # velocity-layer selection: MIDI velocity picks the zone group,
-        # the continuous velocity still scales amplitude linearly
+        # velocity-layer selection: MIDI velocity picks the zone group;
+        # amplitude follows the SF2 default modulator's square law
+        # (velocity_gain), as fluidsynth applies to every note
         item_k = np.asarray([sf_to_k[sf] for sf in sf_paths], np.int64)[items]
         vel_midi = np.clip(np.rint(vels * 127).astype(np.int64), 0, 127)
+        gains = velocity_gain(vel_midi)
         voice_idx = (base_arr[item_k]
                      + luts[item_k, voices, vel_midi]).astype(np.int32)
         event_offsets = np.zeros(m + 1, np.int64)
@@ -145,13 +167,13 @@ def synthesize_hvo_batch(hvos: np.ndarray, qpms, sf_paths, sr: int = 44100,
         try:
             from .native_binding import mix_batch_native
 
-            mix_batch_native(out, combined, voice_idx, onsets, vels,
+            mix_batch_native(out, combined, voice_idx, onsets, gains,
                              event_offsets)
         except Exception:
             for i in range(m):
                 lo, hi = event_offsets[i], event_offsets[i + 1]
                 _mix_events_numpy(out[i], combined, voice_idx[lo:hi],
-                                  onsets[lo:hi], vels[lo:hi])
+                                  onsets[lo:hi], gains[lo:hi])
 
     # prevent clipping without changing an item's internal dynamics —
     # per item: one loud loop must not rescale the rest of its batch

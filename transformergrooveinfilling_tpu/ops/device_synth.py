@@ -100,15 +100,19 @@ def _extract_events(hvos, sps, sf_base, length: int, sr: float,
 
     onset = (step[None, :] + off) / sps[:, None] * sr
     onset = jnp.clip(onset, 0, length - 1).astype(jnp.int32)  # trunc == host
+    vel_midi = jnp.clip(jnp.round(vel * 127.0), 0, 127).astype(jnp.int32)
     if luts is None:
         row = (sf_base[:, None] + voice[None, :]).astype(jnp.int32)
     else:
-        vel_midi = jnp.clip(jnp.round(vel * 127.0), 0, 127).astype(jnp.int32)
         row = (sf_base[:, None]
                + luts[sf_k[:, None], voice[None, :], vel_midi]).astype(
                    jnp.int32)
-    vel = jnp.where(h > 0, vel, 0.0).astype(jnp.float32)
-    return onset, row, vel
+    # SF2 default-modulator velocity gain: amplitude = (v/127)², the closed
+    # form of fluidsynth's concave vel→attenuation curve
+    # (audio/synth.py::velocity_gain — keep both routes bit-consistent)
+    gain = (vel_midi.astype(jnp.float32) / 127.0) ** 2
+    gain = jnp.where(h > 0, gain, 0.0).astype(jnp.float32)
+    return onset, row, gain
 
 
 def _synth_scan(onset, row, vel, table, length: int) -> jnp.ndarray:
