@@ -157,6 +157,10 @@ def run_file(path, timeout, per_test_timeout, deselect=()):
         return "timeout", out, time.time() - t0
     if rc == WATCHDOG_EXIT or "WATCHDOG_TIMEOUT " in out:
         return "wedged", out, time.time() - t0
+    if rc == 78 or "TPU_BACKEND_UNAVAILABLE" in out:
+        # conftest integrity gate: the child initialized on a non-TPU
+        # backend — treat as weather, never record as an on-chip result
+        return "aborted", out, time.time() - t0
     aborted = any(s in out for s in ABORT_SIGNATURES)
     return ("aborted" if aborted else "done"), out, time.time() - t0
 

@@ -27,6 +27,19 @@ import jax
 # exercise the TPU-only Pallas PRNG paths, e.g. tests/test_fused_ln.py).
 if not os.environ.get("TGI_TEST_TPU"):
     jax.config.update("jax_platforms", "cpu")
+else:
+    # On-chip suite integrity: TGI_TEST_TPU=1 results are recorded as
+    # real-TPU evidence (docs/TESTS_TPU.md), so a silent fall-back to a
+    # host backend must abort the run loudly instead of minting CPU passes
+    # labeled as on-chip. (JAX_PLATFORMS=axon is strict today, so this only
+    # fires if the platform config ever grows a fallback.)
+    import sys as _sys
+
+    if jax.default_backend() != "tpu":
+        _sys.stderr.write("\nTPU_BACKEND_UNAVAILABLE (default_backend="
+                          f"{jax.default_backend()})\n")
+        _sys.stderr.flush()
+        os._exit(78)
 
 import pathlib
 import sys

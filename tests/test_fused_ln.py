@@ -1,8 +1,18 @@
 """Fused dropout+add+LayerNorm kernel: forward/VJP correctness.
 
-rate=0 paths run under the TPU interpreter on CPU; rate>0 paths need the real
-hardware PRNG (the interpreter stubs it to zeros) and are validated on TPU by
-scripts/validate_fused_ln.py.
+rate=0 paths run under the TPU-semantics interpreter on CPU and as the REAL
+kernel on TPU; rate>0 paths need the real hardware PRNG (the interpreter
+stubs it to zeros) and only run on TPU (also validated by
+scripts/validate_fused_ln.py).
+
+On-chip cost note (round-4 lesson): this file burned 4×2400 s through the
+tunnel with the CPU-parity tests hardcoding interpret=True — the TPU
+interpreter traces every Pallas op individually, and the resulting program
+is pathological to compile remotely. On TPU the tests now run the real
+kernel, with lane-aligned row counts (multiples of the kernel's 256-row
+block avoid degenerate padding programs) and small shapes throughout; the
+suite runner's per-test watchdog (tests/conftest.py) bounds any residual
+wedge to minutes.
 """
 
 import numpy as np
@@ -18,8 +28,11 @@ from transformergrooveinfilling_tpu.ops.fused_ln import (
 
 D = 256
 
+# interpreter on CPU (no TPU PRNG primitives there); real kernel on TPU
+INTERP = jax.default_backend() == "cpu"
 
-def _data(rng, n=300):
+
+def _data(rng, n=256):
     x = jnp.asarray(rng.standard_normal((n, D)), jnp.float32)
     y = jnp.asarray(rng.standard_normal((n, D)), jnp.float32)
     scale = jnp.asarray(rng.standard_normal(D) * 0.1 + 1.0, jnp.float32)
@@ -29,18 +42,18 @@ def _data(rng, n=300):
 
 def test_forward_rate0_matches_reference(rng):
     x, y, scale, bias = _data(rng)
-    out = dropout_add_layernorm(x, y, scale, bias, jnp.int32(0), 0.0, True)
+    out = dropout_add_layernorm(x, y, scale, bias, jnp.int32(0), 0.0, INTERP)
     ref = dropout_add_layernorm_reference(x, y, scale, bias,
                                           jax.random.PRNGKey(0), 0.0)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
 def test_grads_rate0_match_reference(rng):
-    x, y, scale, bias = _data(rng, n=120)
+    x, y, scale, bias = _data(rng, n=128)
 
     def loss_fused(x, y, s, b):
         return jnp.sum(jnp.sin(
-            dropout_add_layernorm(x, y, s, b, jnp.int32(0), 0.0, True)))
+            dropout_add_layernorm(x, y, s, b, jnp.int32(0), 0.0, INTERP)))
 
     def loss_ref(x, y, s, b):
         return jnp.sum(jnp.sin(dropout_add_layernorm_reference(
@@ -57,8 +70,8 @@ def test_grads_rate0_match_reference(rng):
                     reason="interpreter PRNG is stubbed; needs real TPU")
 def test_dropout_statistics(rng):
     """Keep rate ≈ 1-rate; kept branch entries scaled by 1/(1-rate)."""
-    x = jnp.zeros((512, D), jnp.float32)
-    y = jnp.ones((512, D), jnp.float32)
+    x = jnp.zeros((256, D), jnp.float32)
+    y = jnp.ones((256, D), jnp.float32)
     scale = jnp.ones((D,), jnp.float32)
     bias = jnp.zeros((D,), jnp.float32)
     rate = 0.4
