@@ -56,6 +56,8 @@ def make_args(rng, dtype=jnp.float32):
 
 def main():
     assert jax.default_backend() == "tpu", "hardware validation needs a chip"
+    record = {"kernel": "fused_layer (whole encoder layer)",
+              "shapes": {"d_model": D, "n_heads": H, "dim_ff": FF, "T": T}}
     rng = np.random.default_rng(0)
     m = 512
 
@@ -71,6 +73,7 @@ def main():
         {"params": params}, x3, deterministic=False, rngs=key))
     rel = np.max(np.abs(y_fused - y_ref) / (np.abs(y_ref) + 1e-2))
     print(f"rate=0 forward parity vs XLA: max rel diff {rel:.5f}")
+    record["rate0_forward_max_rel_diff"] = float(rel)
     assert rel < 5e-3
 
     # 2. keep-rate through the h_drop residual (W1=0, b1=+1 → ReLU all-on)
@@ -85,6 +88,9 @@ def main():
     keep = float((h > 0).mean())
     print(f"FFN-site keep rate @ rate {rate}: {keep:.4f} "
           f"(quantized target {quantized_keep_rate(rate):.4f})")
+    record["keep_rate"] = {"rate": rate, "observed": keep,
+                           "quantized_target": float(quantized_keep_rate(rate)),
+                           "seed": 11}
     assert abs(keep - quantized_keep_rate(rate)) < 0.01
 
     # 3. seeded determinism
@@ -96,6 +102,7 @@ def main():
     assert np.array_equal(y_a, y_b), "same seed must be bit-identical"
     assert not np.array_equal(y_a, y_c), "different seed must differ"
     print("seeded determinism: ok (same-seed identical, cross-seed differs)")
+    record["seeded_determinism"] = "same-seed bit-identical, cross-seed differs"
 
     # 4. fwd/bwd mask consistency via DIRECTIONAL finite differences at
     # rate>0, with a seed-mismatch NEGATIVE control. At DEFAULT matmul
@@ -146,6 +153,11 @@ def main():
         print(f"  dir {t}: fd {fds[t]:+9.3f}  vjp {ans[t]:+9.3f}  "
               f"wrong-seed vjp {anxs[t]:+9.3f}")
     print(f"aggregate rel residual: vjp {rel:.4f}  wrong-seed {relx:.4f}")
+    record["fwd_bwd_mask_consistency"] = {
+        "rate": rate, "directions": k,
+        "vjp_vs_fd_rel_residual": float(rel),
+        "wrong_seed_control_rel_residual": float(relx),
+        "matmul_precision": "highest"}
     assert rel < 0.08, (
         "custom-VJP gradient disagrees with finite differences — "
         "fwd/bwd PRNG streams diverged?")
@@ -205,6 +217,8 @@ def main():
         dp_params, pl_params)))
     print(f"dp_shard fused step vs plain fused step: dloss {dl:.2e}, "
           f"max param diff {dmax:.2e}")
+    record["dp_shard_cross_check"] = {"dloss": dl, "max_param_diff": dmax,
+                                      "dropout": 0.3}
     assert dl < 1e-5 and dmax < 1e-5, (
         "fused kernel under shard_map diverged from the plain fused step")
     print("fused_layer x dp (shard_map) on hardware: ok")
@@ -240,6 +254,10 @@ def main():
     grel6 = np.linalg.norm(gf - gr) / max(np.linalg.norm(gr), 1e-9)
     print(f"hd-64 packed rate=0 parity: fwd max rel {rel6:.5f}, "
           f"grad norm-rel {grel6:.5f}")
+    record["hd64_packed"] = {"fwd_max_rel": float(rel6),
+                             "grad_norm_rel": float(grel6),
+                             "shapes": {"d_model": dl_, "n_heads": hl_,
+                                        "dim_ff": ffl_}}
     assert rel6 < 5e-3 and grel6 < 5e-3, "hd-64 packing diverged from XLA"
     # arg dict at lm width (make_args is flagship-shaped)
     r10 = np.random.default_rng(10)
@@ -262,6 +280,8 @@ def main():
     yc = np.asarray(f6(x6f, jnp.asarray([4], jnp.int32)))
     assert np.array_equal(ya, yb) and not np.array_equal(ya, yc)
     print("hd-64 packed heads on hardware: ok")
+    record["hd64_seeded_determinism"] = "ok"
+    return record
 
 
 if __name__ == "__main__":
