@@ -33,12 +33,10 @@ else:
     # host backend must abort the run loudly instead of minting CPU passes
     # labeled as on-chip. (JAX_PLATFORMS=axon is strict today, so this only
     # fires if the platform config ever grows a fallback.)
-    import sys as _sys
-
     if jax.default_backend() != "tpu":
-        _sys.stderr.write("\nTPU_BACKEND_UNAVAILABLE (default_backend="
-                          f"{jax.default_backend()})\n")
-        _sys.stderr.flush()
+        # raw fd 2 — pytest capture may already hold sys.stderr
+        os.write(2, ("\nTPU_BACKEND_UNAVAILABLE (default_backend="
+                     f"{jax.default_backend()})\n").encode())
         os._exit(78)
 
 import pathlib
@@ -62,8 +60,10 @@ if _PER_TEST_TIMEOUT > 0:
     import threading
 
     def _watchdog_fire(nodeid):
-        sys.stderr.write(f"\nWATCHDOG_TIMEOUT {nodeid}\n")
-        sys.stderr.flush()
+        # raw fd 2: pytest's capture plugin swaps sys.stderr for an
+        # in-memory buffer that os._exit never flushes — the marker must
+        # reach the real pipe for the runner to parse it
+        os.write(2, f"\nWATCHDOG_TIMEOUT {nodeid}\n".encode())
         os._exit(77)
 
     @pytest.hookimpl(hookwrapper=True)

@@ -370,6 +370,20 @@ def test_remat_matches_plain(rng):
     np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
     jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, atol=1e-6), g0, g1)
 
+    # selective remat (remat_policy="dots": matmul outputs saved, elementwise
+    # recomputed — scripts/bench_backward_residual.py's lever) must be
+    # loss/grad-identical too, and unknown policies must fail eagerly
+    model_d = build_model(dataclasses.replace(CFG, remat=True,
+                                              remat_policy="dots"))
+    l2, g2 = jax.value_and_grad(lambda p: loss(model_d, p))(params)
+    np.testing.assert_allclose(float(l0), float(l2), rtol=1e-6)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, atol=1e-6),
+                 g0, g2)
+    with pytest.raises(ValueError, match="remat_policy"):
+        build_model(dataclasses.replace(CFG, remat=True,
+                                        remat_policy="bogus")).apply(
+            {"params": params}, x, deterministic=True)
+
 
 def test_shipped_demo_checkpoint_loads():
     """The in-repo demo/ checkpoints load through both restore paths and

@@ -56,6 +56,13 @@ class GrooveTransformerConfig:
     # rematerialize encoder layers in the backward pass (trade FLOPs for HBM;
     # for configs far beyond the reference's sizes)
     remat: bool = False
+    # selective-remat policy when remat=True: None = recompute everything
+    # (flax default); "dots" = jax.checkpoint_policies.
+    # dots_with_no_batch_dims_saveable — matmul outputs stay stored, only
+    # the elementwise chains between them recompute, trading a few VPU
+    # FLOPs for the backward's residual re-read traffic
+    # (scripts/bench_backward_residual.py measures both at XL width)
+    remat_policy: Optional[str] = None
     # fuse the two per-layer LN(x + dropout(y)) sites into the Pallas kernel
     # (ops/fused_ln.py; TPU training path — masks regenerated in backward)
     fused_dropout_ln: bool = False
@@ -87,6 +94,18 @@ class GrooveTransformerConfig:
     @property
     def n_voices(self) -> int:
         return self.embedding_size_tgt // 3
+
+
+def _remat_wrap(layer, cfg, static_argnums):
+    """nn.remat with the config's selective policy (remat_policy field)."""
+    if not cfg.remat:
+        return layer
+    kw = {}
+    if cfg.remat_policy == "dots":
+        kw["policy"] = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    elif cfg.remat_policy not in (None, "nothing"):
+        raise ValueError(f"unknown remat_policy: {cfg.remat_policy!r}")
+    return nn.remat(layer, static_argnums=static_argnums, **kw)
 
 
 def sinusoidal_positional_encoding(max_len: int, d_model: int) -> jax.Array:
@@ -562,8 +581,7 @@ class GrooveTransformerEncoder(nn.Module):
         )
         # remat: recompute each layer's activations in the backward pass
         # (static_argnums=(2,): `deterministic` stays a python bool)
-        layer_cls = (nn.remat(EncoderLayer, static_argnums=(2,)) if cfg.remat
-                     else EncoderLayer)
+        layer_cls = _remat_wrap(EncoderLayer, cfg, (2,))
         for i in range(cfg.num_encoder_layers):
             x = layer_cls(
                 cfg.d_model,
@@ -598,8 +616,7 @@ class GrooveTransformer(nn.Module):
                        name="input")(
             x, deterministic=deterministic
         )
-        enc_cls = (nn.remat(EncoderLayer, static_argnums=(2,)) if cfg.remat
-                   else EncoderLayer)
+        enc_cls = _remat_wrap(EncoderLayer, cfg, (2,))
         for i in range(cfg.num_encoder_layers):
             x = enc_cls(
                 cfg.d_model,
@@ -629,8 +646,7 @@ class GrooveTransformer(nn.Module):
         )
         # remat with `deterministic` positional+static (argnums: self, x,
         # memory, deterministic)
-        dec_cls = (nn.remat(DecoderLayer, static_argnums=(3,)) if cfg.remat
-                   else DecoderLayer)
+        dec_cls = _remat_wrap(DecoderLayer, cfg, (3,))
         for i in range(cfg.num_decoder_layers):
             y = dec_cls(
                 cfg.d_model,
