@@ -62,6 +62,11 @@ def parse_args(argv=None):
     parser.add_argument("--bf16", type=int, default=None,
                         help="matmul compute dtype: 1=bfloat16, 0=float32, "
                         "unset=auto (bf16 on TPU; docs/PERF.md)")
+    parser.add_argument("--remat_policy", default=None,
+                        choices=["dots", "nothing"],
+                        help="selective remat when remat engages: 'dots' "
+                        "stores matmul outputs and recomputes elementwise "
+                        "chains (scripts/bench_backward_residual.py)")
     parser.add_argument("--remat", type=int, default=None,
                         help="encoder-layer rematerialization: 1/0 force; "
                         "absent = auto (on only when the estimated backward "
@@ -257,6 +262,8 @@ def _run(args, hp_dict, paths):
             # TPU extra: None = auto (remat only when HBM would overflow)
             "remat": (bool(args.remat) if args.remat is not None
                       else cfg.get("remat")),
+            "remat_policy": (args.remat_policy if args.remat_policy is not None
+                             else cfg.get("remat_policy")),
         },
         "training": {
             "learning_rate": cfg.learning_rate,

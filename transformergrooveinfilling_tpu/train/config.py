@@ -69,6 +69,11 @@ class HyperParams:
     # the estimated backward residuals would overflow HBM (resolve_remat;
     # remat costs +26 % at GrooveXL scale when memory does NOT force it).
     remat: Optional[bool] = None
+    # TPU extra: selective-remat policy when remat engages — "dots" stores
+    # matmul outputs and recomputes only elementwise chains
+    # (models/transformer.py::_remat_wrap; measured at XL width in
+    # scripts/bench_backward_residual.py). None = recompute everything.
+    remat_policy: Optional[str] = None
 
     @classmethod
     def from_dict(cls, d: dict) -> "HyperParams":
@@ -307,6 +312,7 @@ def derive_model_config(
                             optimizer=hp.optimizer_algorithm,
                             batch_size=hp.batch_size,
                             compute_dtype=compute_dtype),
+        remat_policy=getattr(hp, "remat_policy", None),
         d_model=hp.d_model,
         n_heads=hp.n_heads,
         dim_feedforward=hp.dim_feedforward,
