@@ -86,7 +86,7 @@ def parse_args(argv=None):
                         "(causal self-attn + cross-attn + 3 LN sites + FFN "
                         "per call; encoder-decoder family only): 1=on, "
                         "0=off, unset=auto (on at qualifying widths — "
-                        "+25 % measured, docs/PERF.md round 4)")
+                        "+25%% measured, docs/PERF.md round 4)")
     parser.add_argument("--fast_prng", type=int, default=1,
                         help="use the rbg PRNG for dropout masks (~2x step "
                              "time on TPU at this model size)")
