@@ -38,6 +38,14 @@ else:
         os.write(2, ("\nTPU_BACKEND_UNAVAILABLE (default_backend="
                      f"{jax.default_backend()})\n").encode())
         os._exit(78)
+    # On-chip CORRECTNESS runs pin f32 matmuls to true f32 accuracy: the
+    # TPU default lowers every f32 dot to bf16 MXU passes (~1e-3 relative
+    # error), which drowns the suite's f32-tolerance parity assertions
+    # (torch golden outputs, the loop-based MSO oracle) in hardware
+    # rounding — 19 round-4 on-chip "failures" were this. Production code
+    # picks bf16 EXPLICITLY via compute_dtype (bf16 inputs are unaffected
+    # by this flag), and perf is measured by the bench scripts, not here.
+    jax.config.update("jax_default_matmul_precision", "highest")
 
 import pathlib
 import sys
