@@ -160,10 +160,63 @@ def tabs_html(contents: list, titles: list) -> str:
     return "".join(parts)
 
 
+# Self-contained wheel-zoom + drag-pan for every inline SVG: the functional
+# slice of the reference's interactive bokeh figures
+# (/root/reference/evaluator.py:9-10, 349 — zoom/pan on piano rolls and
+# heatmaps) without the bokeh runtime. Applied at the document wrapper so
+# the component renderers above stay byte-stable (tests/test_media_golden.py
+# pins them).
+_SVG_ZOOM_JS = """
+<script>(function(){
+for (const svg of document.querySelectorAll('svg')) {
+  if (!svg.getAttribute('viewBox')) {
+    const w = parseFloat(svg.getAttribute('width')) || svg.clientWidth;
+    const h = parseFloat(svg.getAttribute('height')) || svg.clientHeight;
+    if (!w || !h) continue;
+    svg.setAttribute('viewBox', '0 0 ' + w + ' ' + h);
+  }
+  svg.style.cursor = 'grab';
+  let drag = null;
+  const vb = () => svg.getAttribute('viewBox').split(/\\s+/).map(Number);
+  svg.addEventListener('wheel', (e) => {
+    e.preventDefault();
+    const [x, y, w, h] = vb();
+    const k = e.deltaY < 0 ? 0.85 : 1 / 0.85;
+    const r = svg.getBoundingClientRect();
+    const px = x + (e.clientX - r.left) / r.width * w;
+    const py = y + (e.clientY - r.top) / r.height * h;
+    svg.setAttribute('viewBox', (px - (px - x) * k) + ' ' +
+      (py - (py - y) * k) + ' ' + (w * k) + ' ' + (h * k));
+  }, {passive: false});
+  svg.addEventListener('pointerdown', (e) => {
+    drag = {x: e.clientX, y: e.clientY, vb: vb()};
+    svg.setPointerCapture(e.pointerId);
+    svg.style.cursor = 'grabbing';
+  });
+  svg.addEventListener('pointermove', (e) => {
+    if (!drag) return;
+    const [x, y, w, h] = drag.vb;
+    const r = svg.getBoundingClientRect();
+    svg.setAttribute('viewBox',
+      (x - (e.clientX - drag.x) / r.width * w) + ' ' +
+      (y - (e.clientY - drag.y) / r.height * h) + ' ' + w + ' ' + h);
+  });
+  const up = () => { drag = null; svg.style.cursor = 'grab'; };
+  svg.addEventListener('pointerup', up);
+  svg.addEventListener('pointercancel', up);
+  svg.addEventListener('dblclick', () => {
+    const w = parseFloat(svg.getAttribute('width')) || svg.clientWidth;
+    const h = parseFloat(svg.getAttribute('height')) || svg.clientHeight;
+    svg.setAttribute('viewBox', '0 0 ' + w + ' ' + h);
+  });
+}
+})();</script>"""
+
+
 def html_document(body: str, title: str = "report") -> str:
     return (f"<!DOCTYPE html><html><head><meta charset='utf-8'>"
             f"<title>{_html.escape(title)}</title></head>"
-            f"<body>{body}</body></html>")
+            f"<body>{body}{_SVG_ZOOM_JS}</body></html>")
 
 
 def _histogram_svg(values, title: str, bins: int = 20,
