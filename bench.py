@@ -282,21 +282,33 @@ def main():
     # JAX_PLATFORMS=axon globally and its sitecustomize overrides the env
     # var anyway, so JAX_PLATFORMS says nothing about the user's intent
     cpu_requested = os.environ.get("TGI_PLATFORM") == "cpu"
+    def _wait_for_accelerator(attempts, sleep_s):
+        # tunnel weather outages run 20-40 min on bad days (round-5 log);
+        # the round headline is worth waiting out most of one before
+        # forfeiting to the CPU fallback. Worst-case dead-tunnel wait:
+        # attempts × (150 s probe timeout + sleep_s) ≈ 27 min at (6, 120).
+        for attempt in range(attempts):
+            if _accelerator_responsive():
+                return True
+            print(f"bench: accelerator probe timed out "
+                  f"(attempt {attempt + 1}/{attempts})", file=sys.stderr)
+            if attempt < attempts - 1:
+                time.sleep(sleep_s)
+        return False
+
     try:
-        if not cpu_requested:
-            # tunnel weather is usually transient (verify skill: "recovers
-            # within minutes") — retry the probe a few times before
-            # forfeiting the TPU headline to the CPU fallback
-            for attempt in range(3):
-                if _accelerator_responsive():
-                    break
-                print(f"bench: accelerator probe timed out "
-                      f"(attempt {attempt + 1}/3)", file=sys.stderr)
-                if attempt < 2:
-                    time.sleep(90)
-            else:
-                raise RuntimeError("accelerator probe timed out 3x")
-        platform, value = _run_jax_subprocess(force_cpu=False)
+        if not cpu_requested and not _wait_for_accelerator(6, 120):
+            raise RuntimeError("accelerator probe timed out 6x")
+        try:
+            platform, value = _run_jax_subprocess(force_cpu=False)
+        except (subprocess.TimeoutExpired, RuntimeError) as e:
+            # the child can start healthy and die to mid-run weather; one
+            # re-probe + retry before the fallback
+            print(f"bench: accelerator leg failed once ({e}); re-probing "
+                  "for a retry", file=sys.stderr)
+            if cpu_requested or not _wait_for_accelerator(4, 120):
+                raise
+            platform, value = _run_jax_subprocess(force_cpu=False)
     except (subprocess.TimeoutExpired, RuntimeError) as e:
         # print the full error (a RuntimeError carries the child's captured
         # stdout/stderr tails): a real child crash must stay diagnosable, not
