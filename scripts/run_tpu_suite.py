@@ -93,7 +93,11 @@ PROBE = (
 )
 
 
-def probe_ok(timeout=75):
+def probe_ok(timeout=150):
+    # 150 s, not 75: jax init + first dispatch through a healthy-but-slow
+    # tunnel exceeds 75 s, and host CPU contention (a concurrent pytest)
+    # starves the probe child — both read as false DOWNs that stall the
+    # suite for entire healthy windows (round-5 log, 11:45-11:56)
     try:
         r = subprocess.run([sys.executable, "-c", PROBE], timeout=timeout,
                            capture_output=True, text=True, cwd=REPO)
