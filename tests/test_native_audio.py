@@ -506,3 +506,111 @@ def test_preset_zone_vel_ranges_intersect_instrument_zones(tmp_path):
     high = kit.samples[lut[100]]
     assert np.abs(low).max() == 0.0
     assert np.abs(high).max() > 0.1
+
+
+def test_native_biquad_matches_scipy(rng):
+    """The C++ direct-form-I biquad matches scipy.signal.lfilter on the
+    same a0-normalized coefficients."""
+    from scipy.signal import lfilter
+
+    from transformergrooveinfilling_tpu.audio.native_binding import biquad
+    from transformergrooveinfilling_tpu.audio.sf2 import lowpass_coeffs
+
+    x = rng.standard_normal(4096).astype(np.float32)
+    b0, b1, b2, a1, a2 = lowpass_coeffs(8000, 150, 44100)
+    got = biquad(x, b0, b1, b2, a1, a2)
+    ref = lfilter([b0, b1, b2], [1.0, a1, a2], x.astype(np.float64))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_sf2_filter_lowpass_attenuates_highs(tmp_path):
+    """gens 8/9: a zone with initialFilterFc set renders through
+    fluidsynth's two-pole lowpass — a tone well above fc is attenuated to
+    the biquad's theoretical response, one well below passes."""
+    from transformergrooveinfilling_tpu.audio.sf2 import (
+        kit_from_sf2, write_minimal_sf2)
+
+    sr = 44100
+    lo = _tone(200.0, 0.06, sr, amp=0.5)
+    hi = _tone(6000.0, 0.06, sr, amp=0.5)
+    fc_hz = 800.0
+    fc_cents = int(round(1200 * np.log2(fc_hz / 8.176)))
+    k0, k1, k2 = (VOICE_TO_MIDI_NOTE[i] for i in range(3))
+    path = str(tmp_path / "filt.sf2")
+    write_minimal_sf2(path, {
+        k0: [{"sample": hi, "filter_fc": fc_cents}],
+        k1: [{"sample": lo, "filter_fc": fc_cents}],
+        k2: [{"sample": hi}],  # unfiltered reference
+    }, sr=sr)
+    kit = kit_from_sf2(path, sr)
+    # steady state (skip the filter transient)
+    ss = slice(1000, 2500)
+    hi_ratio = np.abs(kit[0][ss]).max() / np.abs(kit[2][ss]).max()
+    # |H| of a 2-pole lowpass ~ (fc/f)^2 far above fc: (800/6000)^2 ~ 0.018
+    assert hi_ratio < 0.05, hi_ratio
+    # below fc the passband is ~unity: same normalization as the reference
+    lo_peak = np.abs(kit[1][ss]).max()
+    assert lo_peak > 0.8 * np.abs(kit[2][ss]).max()
+
+
+def test_sf2_filter_default_is_bypass(tmp_path):
+    """Explicit spec-default filter generators (fc 13500 cents, Q 0) render
+    bit-identically to a zone with no filter generators at all."""
+    from transformergrooveinfilling_tpu.audio.sf2 import (
+        kit_from_sf2, write_minimal_sf2)
+
+    sr = 44100
+    tone = _tone(500.0, 0.05, sr)
+    k0, k1 = VOICE_TO_MIDI_NOTE[0], VOICE_TO_MIDI_NOTE[1]
+    path = str(tmp_path / "bypass.sf2")
+    write_minimal_sf2(path, {
+        k0: [{"sample": tone, "filter_fc": 13500, "filter_q_cb": 0}],
+        k1: [{"sample": tone}],
+    }, sr=sr)
+    kit = kit_from_sf2(path, sr)
+    np.testing.assert_array_equal(kit[0], kit[1])
+
+
+def test_sf2_filter_q_resonance(tmp_path):
+    """initialFilterQ boosts the response at fc by sqrt(q_lin) after
+    fluidsynth's 1/sqrt(q) gain compensation: q = 20 dB -> ~3.16x at fc."""
+    from transformergrooveinfilling_tpu.audio.sf2 import (
+        kit_from_sf2, write_minimal_sf2)
+
+    sr = 44100
+    f = 1000.0
+    tone = _tone(f, 0.12, sr, amp=0.3)
+    fc_cents = int(round(1200 * np.log2(f / 8.176)))
+    k0, k1 = VOICE_TO_MIDI_NOTE[0], VOICE_TO_MIDI_NOTE[1]
+    path = str(tmp_path / "reso.sf2")
+    write_minimal_sf2(path, {
+        k0: [{"sample": tone, "filter_fc": fc_cents, "filter_q_cb": 200}],
+        k1: [{"sample": tone, "filter_fc": fc_cents}],
+    }, sr=sr)
+    kit = kit_from_sf2(path, sr)
+    ss = slice(3000, 5000)  # steady state
+    ratio = np.abs(kit[0][ss]).max() / np.abs(kit[1][ss]).max()
+    np.testing.assert_allclose(ratio, np.sqrt(10.0), rtol=0.1)
+
+
+def test_sf2_pan_mono_downmix(tmp_path):
+    """gen 17: center pan is unity, hard pan lands at 1/sqrt(2), and a
+    stereo-style L/R zone pair (pan -500/+500) sums to sqrt(2) x the
+    centered level — the mono picture of fluidsynth's equal-power law."""
+    from transformergrooveinfilling_tpu.audio.sf2 import (
+        kit_from_sf2, write_minimal_sf2)
+
+    sr = 44100
+    tone = _tone(400.0, 0.05, sr, amp=0.4)
+    k0, k1, k2 = (VOICE_TO_MIDI_NOTE[i] for i in range(3))
+    path = str(tmp_path / "pan.sf2")
+    write_minimal_sf2(path, {
+        k0: [{"sample": tone}],                 # center (default pan 0)
+        k1: [{"sample": tone, "pan": 500}],     # hard right
+        k2: [{"sample": tone, "pan": -500},     # stereo-style pair
+             {"sample": tone, "pan": 500}],
+    }, sr=sr)
+    kit = kit_from_sf2(path, sr)
+    p0, p1, p2 = (np.abs(kit[i]).max() for i in range(3))
+    np.testing.assert_allclose(p1 / p0, 1 / np.sqrt(2), rtol=5e-3)
+    np.testing.assert_allclose(p2 / p0, np.sqrt(2), rtol=5e-3)

@@ -84,6 +84,23 @@ void tgi_mix_batch(float* buf, int64_t n_items, int64_t buf_len,
     for (auto& th : pool) th.join();
 }
 
+// Direct-form-I biquad, in place: y[i] = b0 x[i] + b1 x[i-1] + b2 x[i-2]
+//                                        - a1 y[i-1] - a2 y[i-2]
+// Coefficients are pre-normalized by a0 on the Python side (audio/sf2.py
+// computes fluidsynth's two-pole lowpass from initialFilterFc/Q there, so
+// this stays a generic IIR section usable for any future filter type).
+void tgi_biquad(float* x, int64_t n,
+                double b0, double b1, double b2, double a1, double a2) {
+    double x1 = 0.0, x2 = 0.0, y1 = 0.0, y2 = 0.0;
+    for (int64_t i = 0; i < n; ++i) {
+        const double x0 = static_cast<double>(x[i]);
+        const double y0 = b0 * x0 + b1 * x1 + b2 * x2 - a1 * y1 - a2 * y2;
+        x[i] = static_cast<float>(y0);
+        x2 = x1; x1 = x0;
+        y2 = y1; y1 = y0;
+    }
+}
+
 // Linear-interpolation resampling: `ratio` = src samples advanced per output
 // sample (combines sample-rate conversion and pitch shift). Returns the number
 // of output samples written (<= out_len).

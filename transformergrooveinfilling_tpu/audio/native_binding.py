@@ -50,6 +50,7 @@ def get_lib():
             lib.tgi_mix_events.restype = None
             lib.tgi_mix_batch.restype = None
             lib.tgi_resample_linear.restype = ctypes.c_int64
+            lib.tgi_biquad.restype = None
             _lib = lib
     return _lib
 
@@ -147,3 +148,22 @@ def resample_linear(src: np.ndarray, ratio: float,
         ctypes.c_double(ratio),
     )
     return out[:n]
+
+
+def biquad(x: np.ndarray, b0: float, b1: float, b2: float,
+           a1: float, a2: float) -> np.ndarray:
+    """One direct-form-I biquad pass (coefficients normalized by a0).
+
+    Used by the SF2 voice filter (audio/sf2.py: fluidsynth's
+    initialFilterFc/Q two-pole lowpass); kept generic so other sections
+    (shelf, highpass) can reuse it.
+    """
+    lib = get_lib()
+    y = np.ascontiguousarray(x, np.float32).copy()
+    lib.tgi_biquad(
+        y.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(len(y)),
+        ctypes.c_double(b0), ctypes.c_double(b1), ctypes.c_double(b2),
+        ctypes.c_double(a1), ctypes.c_double(a2),
+    )
+    return y

@@ -35,11 +35,23 @@ Generator model (SF2 spec 2.01 §8.1), per instrument zone:
   applied at mix time — it collapses to an exact (v/127)² amplitude law
   (see audio/synth.py::velocity_gain for the derivation against
   fluidsynth 2.2.6's fluid_conv.c).
+- initialFilterFc (8) / initialFilterQ (9): fluidsynth's two-pole voice
+  lowpass (fluid_iir_filter.c — fc in absolute cents through fluid_ct2hz,
+  Q in cB with the 1/sqrt(q) gain compensation), run per rendered zone
+  through the native biquad (:func:`lowpass_coeffs`). The spec default
+  (13500 cents ≈ 19.9 kHz, Q 0) is treated as bypass so unspecified
+  filters stay exactly identity.
+- pan (17): mono equal-power downmix normalized to 1.0 at center
+  (:func:`_pan_mono_gain`) — hard-panned zones land at 1/√2, and
+  stereo-sample L/R zone pairs (the spec's stereo encoding: both linked
+  samples referenced by sibling zones panned ±500) sum to ≈ the centered
+  mono level, which is the picture the (mono) MSO input sees.
 
 Out of scope (documented deviations from full fluidsynth): non-default
-modulators, filter (initialFilterFc) and modulation envelopes/LFOs,
-preset-level *relative value* generators (only the preset-zone selection
-ranges are honored), and stereo sample links (channels render mono).
+modulators, modulation envelope/LFO routing (modEnvToFilterFc, vibrato —
+zero-impact for one-shot percussion unless a kit routes them explicitly),
+and preset-level *relative value* generators (the preset-zone selection
+ranges are honored).
 """
 
 from __future__ import annotations
@@ -54,6 +66,9 @@ from ..hvo.mapping import VOICE_TO_MIDI_NOTE
 from .drumkit import DrumKit
 
 # SF2 generator opcodes used
+_GEN_INITIAL_FILTER_FC = 8
+_GEN_INITIAL_FILTER_Q = 9
+_GEN_PAN = 17
 _GEN_INSTRUMENT = 41
 _GEN_KEY_RANGE = 43
 _GEN_VEL_RANGE = 44
@@ -200,6 +215,13 @@ class _Zone:
     sample_id: int | None = None
     atten_cb: int = 0
     sample_modes: int = 0
+    # voice lowpass (fluidsynth fluid_iir_filter): absolute cents / cB.
+    # 13500 cents ≈ 19.9 kHz — the spec default, treated as bypass
+    filter_fc: int = 13500
+    filter_q_cb: int = 0
+    # pan, -500 (hard left) .. +500 (hard right); rendered mono via an
+    # equal-power downmix normalized to 1.0 at center
+    pan: int = 0
     # volume envelope, raw generator units (timecents; sustain in cB)
     delay_tc: int = -12000
     attack_tc: int = -12000
@@ -230,6 +252,12 @@ def _apply_gen(zone: _Zone, oper: int, amount: int) -> None:
         zone.root = amount
     elif oper == _GEN_INITIAL_ATTENUATION:
         zone.atten_cb = amount
+    elif oper == _GEN_INITIAL_FILTER_FC:
+        zone.filter_fc = amount
+    elif oper == _GEN_INITIAL_FILTER_Q:
+        zone.filter_q_cb = amount
+    elif oper == _GEN_PAN:
+        zone.pan = amount
     elif oper == _GEN_SAMPLE_MODES:
         zone.sample_modes = amount & 0xFFFF
     elif oper in _ENV_GEN_FIELDS:
@@ -307,6 +335,59 @@ def _envelope(zone: _Zone, n: int, sr: int,
     return env.astype(np.float32)
 
 
+def lowpass_coeffs(fc_cents: float, q_cb: float, sr: int):
+    """fluidsynth's two-pole lowpass (fluid_iir_filter.c) as a0-normalized
+    biquad coefficients ``(b0, b1, b2, a1, a2)``.
+
+    fc is in absolute cents, ``8.176 * 2^(cents/1200)`` Hz (fluid_ct2hz),
+    clamped to [5 Hz, 0.45·sr]; Q is in centibels (q_dB = cB/10,
+    q_lin = 10^(q_dB/20)), with fluidsynth's resonance gain compensation
+    ``1/sqrt(q_lin)`` folded into the numerator so high-Q zones keep their
+    passband level.
+    """
+    import math
+
+    fc = 8.176 * 2.0 ** (min(float(fc_cents), 13500.0) / 1200.0)
+    fc = min(max(fc, 5.0), 0.45 * sr)
+    q_lin = 10.0 ** (float(np.clip(q_cb, 0, 960)) / 200.0)
+    filter_gain = 1.0 / math.sqrt(q_lin)
+    omega = 2.0 * math.pi * fc / sr
+    sin_o, cos_o = math.sin(omega), math.cos(omega)
+    alpha = sin_o / (2.0 * q_lin)
+    a0_inv = 1.0 / (1.0 + alpha)
+    a1 = -2.0 * cos_o * a0_inv
+    a2 = (1.0 - alpha) * a0_inv
+    b1 = (1.0 - cos_o) * a0_inv * filter_gain
+    return (b1 * 0.5, b1, b1 * 0.5, a1, a2)
+
+
+def _apply_lowpass(x: np.ndarray, fc_cents: float, q_cb: float,
+                   sr: int) -> np.ndarray:
+    b0, b1, b2, a1, a2 = lowpass_coeffs(fc_cents, q_cb, sr)
+    try:
+        from .native_binding import biquad
+
+        return biquad(x, b0, b1, b2, a1, a2)
+    except Exception:  # no compiler: scipy fallback
+        from scipy.signal import lfilter
+
+        return lfilter([b0, b1, b2], [1.0, a1, a2],
+                       x.astype(np.float64)).astype(np.float32)
+
+
+def _pan_mono_gain(pan: int) -> float:
+    """Mono downmix of fluidsynth's equal-power pan law, normalized to 1.0
+    at center: ``(sin((500-pan)θ) + sin((500+pan)θ)) / √2`` with
+    ``θ = (π/2)/1000`` — hard-panned zones land at 1/√2, and stereo-linked
+    L/R zone pairs (pan ±500) sum back to ≈ the centered level."""
+    import math
+
+    p = float(np.clip(pan, -500, 500))
+    theta = math.pi / 2.0 / 1000.0
+    return (math.sin((500.0 - p) * theta)
+            + math.sin((500.0 + p) * theta)) / math.sqrt(2.0)
+
+
 def _resample(raw: np.ndarray, ratio: float) -> np.ndarray:
     from .native_binding import resample_linear
 
@@ -358,9 +439,16 @@ def _render_zone(sf: dict, zone: _Zone, key: int, sr: int) -> np.ndarray | None:
         out = out * env
         nz = np.flatnonzero(np.abs(out) > 1e-6)
         out = out[: int(nz[-1]) + 1] if nz.size else out[:1]
+    if zone.filter_fc < 13500 or zone.filter_q_cb > 0:
+        out = _apply_lowpass(out, zone.filter_fc, zone.filter_q_cb, sr)
+    gain = 1.0
     atten_cb = float(np.clip(zone.atten_cb, 0, 1440))
     if atten_cb > 0:
-        out = out * np.float32(10.0 ** (-atten_cb / 200.0))
+        gain *= 10.0 ** (-atten_cb / 200.0)
+    if zone.pan:
+        gain *= _pan_mono_gain(zone.pan)
+    if gain != 1.0:
+        out = out * np.float32(gain)
     return out
 
 
@@ -498,7 +586,9 @@ def write_minimal_sf2(path: str, samples: dict | None = None,
          "loop": (start, end) | None,   # sample loop + sampleModes=1 (gen 54)
          "root": key,                   # overridingRootKey (gen 58)
          "delay_tc"/"attack_tc"/"hold_tc"/"decay_tc"/
-         "sustain_cb"/"release_tc": ...}   # volume envelope (gens 33-38)
+         "sustain_cb"/"release_tc": ...,   # volume envelope (gens 33-38)
+         "filter_fc": 13500, "filter_q_cb": 0,  # voice lowpass (gens 8/9)
+         "pan": 0}                         # pan, -500..500 (gen 17)
 
     ``instruments`` (mutually exclusive with ``samples``) builds a
     multi-instrument preset for preset-zone fixtures: a list of
@@ -606,7 +696,10 @@ def write_minimal_sf2(path: str, samples: dict | None = None,
                                 ("hold_tc", _GEN_HOLD_VOL_ENV),
                                 ("decay_tc", _GEN_DECAY_VOL_ENV),
                                 ("sustain_cb", _GEN_SUSTAIN_VOL_ENV),
-                                ("release_tc", _GEN_RELEASE_VOL_ENV)):
+                                ("release_tc", _GEN_RELEASE_VOL_ENV),
+                                ("filter_fc", _GEN_INITIAL_FILTER_FC),
+                                ("filter_q_cb", _GEN_INITIAL_FILTER_Q),
+                                ("pan", _GEN_PAN)):
                 if field in z:
                     gens.append(struct.pack("<Hh", oper, int(z[field])))
             if z.get("atten_cb"):
