@@ -614,3 +614,39 @@ def test_sf2_pan_mono_downmix(tmp_path):
     p0, p1, p2 = (np.abs(kit[i]).max() for i in range(3))
     np.testing.assert_allclose(p1 / p0, 1 / np.sqrt(2), rtol=5e-3)
     np.testing.assert_allclose(p2 / p0, np.sqrt(2), rtol=5e-3)
+
+
+def test_sf2_preset_relative_value_generators(tmp_path):
+    """Spec §9.4: preset-zone value generators are DELTAS added to the
+    instrument-zone values — a preset-level atten_cb stacks on the zone's
+    own attenuation, and a preset-level filter_fc delta shifts the zone's
+    cutoff."""
+    from transformergrooveinfilling_tpu.audio.sf2 import (
+        kit_from_sf2, write_minimal_sf2)
+
+    sr = 44100
+    tone = _tone(300.0, 0.05, sr, amp=0.5)
+    hi = _tone(6000.0, 0.06, sr, amp=0.5)
+    k0, k1 = VOICE_TO_MIDI_NOTE[0], VOICE_TO_MIDI_NOTE[1]
+    # instrument zone carries 100 cB, preset zone adds 100 cB -> -10 dB total
+    path = str(tmp_path / "prel.sf2")
+    write_minimal_sf2(path, instruments=[
+        {"samples": {k0: [{"sample": tone, "atten_cb": 100}]},
+         "key_lo": k0, "key_hi": k0, "atten_cb": 100},
+        {"samples": {k1: tone}, "key_lo": k1, "key_hi": k1},
+    ], sr=sr)
+    kit = kit_from_sf2(path, sr)
+    ratio = np.abs(kit[0]).max() / np.abs(kit[1]).max()
+    np.testing.assert_allclose(ratio, 10 ** (-200 / 200.0), rtol=5e-3)
+
+    # preset filter_fc delta: instrument zone at 13500 (bypass default) +
+    # a -5000-cent preset delta = 8500 cents ~ 1.1 kHz -> 6 kHz attenuated
+    path2 = str(tmp_path / "prelf.sf2")
+    write_minimal_sf2(path2, instruments=[
+        {"samples": {k0: hi}, "key_lo": k0, "key_hi": k0,
+         "filter_fc": -5000},
+        {"samples": {k1: hi}, "key_lo": k1, "key_hi": k1},
+    ], sr=sr)
+    kit2 = kit_from_sf2(path2, sr)
+    ss = slice(1000, 2500)
+    assert np.abs(kit2[0][ss]).max() < 0.2 * np.abs(kit2[1][ss]).max()

@@ -30,7 +30,10 @@ Generator model (SF2 spec 2.01 §8.1), per instrument zone:
 - preset zones (§7.3): each preset zone's keyRange/velRange gates which
   notes reach its instrument; preset zones stack, and a note sounds only
   where both the preset-zone and instrument-zone ranges cover it
-  (multi-instrument banks route keys to the right instrument).
+  (multi-instrument banks route keys to the right instrument). Preset-level
+  *relative value* generators (§9.4) are honored for the modeled set —
+  attenuation, filter fc/Q, pan and the volume envelope add their preset
+  deltas to the instrument-zone values (``_zone_plus_preset``).
 - the concave velocity→attenuation default modulator (spec §8.4.2) is
   applied at mix time — it collapses to an exact (v/127)² amplitude law
   (see audio/synth.py::velocity_gain for the derivation against
@@ -48,10 +51,9 @@ Generator model (SF2 spec 2.01 §8.1), per instrument zone:
   mono level, which is the picture the (mono) MSO input sees.
 
 Out of scope (documented deviations from full fluidsynth): non-default
-modulators, modulation envelope/LFO routing (modEnvToFilterFc, vibrato —
-zero-impact for one-shot percussion unless a kit routes them explicitly),
-and preset-level *relative value* generators (the preset-zone selection
-ranges are honored).
+modulators, and modulation envelope/LFO routing (modEnvToFilterFc,
+vibrato — zero-impact for one-shot percussion unless a kit routes them
+explicitly).
 """
 
 from __future__ import annotations
@@ -155,13 +157,17 @@ class _PresetZone:
     """A preset zone's instrument + selection ranges (spec §7.3/§8.5: the
     preset-level keyRange/velRange gate which notes reach the instrument —
     fluidsynth only sounds a voice when BOTH the preset zone's and the
-    instrument zone's ranges cover the note)."""
+    instrument zone's ranges cover the note) + its *relative value*
+    generators (spec §9.4: a value generator at preset level is ADDED to
+    the instrument-level value — ``rel`` maps generator oper → delta for
+    the modeled set: attenuation, filter fc/Q, pan, volume envelope)."""
 
     instrument: int
     key_lo: int = 0
     key_hi: int = 127
     vel_lo: int = 0
     vel_hi: int = 127
+    rel: dict = dataclasses.field(default_factory=dict)
 
 
 def _preset_zones(sf: dict, bank_preference=(128, 0)) -> list[_PresetZone]:
@@ -178,11 +184,17 @@ def _preset_zones(sf: dict, bank_preference=(128, 0)) -> list[_PresetZone]:
                         else len(sf["pbag"]))
             zones: list[_PresetZone] = []
             global_ranges = (0, 127, 0, 127)
+            global_rel: dict = {}
             for bag in range(bag_ndx, next_bag):
                 gen_start = sf["pbag"][bag][0]
                 gen_end = (sf["pbag"][bag + 1][0] if bag + 1 < len(sf["pbag"])
                            else len(sf["pgen"]))
                 ranges = list(global_ranges)
+                # global-zone gens apply unless the zone sets that gen itself
+                # (spec §7.3) — at preset level the zone's own value REPLACES
+                # the global one; the preset→instrument relation is the
+                # additive one
+                rel = dict(global_rel)
                 instrument = None
                 for oper, amount in sf["pgen"][gen_start:gen_end]:
                     if oper == _GEN_KEY_RANGE:
@@ -191,15 +203,18 @@ def _preset_zones(sf: dict, bank_preference=(128, 0)) -> list[_PresetZone]:
                     elif oper == _GEN_VEL_RANGE:
                         raw = amount & 0xFFFF
                         ranges[2], ranges[3] = raw & 0xFF, (raw >> 8) & 0xFF
+                    elif oper in _PRESET_REL_FIELDS:
+                        rel[oper] = amount
                     elif oper == _GEN_INSTRUMENT:
                         # genAmount is a union: instrument IDs are unsigned
                         # words, but the record parses as signed (value
                         # generators need the sign) — reinterpret
                         instrument = amount & 0xFFFF
                 if instrument is not None:
-                    zones.append(_PresetZone(instrument, *ranges))
+                    zones.append(_PresetZone(instrument, *ranges, rel=rel))
                 elif bag == bag_ndx:
                     global_ranges = tuple(ranges)
+                    global_rel = rel
             if zones:
                 return zones
     raise SF2Error("no percussion (bank 128) or default preset found")
@@ -239,6 +254,33 @@ _ENV_GEN_FIELDS = {
     _GEN_SUSTAIN_VOL_ENV: "sustain_cb",
     _GEN_RELEASE_VOL_ENV: "release_tc",
 }
+
+
+# preset-level relative value generators honored (spec §9.4) — the modeled
+# value-generator set; preset deltas ADD to the instrument-zone value
+_PRESET_REL_FIELDS = {
+    _GEN_INITIAL_FILTER_FC: "filter_fc",
+    _GEN_INITIAL_FILTER_Q: "filter_q_cb",
+    _GEN_PAN: "pan",
+    _GEN_INITIAL_ATTENUATION: "atten_cb",
+    _GEN_DELAY_VOL_ENV: "delay_tc",
+    _GEN_ATTACK_VOL_ENV: "attack_tc",
+    _GEN_HOLD_VOL_ENV: "hold_tc",
+    _GEN_DECAY_VOL_ENV: "decay_tc",
+    _GEN_SUSTAIN_VOL_ENV: "sustain_cb",
+    _GEN_RELEASE_VOL_ENV: "release_tc",
+}
+
+
+def _zone_plus_preset(zone: _Zone, rel: dict) -> _Zone:
+    """Instrument zone with a preset zone's relative value generators added
+    (spec §9.4: preset value generators are deltas on the instrument level)."""
+    if not rel:
+        return zone
+    return dataclasses.replace(zone, **{
+        _PRESET_REL_FIELDS[oper]:
+            getattr(zone, _PRESET_REL_FIELDS[oper]) + delta
+        for oper, delta in rel.items() if oper in _PRESET_REL_FIELDS})
 
 
 def _apply_gen(zone: _Zone, oper: int, amount: int) -> None:
@@ -469,7 +511,8 @@ def _layers_for_key(sf: dict, preset_entries, key: int, sr: int):
             continue
         for z in zones:
             if z.key_lo <= key <= z.key_hi:
-                cand.append((z, max(pz.vel_lo, z.vel_lo),
+                cand.append((_zone_plus_preset(z, pz.rel),
+                             max(pz.vel_lo, z.vel_lo),
                              min(pz.vel_hi, z.vel_hi)))
     if not cand:
         return None
@@ -594,7 +637,11 @@ def write_minimal_sf2(path: str, samples: dict | None = None,
     multi-instrument preset for preset-zone fixtures: a list of
     ``{"samples": {key: ...}, "key_lo": 0, "key_hi": 127,
     "vel_lo": 0, "vel_hi": 127}`` — each entry becomes its own instrument
-    reached through a preset zone carrying those key/vel ranges.
+    reached through a preset zone carrying those key/vel ranges. An entry
+    may also carry preset-level relative value generators (spec §9.4) as
+    the same field names as zone dicts (``atten_cb``, ``filter_fc``,
+    ``filter_q_cb``, ``pan``, envelope fields): they are written as
+    preset-zone generators and add to the instrument zones' values.
     """
     if (samples is None) == (instruments is None):
         raise ValueError("pass exactly one of samples= or instruments=")
@@ -667,6 +714,11 @@ def write_minimal_sf2(path: str, samples: dict | None = None,
         if (vlo, vhi) != (0, 127):
             pzgens.append(struct.pack("<HH", _GEN_VEL_RANGE,
                                       vlo | (vhi << 8)))
+        # preset-level relative value generators (spec §9.4): deltas added to
+        # the instrument zones' values; must precede the instrument gen
+        for oper, field in _PRESET_REL_FIELDS.items():
+            if field in spec:
+                pzgens.append(struct.pack("<Hh", oper, int(spec[field])))
         pzgens.append(struct.pack("<Hh", _GEN_INSTRUMENT, i))
         pgen += b"".join(pzgens)
         n_pgens += len(pzgens)
