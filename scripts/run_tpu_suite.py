@@ -54,6 +54,10 @@ ABORT_SIGNATURES = (
 
 WATCHDOG_RE = re.compile(r"WATCHDOG_TIMEOUT (\S+)")
 WATCHDOG_EXIT = 77
+# pytest -q short-summary lines: nodeid + first line of the failure reason.
+# Captured into the state sidecar / markdown so an on-chip failure is
+# diagnosable after the run (the raw output is deliberately not persisted).
+FAILED_RE = re.compile(r"^(?:FAILED|ERROR) (\S+?)(?: - (.*))?$", re.M)
 
 # Cost classes for run ordering (cheapest first). Class 0 never touches jax;
 # class 1 is host-logic with at most trivial device work; class 2 drives the
@@ -296,6 +300,9 @@ def main(argv=None):
             if status == "done" and tail is not None:
                 results[path] = {"attempts": attempt + 1, "time_s": dt,
                                  "counts": tail, "wedged": list(deselect),
+                                 "failed": [[fid, (msg or "")[:200]]
+                                            for fid, msg in
+                                            FAILED_RE.findall(out)],
                                  "output": out}
                 log(f"{path}: p{tail[0]} f{tail[1]} s{tail[2]} e{tail[3]} "
                     f"wedged={len(deselect)} in {dt:.0f}s "
@@ -383,6 +390,12 @@ def render_markdown(results, total, unresolved, weather_events, wall,
             continue
         lines.append(f"| {path} | {c[0]} | {c[1]} | {c[2]} | {c[3]} | "
                      f"{r['attempts']} | {r['time_s']:.0f} |")
+    failed_all = [(p, f) for p in sorted(results)
+                  for f in results[p].get("failed", ())]
+    if failed_all:
+        lines += ["", "Failed tests (nodeid — first line of the reason):", ""]
+        lines += [f"- `{f[0]}` — {f[1]}" if len(f) > 1 and f[1] else
+                  f"- `{f[0]}`" for _, f in failed_all]
     if wedged_all:
         lines += ["", "Wedged tests (per-test watchdog fired; counted as "
                       "errors in the totals):", ""]

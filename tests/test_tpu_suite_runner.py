@@ -189,3 +189,31 @@ def test_render_markdown_totals_and_unresolved():
     assert "tests/test_b.py" in md
     assert "Unresolved files" in md
     assert "2 weather events" in md
+
+
+def test_failed_test_ids_recorded_and_rendered(tmp_path, monkeypatch):
+    """A file with failures records the failing nodeids + first reason line
+    in the state sidecar and renders them in the markdown artifact."""
+    import run_tpu_suite as rts
+
+    out_md = str(tmp_path / "T.md")
+    pytest_out = (
+        "..F.\n"
+        "FAILED tests/test_x.py::test_bad - AssertionError: 1 != 2\n"
+        "1 failed, 3 passed in 2.00s\n"
+    )
+
+    def fake_run_file(path, timeout, per_test_timeout, deselect=()):
+        return "done", pytest_out, 2.0
+
+    monkeypatch.setattr(rts, "run_file", fake_run_file)
+    monkeypatch.setattr(rts, "wait_for_tpu", lambda log, **kw: True)
+    rc = rts.main(["--files", "tests/test_x.py", "--out", out_md])
+    assert rc == 2  # failures -> exit 2
+    import json as J
+    st = J.load(open(out_md + ".state.json"))
+    assert st["results"]["tests/test_x.py"]["failed"] == [
+        ["tests/test_x.py::test_bad", "AssertionError: 1 != 2"]]
+    md = open(out_md).read()
+    assert "tests/test_x.py::test_bad" in md
+    assert "AssertionError: 1 != 2" in md
