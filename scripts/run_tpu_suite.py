@@ -147,8 +147,15 @@ def parse_tail(text):
 
 
 def run_file(path, timeout, per_test_timeout, deselect=()):
+    # the watchdog marker travels via a sidecar file: pytest's fd-level
+    # capture swallows the child's raw fd-2 write and os._exit(77) never
+    # flushes the capture tempfile back (tests/conftest.py::_watchdog_fire)
+    wd_file = os.path.join(REPO, f".watchdog.{os.getpid()}.txt")
+    if os.path.exists(wd_file):
+        os.unlink(wd_file)
     env = dict(os.environ, TGI_TEST_TPU="1",
-               TGI_PER_TEST_TIMEOUT_S=str(per_test_timeout))
+               TGI_PER_TEST_TIMEOUT_S=str(per_test_timeout),
+               TGI_WATCHDOG_FILE=wd_file)
     cmd = [sys.executable, "-m", "pytest", path, "-q", "--no-header", "-p",
            "no:cacheprovider"]
     for nodeid in deselect:
@@ -162,7 +169,9 @@ def run_file(path, timeout, per_test_timeout, deselect=()):
     except subprocess.TimeoutExpired as e:
         out = ((e.stdout or b"").decode(errors="replace") if
                isinstance(e.stdout, bytes) else (e.stdout or ""))
+        out += _read_watchdog(wd_file)
         return "timeout", out, time.time() - t0
+    out += _read_watchdog(wd_file)
     if rc == WATCHDOG_EXIT or "WATCHDOG_TIMEOUT " in out:
         return "wedged", out, time.time() - t0
     if rc == 78 or "TPU_BACKEND_UNAVAILABLE" in out:
@@ -171,6 +180,17 @@ def run_file(path, timeout, per_test_timeout, deselect=()):
         return "aborted", out, time.time() - t0
     aborted = any(s in out for s in ABORT_SIGNATURES)
     return ("aborted" if aborted else "done"), out, time.time() - t0
+
+
+def _read_watchdog(wd_file):
+    """Drain the watchdog sidecar file into the parseable output stream."""
+    try:
+        with open(wd_file) as f:
+            content = f.read()
+        os.unlink(wd_file)
+        return "\n" + content
+    except OSError:
+        return ""
 
 
 def atomic_write(path, payload):

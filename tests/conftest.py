@@ -68,9 +68,22 @@ if _PER_TEST_TIMEOUT > 0:
     import threading
 
     def _watchdog_fire(nodeid):
-        # raw fd 2: pytest's capture plugin swaps sys.stderr for an
-        # in-memory buffer that os._exit never flushes — the marker must
-        # reach the real pipe for the runner to parse it
+        # The marker must survive os._exit(77) under pytest's DEFAULT
+        # fd-level capture: fd 2 is dup2'd to a capture tempfile that
+        # os._exit never flushes back, so a raw os.write(2, ...) is LOST
+        # (observed round 5: the runner saw exit 77 with no marker and
+        # logged '<unparsed>'). The reliable channel is a sidecar file the
+        # runner names via TGI_WATCHDOG_FILE; raw fd 2 stays as a
+        # best-effort human trace.
+        wd_file = os.environ.get("TGI_WATCHDOG_FILE")
+        if wd_file:
+            try:
+                with open(wd_file, "a") as f:
+                    f.write(f"WATCHDOG_TIMEOUT {nodeid}\n")
+                    f.flush()
+                    os.fsync(f.fileno())
+            except OSError:
+                pass
         os.write(2, f"\nWATCHDOG_TIMEOUT {nodeid}\n".encode())
         os._exit(77)
 

@@ -13,6 +13,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
 
 from run_tpu_suite import ABORT_SIGNATURES, parse_tail, render_markdown
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 
 def test_parse_tail_plain_pass():
     assert parse_tail("3 passed in 1.23s") == (3, 0, 0, 0, 1.23)
@@ -217,3 +219,37 @@ def test_failed_test_ids_recorded_and_rendered(tmp_path, monkeypatch):
     md = open(out_md).read()
     assert "tests/test_x.py::test_bad" in md
     assert "AssertionError: 1 != 2" in md
+
+
+def test_watchdog_marker_survives_fd_capture(tmp_path):
+    """The wedged-test nodeid must reach the runner through the
+    TGI_WATCHDOG_FILE sidecar: pytest's DEFAULT fd-level capture swallows
+    the child's raw fd-2 marker and os._exit(77) never flushes it back
+    (observed on-chip round 5: exit 77 with '<unparsed>')."""
+    import subprocess
+    import sys
+
+    probe = os.path.join(REPO, "tests", f"test_wedge_probe_{os.getpid()}.py")
+    wd_file = str(tmp_path / "wd.txt")
+    with open(probe, "w") as f:
+        f.write("import time\n\ndef test_wedges():\n    time.sleep(300)\n")
+    env = {k: v for k, v in os.environ.items() if k != "TGI_TEST_TPU"}
+    env.update(JAX_PLATFORMS="cpu", TGI_PER_TEST_TIMEOUT_S="3",
+               TGI_WATCHDOG_FILE=wd_file)
+    try:
+        r = subprocess.run(
+            [sys.executable, "-m", "pytest", probe, "-q", "--no-header",
+             "-p", "no:cacheprovider"],
+            capture_output=True, text=True, cwd=REPO, env=env, timeout=300)
+    finally:
+        os.unlink(probe)
+    assert r.returncode == 77, (r.returncode, r.stdout[-500:], r.stderr[-500:])
+    content = open(wd_file).read()
+    assert f"WATCHDOG_TIMEOUT tests/test_wedge_probe_{os.getpid()}.py" \
+           in content, content
+
+    # and the runner folds the sidecar into its parseable stream
+    import run_tpu_suite as rts
+    got = rts._read_watchdog(wd_file)
+    assert rts.WATCHDOG_RE.findall(got), got
+    assert not os.path.exists(wd_file)  # drained
