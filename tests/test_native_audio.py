@@ -650,3 +650,56 @@ def test_sf2_preset_relative_value_generators(tmp_path):
     kit2 = kit_from_sf2(path2, sr)
     ss = slice(1000, 2500)
     assert np.abs(kit2[0][ss]).max() < 0.2 * np.abs(kit2[1][ss]).max()
+
+
+def test_sf2_mod_envelope_filter_sweep(tmp_path):
+    """gens 25-30 + 11: the modulation envelope sweeps the filter cutoff —
+    with a decaying mod envelope opening then closing the filter, a
+    high-frequency tone is bright early and dark late (the percussion
+    'filter snap')."""
+    from transformergrooveinfilling_tpu.audio.sf2 import (
+        kit_from_sf2, write_minimal_sf2)
+
+    sr = 44100
+    hi = _tone(6000.0, 0.30, sr, amp=0.5)
+    base_fc = int(round(1200 * np.log2(500.0 / 8.176)))   # ~500 Hz closed
+    k0, k1 = VOICE_TO_MIDI_NOTE[0], VOICE_TO_MIDI_NOTE[1]
+    path = str(tmp_path / "sweep.sf2")
+    # mod envelope: instant attack to peak, decay over ~0.19 s
+    # (2^(-2400/1200) = 0.25 s nominal) back to sustain 0 — fc sweeps
+    # +4800 cents (x16 -> ~8 kHz, open) then back down to 500 Hz
+    write_minimal_sf2(path, {
+        k0: [{"sample": hi, "filter_fc": base_fc,
+              "mod_env_to_filter_fc": 4800, "decay_modenv_tc": -2400,
+              "sustain_modenv": 1000}],
+        k1: [{"sample": hi}],  # unfiltered reference
+    }, sr=sr)
+    kit = kit_from_sf2(path, sr)
+    ref = np.abs(kit[1])
+    got = np.abs(kit[0])
+    early = slice(int(0.01 * sr), int(0.05 * sr))    # envelope near peak
+    late = slice(int(0.26 * sr), int(0.29 * sr))     # envelope at sustain 0
+    early_ratio = got[early].max() / ref[early].max()
+    late_ratio = got[late].max() / ref[late].max()
+    assert early_ratio > 0.5, early_ratio   # open filter passes 6 kHz
+    assert late_ratio < 0.1, late_ratio     # closed filter kills it
+    assert early_ratio > 4 * late_ratio
+
+
+def test_sf2_mod_envelope_default_constant_folds_to_static(tmp_path):
+    """An all-default mod envelope (instant DAHD, sustain at peak) with a
+    modEnvToFilterFc delta must equal the static filter at fc + delta."""
+    from transformergrooveinfilling_tpu.audio.sf2 import (
+        kit_from_sf2, write_minimal_sf2)
+
+    sr = 44100
+    hi = _tone(3000.0, 0.06, sr, amp=0.5)
+    fc = int(round(1200 * np.log2(1000.0 / 8.176)))
+    k0, k1 = VOICE_TO_MIDI_NOTE[0], VOICE_TO_MIDI_NOTE[1]
+    path = str(tmp_path / "fold.sf2")
+    write_minimal_sf2(path, {
+        k0: [{"sample": hi, "filter_fc": fc, "mod_env_to_filter_fc": 1200}],
+        k1: [{"sample": hi, "filter_fc": fc + 1200}],
+    }, sr=sr)
+    kit = kit_from_sf2(path, sr)
+    np.testing.assert_allclose(kit[0], kit[1], atol=1e-6)

@@ -50,10 +50,16 @@ Generator model (SF2 spec 2.01 §8.1), per instrument zone:
   samples referenced by sibling zones panned ±500) sum to ≈ the centered
   mono level, which is the picture the (mono) MSO input sees.
 
+- modulation envelope → filter cutoff (gens 25-30 + modEnvToFilterFc 11):
+  the DAHDSR envelope sweeps fc(t) = initialFilterFc + modEnvToFilterFc ·
+  env(t), coefficients updated per 64-sample block with biquad state
+  carried (fluidsynth's per-block filter update) — the "filter snap" that
+  shapes percussion transients.
+
 Out of scope (documented deviations from full fluidsynth): non-default
-modulators, and modulation envelope/LFO routing (modEnvToFilterFc,
-vibrato — zero-impact for one-shot percussion unless a kit routes them
-explicitly).
+modulators, and LFO routing (modLFO/vibLFO — fluidsynth delays them and
+one-shot percussion decays before periodic modulation is audible unless a
+kit routes them explicitly).
 """
 
 from __future__ import annotations
@@ -84,6 +90,14 @@ _GEN_HOLD_VOL_ENV = 35
 _GEN_DECAY_VOL_ENV = 36
 _GEN_SUSTAIN_VOL_ENV = 37
 _GEN_RELEASE_VOL_ENV = 38
+# modulation envelope (spec §8.1.2 gens 25-30) + its filter routing (11)
+_GEN_MOD_ENV_TO_FILTER_FC = 11
+_GEN_DELAY_MOD_ENV = 25
+_GEN_ATTACK_MOD_ENV = 26
+_GEN_HOLD_MOD_ENV = 27
+_GEN_DECAY_MOD_ENV = 28
+_GEN_SUSTAIN_MOD_ENV = 29
+_GEN_RELEASE_MOD_ENV = 30
 
 # synthetic note-off for looped samples (no MIDI note-off in one-shot
 # rendering); the release ramp then bounds the render
@@ -237,6 +251,15 @@ class _Zone:
     # pan, -500 (hard left) .. +500 (hard right); rendered mono via an
     # equal-power downmix normalized to 1.0 at center
     pan: int = 0
+    # modulation envelope (gens 25-30; sustain in 0.1 % decrease units) and
+    # its cents contribution to the filter cutoff at peak (gen 11)
+    mod_env_to_filter_fc: int = 0
+    delay_modenv_tc: int = -12000
+    attack_modenv_tc: int = -12000
+    hold_modenv_tc: int = -12000
+    decay_modenv_tc: int = -12000
+    sustain_modenv: int = 0
+    release_modenv_tc: int = -12000
     # volume envelope, raw generator units (timecents; sustain in cB)
     delay_tc: int = -12000
     attack_tc: int = -12000
@@ -253,22 +276,25 @@ _ENV_GEN_FIELDS = {
     _GEN_DECAY_VOL_ENV: "decay_tc",
     _GEN_SUSTAIN_VOL_ENV: "sustain_cb",
     _GEN_RELEASE_VOL_ENV: "release_tc",
+    _GEN_MOD_ENV_TO_FILTER_FC: "mod_env_to_filter_fc",
+    _GEN_DELAY_MOD_ENV: "delay_modenv_tc",
+    _GEN_ATTACK_MOD_ENV: "attack_modenv_tc",
+    _GEN_HOLD_MOD_ENV: "hold_modenv_tc",
+    _GEN_DECAY_MOD_ENV: "decay_modenv_tc",
+    _GEN_SUSTAIN_MOD_ENV: "sustain_modenv",
+    _GEN_RELEASE_MOD_ENV: "release_modenv_tc",
 }
 
 
 # preset-level relative value generators honored (spec §9.4) — the modeled
-# value-generator set; preset deltas ADD to the instrument-zone value
+# value-generator set (both envelopes + filter/pan/attenuation); preset
+# deltas ADD to the instrument-zone value
 _PRESET_REL_FIELDS = {
     _GEN_INITIAL_FILTER_FC: "filter_fc",
     _GEN_INITIAL_FILTER_Q: "filter_q_cb",
     _GEN_PAN: "pan",
     _GEN_INITIAL_ATTENUATION: "atten_cb",
-    _GEN_DELAY_VOL_ENV: "delay_tc",
-    _GEN_ATTACK_VOL_ENV: "attack_tc",
-    _GEN_HOLD_VOL_ENV: "hold_tc",
-    _GEN_DECAY_VOL_ENV: "decay_tc",
-    _GEN_SUSTAIN_VOL_ENV: "sustain_cb",
-    _GEN_RELEASE_VOL_ENV: "release_tc",
+    **_ENV_GEN_FIELDS,
 }
 
 
@@ -417,6 +443,55 @@ def _apply_lowpass(x: np.ndarray, fc_cents: float, q_cb: float,
                        x.astype(np.float64)).astype(np.float32)
 
 
+def _mod_envelope(zone: _Zone, n: int, sr: int,
+                  note_off_s: float | None) -> np.ndarray:
+    """Modulation envelope level in [0,1] over ``n`` samples (spec §8.1.2:
+    DAHDSR, linear segments, full-scale decay/release rates as fluidsynth;
+    sustain in 0.1 % *decrease* units — 0 sustains at peak)."""
+    delay = _timecents_to_seconds(zone.delay_modenv_tc)
+    attack = _timecents_to_seconds(zone.attack_modenv_tc)
+    hold = _timecents_to_seconds(zone.hold_modenv_tc)
+    decay = _timecents_to_seconds(zone.decay_modenv_tc)
+    sustain = 1.0 - float(np.clip(zone.sustain_modenv, 0, 1000)) / 1000.0
+    release = _timecents_to_seconds(zone.release_modenv_tc)
+    t = np.arange(n, dtype=np.float64) / sr
+    if attack > 0:
+        level = np.clip((t - delay) / attack, 0.0, 1.0)
+    else:
+        level = (t >= delay).astype(np.float64)
+    t_dec = t - (delay + attack + hold)
+    if decay > 0:
+        level = level * np.clip(1.0 - t_dec / decay, sustain, 1.0)
+    else:
+        level = level * np.where(t_dec >= 0, sustain, 1.0)
+    if note_off_s is not None:
+        t_rel = t - note_off_s
+        rate = (1.0 / release) if release > 0 else np.inf
+        level = np.maximum(level - np.where(t_rel > 0, t_rel * rate, 0.0),
+                           0.0)
+    return level
+
+
+def _apply_lowpass_swept(x: np.ndarray, base_fc: float, q_cb: float,
+                         mod2fc: float, env: np.ndarray,
+                         sr: int, block: int = 64) -> np.ndarray:
+    """Time-varying lowpass: fc(t) = base_fc + mod2fc·env(t) cents,
+    coefficients recomputed per 64-sample block (fluidsynth updates its
+    filter per internal block the same way), biquad state carried across
+    blocks."""
+    from scipy.signal import lfilter
+
+    y = np.empty(len(x), np.float64)
+    zi = np.zeros(2)
+    xf = x.astype(np.float64)
+    for s in range(0, len(x), block):
+        b0, b1, b2, a1, a2 = lowpass_coeffs(
+            base_fc + mod2fc * float(env[s]), q_cb, sr)
+        y[s:s + block], zi = lfilter([b0, b1, b2], [1.0, a1, a2],
+                                     xf[s:s + block], zi=zi)
+    return y.astype(np.float32)
+
+
 def _pan_mono_gain(pan: int) -> float:
     """Mono downmix of fluidsynth's equal-power pan law, normalized to 1.0
     at center: ``(sin((500-pan)θ) + sin((500+pan)θ)) / √2`` with
@@ -481,7 +556,18 @@ def _render_zone(sf: dict, zone: _Zone, key: int, sr: int) -> np.ndarray | None:
         out = out * env
         nz = np.flatnonzero(np.abs(out) > 1e-6)
         out = out[: int(nz[-1]) + 1] if nz.size else out[:1]
-    if zone.filter_fc < 13500 or zone.filter_q_cb > 0:
+    if zone.mod_env_to_filter_fc:
+        env = _mod_envelope(zone, len(out), sr, note_off_s)
+        if env.size and float(np.ptp(env)) < 1e-9:
+            # degenerate-constant envelope (all-default DAHD → peak
+            # immediately): fold into the static filter
+            out = _apply_lowpass(
+                out, zone.filter_fc + zone.mod_env_to_filter_fc * env[0],
+                zone.filter_q_cb, sr)
+        else:
+            out = _apply_lowpass_swept(out, zone.filter_fc, zone.filter_q_cb,
+                                       zone.mod_env_to_filter_fc, env, sr)
+    elif zone.filter_fc < 13500 or zone.filter_q_cb > 0:
         out = _apply_lowpass(out, zone.filter_fc, zone.filter_q_cb, sr)
     gain = 1.0
     atten_cb = float(np.clip(zone.atten_cb, 0, 1440))
@@ -631,7 +717,11 @@ def write_minimal_sf2(path: str, samples: dict | None = None,
          "delay_tc"/"attack_tc"/"hold_tc"/"decay_tc"/
          "sustain_cb"/"release_tc": ...,   # volume envelope (gens 33-38)
          "filter_fc": 13500, "filter_q_cb": 0,  # voice lowpass (gens 8/9)
-         "pan": 0}                         # pan, -500..500 (gen 17)
+         "pan": 0,                         # pan, -500..500 (gen 17)
+         "mod_env_to_filter_fc": 0,        # filter sweep depth, cents (11)
+         "delay_modenv_tc"/"attack_modenv_tc"/"hold_modenv_tc"/
+         "decay_modenv_tc"/"sustain_modenv"/"release_modenv_tc": ...}
+                                           # modulation envelope (25-30)
 
     ``instruments`` (mutually exclusive with ``samples``) builds a
     multi-instrument preset for preset-zone fixtures: a list of
@@ -743,15 +833,11 @@ def write_minimal_sf2(path: str, samples: dict | None = None,
             if (vel_lo, vel_hi) != (0, 127):
                 gens.append(struct.pack("<HH", _GEN_VEL_RANGE,
                                         vel_lo | (vel_hi << 8)))
-            for field, oper in (("delay_tc", _GEN_DELAY_VOL_ENV),
-                                ("attack_tc", _GEN_ATTACK_VOL_ENV),
-                                ("hold_tc", _GEN_HOLD_VOL_ENV),
-                                ("decay_tc", _GEN_DECAY_VOL_ENV),
-                                ("sustain_cb", _GEN_SUSTAIN_VOL_ENV),
-                                ("release_tc", _GEN_RELEASE_VOL_ENV),
-                                ("filter_fc", _GEN_INITIAL_FILTER_FC),
-                                ("filter_q_cb", _GEN_INITIAL_FILTER_Q),
-                                ("pan", _GEN_PAN)):
+            for oper, field in sorted(
+                    {**_ENV_GEN_FIELDS,
+                     _GEN_INITIAL_FILTER_FC: "filter_fc",
+                     _GEN_INITIAL_FILTER_Q: "filter_q_cb",
+                     _GEN_PAN: "pan"}.items()):
                 if field in z:
                     gens.append(struct.pack("<Hh", oper, int(z[field])))
             if z.get("atten_cb"):
