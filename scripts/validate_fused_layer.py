@@ -230,9 +230,16 @@ def main():
     # determinism at rate>0 (the packed path reuses the validated per-head
     # mask sites, so keep-rate stats are covered by check 2).
     dl_, hl_, ffl_ = 256, 4, 2048
-    x6 = jnp.asarray(np.random.default_rng(8).standard_normal((16, T, dl_)),
+    # The tight f32 grad parity runs at ff512: hd-64 packing is about the
+    # ATTENTION matmuls' lane layout (head dim 64), not FFN width — and the
+    # f32 backward at ff2048 cannot fit scoped VMEM at any row tile
+    # (measured compile-time OOM on v5e: 18.0M @ tile 256, 20.6M @ tile
+    # 128, limit 16M). The full lm width is covered below by the forward +
+    # seeded-determinism run.
+    ff_par = 512
+    x6 = jnp.asarray(np.random.default_rng(8).standard_normal((12, T, dl_)),
                      jnp.float32)
-    mk = lambda fused: EncoderLayer(dl_, hl_, ffl_, 0.0, fused_layer=fused)
+    mk = lambda fused: EncoderLayer(dl_, hl_, ff_par, 0.0, fused_layer=fused)
     params6 = mk(False).init(jax.random.PRNGKey(0), x6,
                              deterministic=True)["params"]
     key6 = {"dropout": jax.random.PRNGKey(5)}
@@ -257,7 +264,11 @@ def main():
     record["hd64_packed"] = {"fwd_max_rel": float(rel6),
                              "grad_norm_rel": float(grel6),
                              "shapes": {"d_model": dl_, "n_heads": hl_,
-                                        "dim_ff": ffl_}}
+                                        "dim_ff": ff_par},
+                             "note": "grad parity at ff512 — the f32 "
+                                     "backward at ff2048 exceeds scoped "
+                                     "VMEM on v5e; lm width covered by the "
+                                     "fwd+determinism run below"}
     assert rel6 < 5e-3 and grel6 < 5e-3, "hd-64 packing diverged from XLA"
     # arg dict at lm width (make_args is flagship-shaped)
     r10 = np.random.default_rng(10)
@@ -271,7 +282,9 @@ def main():
         b1f=jnp.zeros(ffl_),
         w2=jnp.asarray(r10.standard_normal((ffl_, dl_)) * 0.05, jnp.float32),
         b2f=jnp.zeros(dl_), g2=jnp.ones(dl_), b2=jnp.zeros(dl_))
-    x6f = jnp.asarray(np.random.default_rng(11).standard_normal((512, dl_)),
+    # 384 rows → row tile 128: the rate>0 lm-width forward at tile 256
+    # measured 16.77M scoped VMEM (> the 16M limit) on v5e
+    x6f = jnp.asarray(np.random.default_rng(11).standard_normal((384, dl_)),
                       jnp.float32)
     f6 = jax.jit(lambda x, s: encoder_layer_train(
         x, *args6.values(), s, 0.16, hl_, T, False))

@@ -45,6 +45,16 @@ def main(argv=None):
                     "validate_fused_ln.py"],
         "kernels": {},
     }
+    # --only re-runs must not drop the other kernels' records: seed from the
+    # existing artifact and overwrite only what re-runs
+    if os.path.exists(args.out):
+        try:
+            with open(args.out) as f:
+                prev = json.load(f)
+            out["kernels"] = prev.get("kernels", {})
+            out["previous_recorded"] = prev.get("recorded")
+        except (OSError, ValueError):
+            pass
 
     import validate_fused_ffn
     import validate_fused_layer

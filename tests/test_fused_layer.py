@@ -128,7 +128,10 @@ def test_kernel_rate0_matches_manual():
 
 def test_shape_gate():
     assert supports_fused_layer(256, 2, 512, 4096, 32)
-    assert supports_fused_layer(256, 4, 2048, 4096, 32)      # hd 64, packed
+    assert supports_fused_layer(256, 4, 1024, 4096, 32)      # hd 64, packed
+    # ff2048: the f32 backward exceeds the 16M scoped-VMEM limit at
+    # every row tile (measured v5e compile-time OOM) — gate rejects
+    assert not supports_fused_layer(256, 4, 2048, 4096, 32)
     assert supports_fused_layer(128, 2, 512, 4096, 32)       # hd 64, packed
     assert not supports_fused_layer(256, 3, 512, 4096, 32)   # hd 85, no slice
     assert not supports_fused_layer(128, 4, 512, 4096, 32)   # hd 32 unsupported
@@ -144,7 +147,7 @@ def test_forward_and_grad_parity_rate0_packed_heads():
     fused layer must reproduce the unfused XLA path's forward and every
     gradient at rate 0 — the packed matmuls' zeroed lanes must neither leak
     cross-head terms nor drop head contributions."""
-    d, h, ff = 256, 4, 2048
+    d, h, ff = 256, 4, 1024  # ff capped by the gate's VMEM envelope
     x = jnp.asarray(np.random.default_rng(4).standard_normal((4, T, d)),
                     jnp.float32)
     layer = lambda fused: EncoderLayer(d, h, ff, 0.0, fused_layer=fused)

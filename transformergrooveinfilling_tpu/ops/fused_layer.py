@@ -87,6 +87,13 @@ def supports_fused_layer(d_model: int, n_heads: int, dim_feedforward: int,
             and d_model % n_heads == 0 and n_heads <= 5
             and pick_layer_tile(rows, seq_len) is not None):
         return False
+    # scoped-VMEM feasibility: the f32 multi-pass BACKWARD at ff2048
+    # measured 18.0M (tile 256) / 20.6M (tile 128) scoped VMEM on v5e —
+    # past the 16M limit at every tile, a compile-time OOM
+    # (scripts/validate_fused_layer.py check 6's derivation). Widths past
+    # ff1024 fall back to the composed path (fused_ffn still applies).
+    if dim_feedforward > 1024:
+        return False
     hd = d_model // n_heads
     # 128-multiple heads slice directly; 64-wide heads pack two per
     # 128-lane group (needs an even head count)
