@@ -110,24 +110,37 @@ def _validate_width(d, ff, record):
         u = jnp.asarray(np.random.default_rng(13).standard_normal((m4, d)),
                         jnp.float32)
 
-        def floss(x_):
-            return jnp.sum(ffn_train(x_, w1, b1, w2, b2, seed, rate) * u)
+        def floss(x_, s):
+            return jnp.sum(ffn_train(x_, w1, b1, w2, b2, s, rate) * u)
 
-        g = np.asarray(jax.grad(floss)(x4), np.float64)
+        g = np.asarray(jax.grad(floss)(x4, seed), np.float64)
+        # negative control: the same vjp under a WRONG seed must disagree
+        # with the fd quotient much harder than the right seed does — that
+        # is what separates "mask-consistent backward" from fd noise
+        g_wrong = np.asarray(jax.grad(floss)(
+            x4, jnp.asarray([99], jnp.int32)), np.float64)
         rng4 = np.random.default_rng(17)
-        eps, k = 1e-2, 4
-        fds, ans = [], []
+        eps, k = 1e-2, 6
+        fds, ans, ans_wrong = [], [], []
         for _ in range(k):
             e = rng4.standard_normal((m4, d)).astype(np.float32)
-            fp = float(floss(x4 + eps * jnp.asarray(e)))
-            fm = float(floss(x4 - eps * jnp.asarray(e)))
+            fp = float(floss(x4 + eps * jnp.asarray(e), seed))
+            fm = float(floss(x4 - eps * jnp.asarray(e), seed))
             fds.append((fp - fm) / (2 * eps))
             ans.append(float(np.vdot(g, e.astype(np.float64))))
+            ans_wrong.append(float(np.vdot(g_wrong, e.astype(np.float64))))
     fds, ans = np.array(fds), np.array(ans)
     relg = float(np.linalg.norm(fds - ans) / np.linalg.norm(ans))
-    print(f"[{layout}] fwd/bwd consistency: rel residual {relg:.4f}")
+    relw = float(np.linalg.norm(fds - np.array(ans_wrong))
+                 / np.linalg.norm(ans_wrong))
+    print(f"[{layout}] fwd/bwd consistency: rel residual {relg:.4f} "
+          f"(wrong-seed control {relw:.4f})")
     record_entry["fwd_bwd_rel_residual"] = relg
-    assert relg < 0.08
+    record_entry["fwd_bwd_wrong_seed_residual"] = relw
+    # f32 fd quotients at these widths carry ~0.1 of cancellation noise
+    # (measured 0.129 on v5e with a consistent backward); the wrong-seed
+    # control keeps the check discriminating
+    assert relg < 0.2 and relw > 2 * relg
     record.append(record_entry)
 
 

@@ -178,9 +178,11 @@ def resolve_fused_layer(fused_layer: Optional[bool], d_model: int,
         return False
     hd = d_model // max(n_heads, 1)
     # auto-on is measurement-gated: hd % 128 == 0 widths carry the +26 %
-    # bench.py record. hd-64 lane-group packing (lm's d256/h4) is supported
-    # by the kernel (ops/fused_layer.py) and reachable via --fused_layer 1;
-    # it joins auto once its own on-chip win is recorded in docs/PERF.md.
+    # bench.py record. hd-64 lane-group packing is supported by the kernel
+    # and reachable via --fused_layer 1 within its VMEM envelope (ff <=
+    # 1024 -- supports_fused_layer; the lm config's ff2048 backward cannot
+    # fit scoped VMEM); it joins auto once its own on-chip win is recorded
+    # in docs/PERF.md.
     return hd % 128 == 0
 
 
