@@ -58,7 +58,10 @@ def main(argv=None):
 
     if args.smoke:
         BS = 32
-    N = BS  # one batch per epoch: the bench.py convention for the flagship
+    # bench.py's flagship harness: 4096 samples scanned as 8 batches of 512
+    # per epoch — the grid's absolute numbers are then directly comparable
+    # to the BENCH_r* headline, not just its internal ratios
+    N = BS if args.smoke else 4096
     print("backend:", jax.default_backend(), flush=True)
     results = {"config": f"d{D}/ff{FF}/{LAYERS}L bs{BS} T{T}",
                "backend": jax.default_backend(),
