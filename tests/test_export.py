@@ -197,3 +197,26 @@ def test_export_cli_from_checkpoint(tmp_path, capsys):
     assert loaded.batch_sizes == [1, 2]
     y = loaded.predict(np.zeros((1, 32, 16), np.float32))
     assert y.shape == (1, 32, 27)
+
+
+def test_exec_device_routes_off_platform_artifact(tmp_path, monkeypatch):
+    """A cpu-only artifact loaded in a session whose default backend is NOT
+    cpu (the real-chip suite: axon/tpu) must route execution onto a local
+    cpu device — jax.export refuses to run a lowering on a platform it was
+    not exported for (the round-5 on-chip test_export failures)."""
+    import jax
+
+    from transformergrooveinfilling_tpu.export import export_infill, load_infill
+
+    config, params = _small_setup()
+    path = str(tmp_path / "cpuonly.tgix")
+    export_infill(params, config, path, batch_sizes=(2,), platforms=("cpu",))
+    art = load_infill(path)
+    # native backend: in the artifact's platform list -> no rerouting
+    assert art._exec_device() is None
+    # simulate a tpu-backed session
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    dev = art._exec_device()
+    assert dev is not None and dev.platform == "cpu"
+    y = art.predict(np.zeros((3, 32, 16), np.float32))
+    assert y.shape == (3, 32, 27)

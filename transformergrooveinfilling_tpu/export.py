@@ -144,6 +144,24 @@ class ExportedInfill:
                 return b
         return self.batch_sizes[-1]
 
+    def _exec_device(self):
+        """Device to run the deserialized programs on: None when the
+        session's default backend is among the artifact's platforms;
+        otherwise the first local device of a platform that IS (e.g. a
+        cpu-only artifact loaded in a TPU-backed session — jax.export
+        refuses to run a lowering on a platform it was not exported for)."""
+        import jax
+
+        plats = set(self.meta.get("platforms") or [])
+        if not plats or jax.default_backend() in plats:
+            return None
+        for p in sorted(plats):
+            try:
+                return jax.local_devices(backend=p)[0]
+            except RuntimeError:
+                continue
+        return None  # no supported backend locally: let the call raise
+
     def predict(self, inputs) -> np.ndarray:
         """``(N, T, E_src)`` (or single ``(T, E_src)``) → ``(N, T, 27)``."""
         x = np.asarray(inputs, np.float32)
@@ -157,17 +175,25 @@ class ExportedInfill:
                 f"(N, {expected[0]}, {expected[1]}); got "
                 f"{np.asarray(inputs).shape}")
         n = x.shape[0]
+        import contextlib
+
+        import jax
+
+        dev = self._exec_device()
+        ctx = (jax.default_device(dev) if dev is not None
+               else contextlib.nullcontext())
         pending = []
         i = 0
-        while i < n:
-            b = self._bucket(n - i)
-            chunk = x[i : i + b]
-            if chunk.shape[0] < b:
-                chunk = np.pad(chunk,
-                               ((0, b - chunk.shape[0]), (0, 0), (0, 0)))
-            pending.append((self._buckets[b].call(self.params, chunk),
-                            min(b, n - i)))
-            i += b
+        with ctx:
+            while i < n:
+                b = self._bucket(n - i)
+                chunk = x[i : i + b]
+                if chunk.shape[0] < b:
+                    chunk = np.pad(chunk,
+                                   ((0, b - chunk.shape[0]), (0, 0), (0, 0)))
+                pending.append((self._buckets[b].call(self.params, chunk),
+                                min(b, n - i)))
+                i += b
         out = np.concatenate(
             [np.asarray(y)[:keep] for y, keep in pending], axis=0)
         return out[0] if single else out
