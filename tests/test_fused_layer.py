@@ -176,6 +176,12 @@ def test_forward_and_grad_parity_rate0_packed_heads():
             err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
 
 
+@pytest.mark.skipif(jax.default_backend() != "cpu",
+                    reason="CPU-interpreter premise: the stub-PRNG "
+                    "keep-everything semantics this test pins hold only in "
+                    "the host interpreter; rate>0 grads on hardware are "
+                    "validated by the real-kernel tests above and "
+                    "docs/fused_kernel_validation.json")
 def test_interpret_rate_positive_consistent_grads():
     """Interpret mode keeps everything at rate>0 (stubbed PRNG) but must be
     SELF-consistent between forward and backward: grads of the scaled-keep

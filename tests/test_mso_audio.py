@@ -196,4 +196,9 @@ def test_compression_db_matches_oracle_formula(rng):
     r = _jnp.maximum(p, 1e-10)
     s_act = 10.0 * _jnp.log10(r / _jnp.max(r, axis=(-2, -1), keepdims=True))
     s_act = _jnp.maximum(s_act, -80.0)
-    np.testing.assert_allclose(np.asarray(s_act), s_exp, rtol=1e-5, atol=1e-4)
+    # TPU's transcendental log is a fast polynomial approximation: measured
+    # 4.2e-4 max abs deviation on the +-80 dB scale (round-5 on-chip run)
+    # vs the host libm's ~1e-6 — the check pins the FORMULA, not libm
+    import jax as _jax
+    atol = 1e-4 if _jax.default_backend() == "cpu" else 1e-3
+    np.testing.assert_allclose(np.asarray(s_act), s_exp, rtol=1e-5, atol=atol)

@@ -115,15 +115,22 @@ def sinusoidal_positional_encoding(max_len: int, d_model: int) -> jax.Array:
     PositionalEncoding.pe`` buffer (verified against the sin/cos formula in
     SURVEY.md §2.2), so it is computed rather than stored.
     """
-    position = jnp.arange(max_len, dtype=jnp.float32)[:, None]
-    div_term = jnp.exp(
-        jnp.arange(0, d_model, 2, dtype=jnp.float32) * (-math.log(10000.0) / d_model)
+    # host numpy, f64 math → f32: the buffer must be identical on every
+    # backend (TPU f32 sin/cos deviate up to ~3e-5 from the host libm,
+    # which broke the torch state-dict roundtrip's 1e-6 bound on-chip);
+    # under jit the constant folds, so nothing is lost on the compute path
+    import numpy as np
+
+    position = np.arange(max_len, dtype=np.float64)[:, None]
+    div_term = np.exp(
+        np.arange(0, d_model, 2, dtype=np.float64)
+        * (-math.log(10000.0) / d_model)
     )
     angles = position * div_term  # (max_len, ceil(d/2))
-    pe = jnp.zeros((max_len, d_model), dtype=jnp.float32)
-    pe = pe.at[:, 0::2].set(jnp.sin(angles))
-    pe = pe.at[:, 1::2].set(jnp.cos(angles[:, : d_model // 2]))
-    return pe[None]
+    pe = np.zeros((max_len, d_model), np.float64)
+    pe[:, 0::2] = np.sin(angles)
+    pe[:, 1::2] = np.cos(angles[:, : d_model // 2])
+    return jnp.asarray(pe[None], jnp.float32)
 
 
 class Dropout(nn.Module):
