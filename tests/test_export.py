@@ -212,11 +212,13 @@ def test_exec_device_routes_off_platform_artifact(tmp_path, monkeypatch):
     path = str(tmp_path / "cpuonly.tgix")
     export_infill(params, config, path, batch_sizes=(2,), platforms=("cpu",))
     art = load_infill(path)
-    # native backend: in the artifact's platform list -> no rerouting
-    assert art._exec_device() is None
-    # simulate a tpu-backed session
-    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    if jax.default_backend() == "cpu":
+        # native backend in the artifact's platform list -> no rerouting
+        assert art._exec_device() is None
+        # simulate a tpu-backed session
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     dev = art._exec_device()
+    # cpu-only artifact on a non-cpu backend (simulated or the real chip)
     assert dev is not None and dev.platform == "cpu"
     y = art.predict(np.zeros((3, 32, 16), np.float32))
     assert y.shape == (3, 32, 27)
