@@ -703,3 +703,99 @@ def test_sf2_mod_envelope_default_constant_folds_to_static(tmp_path):
     }, sr=sr)
     kit = kit_from_sf2(path, sr)
     np.testing.assert_allclose(kit[0], kit[1], atol=1e-6)
+
+
+def test_sf2_mod_lfo_tremolo(tmp_path):
+    """gens 21/22 + 13 (modLfoToVolume): the delayed-triangle LFO modulates
+    amplitude in centibels — windowed peaks oscillate between the +-depth
+    attenuation extremes at the LFO rate."""
+    from transformergrooveinfilling_tpu.audio.sf2 import (
+        kit_from_sf2, write_minimal_sf2)
+
+    sr = 44100
+    # 2 kHz tone: a +-1 ms window always contains a tone peak while the
+    # 10 Hz LFO's gain moves <3 % inside it (wider windows measured the
+    # window-edge gain, not the extreme)
+    tone = _tone(2000.0, 0.30, sr, amp=0.4)
+    # 10 Hz LFO (cents for 10 Hz: 1200*log2(10/8.176)), depth 60 cB (+-3 dB)
+    freq_c = int(round(1200 * np.log2(10.0 / 8.176)))
+    k0, k1 = VOICE_TO_MIDI_NOTE[0], VOICE_TO_MIDI_NOTE[1]
+    path = str(tmp_path / "trem.sf2")
+    write_minimal_sf2(path, {
+        k0: [{"sample": tone, "mod_lfo_to_volume": 60,
+              "freq_modlfo": freq_c}],
+        k1: [{"sample": tone}],
+    }, sr=sr)
+    kit = kit_from_sf2(path, sr)
+    got = np.abs(kit[0])
+    # LFO period 0.1 s: trough of gain at t=0.025 (val=+1 -> -3 dB),
+    # peak at t=0.075 (val=-1 -> +3 dB); windows of 10 ms around each
+    w = int(0.001 * sr)
+    trough = got[int(0.025 * sr) - w : int(0.025 * sr) + w].max()
+    peak = got[int(0.075 * sr) - w : int(0.075 * sr) + w].max()
+    np.testing.assert_allclose(peak / trough, 10 ** (2 * 60 / 200.0),
+                               rtol=0.05)
+    # the unmodulated sibling is flat across the same windows
+    ref = np.abs(kit[1])
+    r = ref[int(0.075 * sr) - w : int(0.075 * sr) + w].max() / \
+        ref[int(0.025 * sr) - w : int(0.025 * sr) + w].max()
+    np.testing.assert_allclose(r, 1.0, rtol=0.02)
+
+
+def test_sf2_vib_lfo_pitch(tmp_path):
+    """gens 23/24 + 6 (vibLfoToPitch): vibrato raises the instantaneous
+    pitch while the LFO rises — more zero crossings late than early for a
+    slow LFO whose first quarter-period spans the render."""
+    from transformergrooveinfilling_tpu.audio.sf2 import (
+        kit_from_sf2, write_minimal_sf2)
+
+    sr = 44100
+    tone = _tone(500.0, 0.25, sr, amp=0.4)
+    # ~1 Hz LFO: value ramps 0 -> 1 over the first 0.25 s
+    freq_c = int(round(1200 * np.log2(1.0 / 8.176)))
+    k0, k1 = VOICE_TO_MIDI_NOTE[0], VOICE_TO_MIDI_NOTE[1]
+    path = str(tmp_path / "vib.sf2")
+    write_minimal_sf2(path, {
+        k0: [{"sample": tone, "vib_lfo_to_pitch": 1200,
+              "freq_viblfo": freq_c}],
+        k1: [{"sample": tone}],
+    }, sr=sr)
+    kit = kit_from_sf2(path, sr)
+
+    def crossings(y):
+        return int(np.sum(np.signbit(y[:-1]) != np.signbit(y[1:])))
+
+    n = len(kit[0])
+    early = crossings(kit[0][: int(0.05 * sr)])
+    late = crossings(kit[0][n - int(0.05 * sr):])
+    # pitch rises toward +1200 cents at the LFO peak; the output ends
+    # early (rising pitch consumes input faster), so the last window sits
+    # below the full doubling -- measured ~1.5x
+    assert late > 1.35 * early, (early, late)
+    # unmodulated renders identically to the source tone rate
+    e1 = crossings(kit[1][: int(0.05 * sr)])
+    l1 = crossings(kit[1][-int(0.05 * sr):])
+    assert abs(e1 - l1) <= 2, (e1, l1)
+
+
+def test_sf2_mod_lfo_filter_sweep(tmp_path):
+    """gen 10 (modLfoToFilterFc): the LFO's rise opens the filter — a tone
+    above the base cutoff is dark early and bright near the LFO peak."""
+    from transformergrooveinfilling_tpu.audio.sf2 import (
+        kit_from_sf2, write_minimal_sf2)
+
+    sr = 44100
+    hi = _tone(6000.0, 0.30, sr, amp=0.4)
+    base_fc = int(round(1200 * np.log2(500.0 / 8.176)))
+    freq_c = int(round(1200 * np.log2(1.0 / 8.176)))  # ~1 Hz
+    k0 = VOICE_TO_MIDI_NOTE[0]
+    path = str(tmp_path / "lfofilt.sf2")
+    write_minimal_sf2(path, {
+        k0: [{"sample": hi, "filter_fc": base_fc,
+              "mod_lfo_to_filter_fc": 4800, "freq_modlfo": freq_c}],
+    }, sr=sr)
+    kit = kit_from_sf2(path, sr)
+    got = np.abs(kit[0])
+    early = got[int(0.01 * sr): int(0.04 * sr)].max()   # LFO near 0: closed
+    open_ = got[int(0.22 * sr): int(0.25 * sr)].max()   # LFO near +1: open
+    assert open_ > 4 * early, (early, open_)

@@ -55,11 +55,14 @@ Generator model (SF2 spec 2.01 §8.1), per instrument zone:
   env(t), coefficients updated per 64-sample block with biquad state
   carried (fluidsynth's per-block filter update) — the "filter snap" that
   shapes percussion transients.
+- LFO routing (gens 21-24 + 5/6/10/13): fluid_lfo's delayed triangle,
+  routed to volume (tremolo, cB attenuation), filter cutoff (summed into
+  the same fc(t) sweep), and pitch (vibrato — variable-rate resampling,
+  ``_resample_varying``).
 
-Out of scope (documented deviations from full fluidsynth): non-default
-modulators, and LFO routing (modLFO/vibLFO — fluidsynth delays them and
-one-shot percussion decays before periodic modulation is audible unless a
-kit routes them explicitly).
+Out of scope (documented deviation from full fluidsynth): NON-DEFAULT
+modulators (the ``pmod``/``imod`` modulator lists; the default modulator
+set is implemented via the generators above).
 """
 
 from __future__ import annotations
@@ -98,6 +101,15 @@ _GEN_HOLD_MOD_ENV = 27
 _GEN_DECAY_MOD_ENV = 28
 _GEN_SUSTAIN_MOD_ENV = 29
 _GEN_RELEASE_MOD_ENV = 30
+# LFOs (spec §8.1.2 gens 21-24) + their routings (5/6/10/13)
+_GEN_MOD_LFO_TO_PITCH = 5
+_GEN_VIB_LFO_TO_PITCH = 6
+_GEN_MOD_LFO_TO_FILTER_FC = 10
+_GEN_MOD_LFO_TO_VOLUME = 13
+_GEN_DELAY_MOD_LFO = 21
+_GEN_FREQ_MOD_LFO = 22
+_GEN_DELAY_VIB_LFO = 23
+_GEN_FREQ_VIB_LFO = 24
 
 # synthetic note-off for looped samples (no MIDI note-off in one-shot
 # rendering); the release ramp then bounds the render
@@ -260,6 +272,16 @@ class _Zone:
     decay_modenv_tc: int = -12000
     sustain_modenv: int = 0
     release_modenv_tc: int = -12000
+    # LFOs (gens 21-24: delay in timecents; freq in absolute cents, 0 ≈
+    # 8.176 Hz) and their routing depths (pitch/filter in cents, volume cB)
+    delay_modlfo_tc: int = -12000
+    freq_modlfo: int = 0
+    delay_viblfo_tc: int = -12000
+    freq_viblfo: int = 0
+    mod_lfo_to_pitch: int = 0
+    vib_lfo_to_pitch: int = 0
+    mod_lfo_to_filter_fc: int = 0
+    mod_lfo_to_volume: int = 0
     # volume envelope, raw generator units (timecents; sustain in cB)
     delay_tc: int = -12000
     attack_tc: int = -12000
@@ -283,6 +305,14 @@ _ENV_GEN_FIELDS = {
     _GEN_DECAY_MOD_ENV: "decay_modenv_tc",
     _GEN_SUSTAIN_MOD_ENV: "sustain_modenv",
     _GEN_RELEASE_MOD_ENV: "release_modenv_tc",
+    _GEN_DELAY_MOD_LFO: "delay_modlfo_tc",
+    _GEN_FREQ_MOD_LFO: "freq_modlfo",
+    _GEN_DELAY_VIB_LFO: "delay_viblfo_tc",
+    _GEN_FREQ_VIB_LFO: "freq_viblfo",
+    _GEN_MOD_LFO_TO_PITCH: "mod_lfo_to_pitch",
+    _GEN_VIB_LFO_TO_PITCH: "vib_lfo_to_pitch",
+    _GEN_MOD_LFO_TO_FILTER_FC: "mod_lfo_to_filter_fc",
+    _GEN_MOD_LFO_TO_VOLUME: "mod_lfo_to_volume",
 }
 
 
@@ -472,10 +502,34 @@ def _mod_envelope(zone: _Zone, n: int, sr: int,
     return level
 
 
+def _lfo(n: int, sr: int, delay_tc: int, freq_cents: int) -> np.ndarray:
+    """LFO value in [-1, 1] over ``n`` samples: 0 through the delay, then a
+    triangle starting at 0 rising to +1 at a quarter period (fluidsynth
+    fluid_lfo). Frequency is in absolute cents (0 ≈ 8.176 Hz through
+    fluid_ct2hz), clamped to fluidsynth's [0.1, 100] Hz range."""
+    f = min(max(8.176 * 2.0 ** (float(freq_cents) / 1200.0), 0.1), 100.0)
+    delay = _timecents_to_seconds(delay_tc)
+    t = np.arange(n, dtype=np.float64) / sr
+    p = np.maximum(t - delay, 0.0) * f
+    return 4.0 * np.abs(np.mod(p + 0.75, 1.0) - 0.5) - 1.0
+
+
+def _resample_varying(raw: np.ndarray, ratio: float,
+                      cents: np.ndarray) -> np.ndarray:
+    """Linear resample with a per-output-sample pitch offset in cents
+    (vibrato): input position advances by ``ratio·2^(cents/1200)`` per
+    output sample."""
+    step = ratio * 2.0 ** (np.asarray(cents, np.float64) / 1200.0)
+    pos = np.concatenate([[0.0], np.cumsum(step[:-1])])
+    pos = pos[pos <= len(raw) - 1]
+    return np.interp(pos, np.arange(len(raw), dtype=np.float64),
+                     raw.astype(np.float64)).astype(np.float32)
+
+
 def _apply_lowpass_swept(x: np.ndarray, base_fc: float, q_cb: float,
-                         mod2fc: float, env: np.ndarray,
-                         sr: int, block: int = 64) -> np.ndarray:
-    """Time-varying lowpass: fc(t) = base_fc + mod2fc·env(t) cents,
+                         fc_offset: np.ndarray, sr: int,
+                         block: int = 64) -> np.ndarray:
+    """Time-varying lowpass: fc(t) = base_fc + fc_offset(t) cents,
     coefficients recomputed per 64-sample block (fluidsynth updates its
     filter per internal block the same way), biquad state carried across
     blocks."""
@@ -486,7 +540,7 @@ def _apply_lowpass_swept(x: np.ndarray, base_fc: float, q_cb: float,
     xf = x.astype(np.float64)
     for s in range(0, len(x), block):
         b0, b1, b2, a1, a2 = lowpass_coeffs(
-            base_fc + mod2fc * float(env[s]), q_cb, sr)
+            base_fc + float(fc_offset[s]), q_cb, sr)
         y[s:s + block], zi = lfilter([b0, b1, b2], [1.0, a1, a2],
                                      xf[s:s + block], zi=zi)
     return y.astype(np.float32)
@@ -548,7 +602,19 @@ def _render_zone(sf: dict, zone: _Zone, key: int, sr: int) -> np.ndarray | None:
         else:
             raw = raw[:need]
 
-    out = _resample(raw, ratio)
+    if zone.mod_lfo_to_pitch or zone.vib_lfo_to_pitch:
+        # vibrato: per-output-sample cents from the routed LFO(s)
+        n_out = max(int((len(raw) - 1) / ratio), 0)
+        cents = np.zeros(n_out, np.float64)
+        if zone.mod_lfo_to_pitch:
+            cents += zone.mod_lfo_to_pitch * _lfo(
+                n_out, sr, zone.delay_modlfo_tc, zone.freq_modlfo)
+        if zone.vib_lfo_to_pitch:
+            cents += zone.vib_lfo_to_pitch * _lfo(
+                n_out, sr, zone.delay_viblfo_tc, zone.freq_viblfo)
+        out = _resample_varying(raw, ratio, cents)
+    else:
+        out = _resample(raw, ratio)
     if out.size == 0:
         return None
     env = _envelope(zone, len(out), sr, note_off_s)
@@ -556,19 +622,33 @@ def _render_zone(sf: dict, zone: _Zone, key: int, sr: int) -> np.ndarray | None:
         out = out * env
         nz = np.flatnonzero(np.abs(out) > 1e-6)
         out = out[: int(nz[-1]) + 1] if nz.size else out[:1]
+    # filter: static fc + any time-varying cents offsets (mod envelope,
+    # mod LFO) summed into one fc(t) sweep
+    fc_off = None
     if zone.mod_env_to_filter_fc:
-        env = _mod_envelope(zone, len(out), sr, note_off_s)
-        if env.size and float(np.ptp(env)) < 1e-9:
-            # degenerate-constant envelope (all-default DAHD → peak
+        fc_off = zone.mod_env_to_filter_fc * _mod_envelope(
+            zone, len(out), sr, note_off_s)
+    if zone.mod_lfo_to_filter_fc:
+        contrib = zone.mod_lfo_to_filter_fc * _lfo(
+            len(out), sr, zone.delay_modlfo_tc, zone.freq_modlfo)
+        fc_off = contrib if fc_off is None else fc_off + contrib
+    if fc_off is not None:
+        if fc_off.size and float(np.ptp(fc_off)) < 1e-9:
+            # degenerate-constant offset (all-default mod envelope → peak
             # immediately): fold into the static filter
-            out = _apply_lowpass(
-                out, zone.filter_fc + zone.mod_env_to_filter_fc * env[0],
-                zone.filter_q_cb, sr)
+            out = _apply_lowpass(out, zone.filter_fc + float(fc_off[0]),
+                                 zone.filter_q_cb, sr)
         else:
             out = _apply_lowpass_swept(out, zone.filter_fc, zone.filter_q_cb,
-                                       zone.mod_env_to_filter_fc, env, sr)
+                                       fc_off, sr)
     elif zone.filter_fc < 13500 or zone.filter_q_cb > 0:
         out = _apply_lowpass(out, zone.filter_fc, zone.filter_q_cb, sr)
+    if zone.mod_lfo_to_volume:
+        # tremolo: attenuation tracks the LFO in centibels (fluidsynth adds
+        # lfo_val·depth to the voice attenuation)
+        val = _lfo(len(out), sr, zone.delay_modlfo_tc, zone.freq_modlfo)
+        out = out * (10.0 ** (-(val * float(zone.mod_lfo_to_volume))
+                              / 200.0)).astype(np.float32)
     gain = 1.0
     atten_cb = float(np.clip(zone.atten_cb, 0, 1440))
     if atten_cb > 0:
@@ -720,8 +800,12 @@ def write_minimal_sf2(path: str, samples: dict | None = None,
          "pan": 0,                         # pan, -500..500 (gen 17)
          "mod_env_to_filter_fc": 0,        # filter sweep depth, cents (11)
          "delay_modenv_tc"/"attack_modenv_tc"/"hold_modenv_tc"/
-         "decay_modenv_tc"/"sustain_modenv"/"release_modenv_tc": ...}
+         "decay_modenv_tc"/"sustain_modenv"/"release_modenv_tc": ...,
                                            # modulation envelope (25-30)
+         "delay_modlfo_tc"/"freq_modlfo"/"delay_viblfo_tc"/"freq_viblfo":
+         ...,                              # LFOs (21-24)
+         "mod_lfo_to_pitch"/"vib_lfo_to_pitch"/"mod_lfo_to_filter_fc"/
+         "mod_lfo_to_volume": 0}           # LFO routings (5/6/10/13)
 
     ``instruments`` (mutually exclusive with ``samples``) builds a
     multi-instrument preset for preset-zone fixtures: a list of
